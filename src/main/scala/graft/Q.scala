@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: a Spark DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Oracle-determinism rules used across the suite (so a value-hash compare
+  * between Spark and DuckDB is bit-exact):
+  *  - sums/averages over DOUBLE go through DECIMAL(18,4) (exact; no double
+  *    is exactly on a decimal midpoint, so the cast is unambiguous in both
+  *    engines), final result cast back to DOUBLE (correctly-rounded in both);
+  *  - every query is totally ordered (explicit tie-breakers);
+  *  - only correctly-rounded IEEE ops (+,-,*,/,sqrt) on identical inputs in
+  *    per-row float math — no libm transcendentals;
+  *  - vector math is quantized to integers first (order-independent exact
+  *    accumulation), see VectorFunctions;
+  *  - hashing across engines uses md5 (identical in both).
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Q {
+  def apply(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle))(run)
+}
