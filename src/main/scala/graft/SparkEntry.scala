@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val modules: Seq[Seq[Q]] = Seq(
-    operators.Relational.defs
+    operators.Relational.defs,
+    operators.CleanerOps.defs,
+    operators.TextOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Cleaners
+import org.apache.spark.sql.functions._
+
+/** The reference's cleaning layer (SURVEY.md §2.3 T1–T3) exercised as
+  * oracle-checked queries. The reference applies these to OSM tag data; here
+  * they run over deterministic synthetic strings built from star-schema
+  * columns so the DuckDB oracle can rebuild the identical inputs.
+  *
+  * All three cleaners are pure expression chains (Cleaners.scala) — no UDFs,
+  * whole-stage-codegen'd, and shuffle-free (narrow maps that scale linearly).
+  */
+object CleanerOps {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- T1: tag-key namespace split (py:87,117–126) ----
+    Q("q28_key_split",
+      """WITH k AS (
+        |  SELECT p_partkey,
+        |    CASE CAST(p_partkey % 5 AS INTEGER)
+        |      WHEN 0 THEN lower(p_brand) || ':' || lower(p_type)
+        |      WHEN 1 THEN lower(p_type)
+        |      WHEN 2 THEN 'addr:' || lower(p_brand)
+        |      WHEN 3 THEN 'cycleway:right:' || lower(p_type)
+        |      ELSE 'CEMT:' || p_type END AS k
+        |  FROM part)
+        |SELECT p_partkey, k,
+        |  CASE WHEN regexp_matches(k, '^([a-z]|_)+:([a-z]|_)+')
+        |       THEN split_part(k, ':', 1) ELSE 'regular' END AS tag_type,
+        |  CASE WHEN regexp_matches(k, '^([a-z]|_)+:([a-z]|_)+')
+        |       THEN substr(k, strpos(k, ':') + 1) ELSE k END AS tag_key
+        |FROM k ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val k = when(col("p_partkey") % 5 === 0,
+          concat(lower(col("p_brand")), lit(":"), lower(col("p_type"))))
+        .when(col("p_partkey") % 5 === 1, lower(col("p_type")))
+        .when(col("p_partkey") % 5 === 2, concat(lit("addr:"), lower(col("p_brand"))))
+        .when(col("p_partkey") % 5 === 3, concat(lit("cycleway:right:"), lower(col("p_type"))))
+        .otherwise(concat(lit("CEMT:"), col("p_type")))
+      Tables.t(s, d, "part")
+        .select(col("p_partkey"), k.as("k"))
+        .select(
+          col("p_partkey"), col("k"),
+          Cleaners.keyType(col("k")).as("tag_type"),
+          Cleaners.keyTail(col("k")).as("tag_key"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- T3: NL phone normalization, all branches (py:131–146) ----
+    Q("q29_phone_norm",
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    (CASE CAST(o_orderkey % 3 AS INTEGER)
+        |       WHEN 0 THEN '+31 (0)' WHEN 1 THEN '020-' ELSE '' END)
+        |    || substr('003120555123456', 1, CAST(7 + o_orderkey % 8 AS INTEGER)) AS phone_raw
+        |  FROM orders WHERE o_orderkey <= 600),
+        |d AS (SELECT o_orderkey, phone_raw,
+        |        regexp_replace(phone_raw, '[^0-9]', '', 'g') AS dg FROM v)
+        |SELECT o_orderkey, phone_raw,
+        |  CASE WHEN length(dg) IN (11, 9) THEN '+' || dg
+        |       WHEN length(dg) = 12 THEN '+' || substr(dg, 1, 2) || substr(dg, 4)
+        |       WHEN length(dg) IN (10, 8) THEN '+31' || substr(dg, 2)
+        |       WHEN length(dg) = 13 THEN '+' || substr(dg, 3)
+        |       WHEN length(dg) = 7 THEN '+31' || dg
+        |       ELSE dg END AS phone_norm
+        |FROM d ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val prefix = when(col("o_orderkey") % 3 === 0, "+31 (0)")
+        .when(col("o_orderkey") % 3 === 1, "020-")
+        .otherwise("")
+      val raw = concat(prefix,
+        lit("003120555123456").substr(lit(1), (lit(7) + col("o_orderkey") % 8).cast("int")))
+      Tables.t(s, d, "orders")
+        .filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey"), raw.as("phone_raw"))
+        .withColumn("phone_norm", Cleaners.nlPhone(col("phone_raw")))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- T2: NL postcode normalization (py:128–129, unconditional) ----
+    Q("q30_postcode_norm",
+      """WITH v AS (
+        |  SELECT c_custkey,
+        |    (CASE WHEN c_custkey % 5 = 0 THEN ' ' ELSE '' END)
+        |    || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+        |    || (CASE CAST(c_custkey % 3 AS INTEGER)
+        |          WHEN 0 THEN '' WHEN 1 THEN ' ' ELSE '  ' END)
+        |    || chr(CAST(65 + c_custkey % 26 AS INTEGER))
+        |    || chr(CAST(65 + c_custkey % 7 AS INTEGER))
+        |    || (CASE WHEN c_custkey % 7 = 0 THEN ' ' ELSE '' END) AS pc_raw
+        |  FROM customer)
+        |SELECT c_custkey, pc_raw,
+        |  substr(ltrim(pc_raw), 1, 4) || ' ' || right(rtrim(pc_raw), 2) AS pc_norm
+        |FROM v ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val raw = concat(
+        when(col("c_custkey") % 5 === 0, " ").otherwise(""),
+        (lit(1000) + col("c_custkey") % 9000).cast("string"),
+        when(col("c_custkey") % 3 === 0, "").when(col("c_custkey") % 3 === 1, " ").otherwise("  "),
+        expr("chr(65 + c_custkey % 26)"),
+        expr("chr(65 + c_custkey % 7)"),
+        when(col("c_custkey") % 7 === 0, " ").otherwise(""))
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"), raw.as("pc_raw"))
+        .withColumn("pc_norm", Cleaners.nlPostcode(col("pc_raw")))
+        .orderBy("c_custkey")
+    }
+  )
+}

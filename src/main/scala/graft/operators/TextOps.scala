@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: the generator /
+  * flatten shapes of the reference (SURVEY.md §2.4 G1/G2 — explode and
+  * posexplode) plus the training-data-pipeline text ops (language ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * Scale: every op is a narrow map + (optionally) a hash agg — explode
+  * fan-out stays partition-local, aggregation is two-phase, and nothing
+  * collects to the driver. At 100 TB the explode output is salted only by
+  * the natural parallelism of the input splits.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a")
+  private val LangMarkers = Seq("the", "a", "data", "spark", "fast")
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- G1: explode + top-k over generated rows ----
+    Q("q31_explode_tokens",
+      """SELECT word, count(*) AS num
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY num DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("num"))
+        .orderBy(col("num").desc, col("word"))
+        .limit(20)
+    },
+
+    // ---- G2: posexplode — 0-based position within the document ----
+    Q("q32_posexplode",
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, word FROM (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM documents) t
+        |WHERE pos < 3 ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), col("pos"), col("word"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- token counting per source ----
+    Q("q33_token_count",
+      """SELECT source, count(*) AS ndocs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(len(string_split(text, ' '))) AS INTEGER) AS min_tokens,
+        |  CAST(MAX(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("source"), tokenCount(col("text")).as("ntok"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("ndocs"),
+          sum("ntok").cast("long").as("total_tokens"),
+          min("ntok").as("min_tokens"),
+          max("ntok").as("max_tokens"))
+        .orderBy("source")
+    },
+
+    // ---- language ID: marker-token histogram + deterministic argmax ----
+    Q("q34_lang_id",
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w = 'the')) AS c_the,
+        |    len(list_filter(string_split(text,' '), w -> w = 'a')) AS c_a,
+        |    len(list_filter(string_split(text,' '), w -> w = 'data')) AS c_data,
+        |    len(list_filter(string_split(text,' '), w -> w = 'spark')) AS c_spark,
+        |    len(list_filter(string_split(text,' '), w -> w = 'fast')) AS c_fast
+        |  FROM documents)
+        |SELECT doc_id, lang, c_the, c_a, c_data, c_spark, c_fast,
+        |  CASE WHEN c_the >= c_a AND c_the >= c_data THEN 'en'
+        |       WHEN c_a >= c_data THEN 'es' ELSE 'de' END AS predicted
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val counts = LangMarkers.map(w => markerCount(col("text"), w).as(s"c_$w"))
+      Tables.t(s, d, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++ counts: _*)
+        .withColumn("predicted",
+          when(col("c_the") >= col("c_a") && col("c_the") >= col("c_data"), "en")
+            .when(col("c_a") >= col("c_data"), "es")
+            .otherwise("de"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: lengths, ratios, quality band ----
+    Q("q35_quality_score",
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(length(text) AS INTEGER) AS text_len,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS ntok,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'the' OR w = 'a')) AS INTEGER) AS nstop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, text_len, ntok, nstop,
+        |  CAST(text_len AS DOUBLE) / CAST(ntok AS DOUBLE) AS avg_tok_len,
+        |  CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN ntok >= 50 AND CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) < 0.1
+        |       THEN 'good'
+        |       WHEN ntok >= 20 THEN 'ok' ELSE 'short' END AS band
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val ntok = size(toks)
+      val nstop = size(filter(toks, w => w === "the" || w === "a"))
+      Tables.t(s, d, "documents")
+        .select(
+          col("doc_id"), col("n_chars"),
+          length(col("text")).as("text_len"),
+          ntok.as("ntok"), nstop.as("nstop"))
+        .withColumn("avg_tok_len", col("text_len").cast("double") / col("ntok").cast("double"))
+        .withColumn("stop_ratio", col("nstop").cast("double") / col("ntok").cast("double"))
+        .withColumn("band",
+          when(col("ntok") >= 50 && col("stop_ratio") < 0.1, "good")
+            .when(col("ntok") >= 20, "ok")
+            .otherwise("short"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting (md5 raw + normalized) ----
+    Q("q36_fingerprint",
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm,
+        |  substr(md5(text), 1, 8) AS fp_short
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          fingerprint(normalized(col("text"))).as("fp_norm"),
+          substring(fingerprint(col("text")), 1, 8).as("fp_short"))
+        .orderBy("doc_id")
+    },
+
+    // ---- word bigrams (shingle generator) + top-k ----
+    Q("q37_bigrams",
+      """SELECT bg, count(*) AS num FROM (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bg
+        |  FROM documents) t
+        |GROUP BY bg ORDER BY num DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(explode(wordShingles(col("text"), 2)).as("bg"))
+        .groupBy("bg")
+        .agg(count(lit(1)).as("num"))
+        .orderBy(col("num").desc, col("bg"))
+        .limit(20)
+    }
+  )
+}
