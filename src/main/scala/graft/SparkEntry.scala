@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[Seq[Q]] = Seq(
     operators.Relational.defs,
     operators.CleanerOps.defs,
-    operators.TextOps.defs
+    operators.TextOps.defs,
+    operators.DedupOps.defs,
+    operators.SimilarityOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math for similarity search over `array<float>` embedding columns.
+  *
+  * Cross-engine determinism strategy: quantize floats to integers
+  * (`floor(x * 1000)`) first. Integer-valued accumulation is exact and
+  * order-independent, so dot products / norms are bit-identical regardless
+  * of engine or partitioning; the final cosine is then a fixed sequence of
+  * correctly-rounded IEEE ops (double multiply, sqrt, divide) on identical
+  * inputs. This also makes LSH bucket assignment exactly reproducible — a
+  * float-accumulation LSH could flip sign bits between engines.
+  *
+  * Scale: quantize/norm are narrow per-row maps computed once per vector;
+  * pairwise scoring joins should pre-project (id, qvec, norm) so the shuffle
+  * carries 8·dim bytes per row and nothing recomputes norms per pair.
+  */
+object VectorFunctions {
+
+  /** Quantize an array<float> to array<long> at fixed scale. floor (not
+    * round) — floor is unambiguous on every non-integral double in every
+    * engine. */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two array<long> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact squared L2 norm of an array<long> column. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine from a precomputed exact dot and squared norms: one double
+    * multiply, one sqrt, one divide — bit-identical across engines. */
+  def cosine(dotAB: Column, normSqA: Column, normSqB: Column): Column =
+    dotAB.cast("double") / sqrt(normSqA.cast("double") * normSqB.cast("double"))
+
+  /** Random-hyperplane LSH bucket over a quantized vector column named
+    * `qCol` (array<bigint>): `planes` sign bits packed into a BIGINT.
+    * Hyperplane weights are a deterministic integer pseudo-sequence
+    * `(p*73856093 + d*19349663) % 2001 - 1000`, so bucket assignment is
+    * exactly reproducible in any engine (all-integer math).
+    *
+    * Expressed as one SQL expression because lambda-bound variables can't
+    * cross the Scala-DSL `shiftleft` signature (Int-only); still a pure
+    * Catalyst expression tree. */
+  def lshBucketExpr(qCol: String, planes: Int, dim: Int): Column =
+    expr(
+      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
+         |  IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT),
+         |       (a2, d) -> a2 + $qCol[d] *
+         |         ((CAST(p AS BIGINT) * 73856093 + CAST(d AS BIGINT) * 19349663) % 2001 - 1000)) >= 0,
+         |     shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked dedup queries over `documents` (which contains ~25 planted
+  * near-duplicate pairs at 3-gram Jaccard ≈ 0.98, marked by a 'dup' token).
+  * The operator implementations live in [[Dedup]]; these defs wire them to
+  * the driver gate with programmatically generated DuckDB oracles.
+  */
+object DedupOps {
+
+  private val NumHashes = 16
+  private val RowsPerBand = 4
+  private val SimhashBits = 16
+
+  /** DuckDB 3-gram shingle CTE (1-based list indexing; matches
+    * TextFunctions.wordShingles(n=3) incl. the <3-token empty case). */
+  private val ShingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(sp) - 1),
+      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t) u)""".stripMargin
+
+  private val minhashSigSql = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsSql = {
+    val numBands = NumHashes / RowsPerBand
+    val hashes = (0 until numBands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
+      s"md5(${cols.mkString(" || ")})"
+    }
+    s"""bands AS (SELECT doc_id,
+       |  unnest([${hashes.mkString(", ")}]) AS band_hash,
+       |  unnest(range($numBands)) AS band_idx FROM sig)""".stripMargin
+  }
+
+  private val simhashOracle = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val pack = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- exact dedup: fingerprint cardinality (raw + normalized) ----
+    Q("q38_dedup_exact",
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique_norm
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(fingerprint(col("text"))).as("n_unique"),
+          countDistinct(fingerprint(normalized(col("text")))).as("n_unique_norm"))
+    },
+
+    // ---- exact n-gram Jaccard over shingle-sharing pairs ----
+    Q("q39_ngram_jaccard",
+      s"""WITH $ShingleCte,
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter,
+         |  CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) AS jac
+         |FROM pairs JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- MinHash + LSH banding candidates ----
+    Q("q40_minhash_lsh",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minhashLshCandidates(Tables.t(s, d, "documents"), "doc_id", "text",
+          3, NumHashes, RowsPerBand)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- SimHash signatures ----
+    Q("q41_simhash", simhashOracle) { (s, d) =>
+      Dedup.simhash(Tables.t(s, d, "documents"), "doc_id", "text", SimhashBits)
+        .orderBy("doc_id")
+    }
+  )
+}

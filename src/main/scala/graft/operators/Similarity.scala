@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
+  * bucketing is the scale path (candidates come from an equi-join on the
+  * bucket id, so 100 TB cost tracks bucket occupancy instead of n²; at a
+  * billion vectors you'd add multi-probe or an IVF coarse quantizer on the
+  * same skeleton — the bucket column IS the inverted-list key).
+  *
+  * Everything is exact integer math after quantization (see
+  * VectorFunctions), so results are engine-reproducible.
+  */
+object Similarity {
+
+  /** (id, q, nsq): quantized vector + exact squared norm, computed once —
+    * pairwise stages never recompute per-pair. */
+  def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("nsq", normSq(col("q")))
+
+  /** All-pairs cosine, id_a < id_b. Caller bounds the output (threshold or
+    * top-k) — at scale you'd never materialize this without an LSH
+    * pre-filter. */
+  def allPairsCosine(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = prepared(emb, idCol, vecCol)
+    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"),
+        col(s"b.$idCol").as("id_b"),
+        cosine(dot(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force). */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+    val cp = prepared(corpus, idCol, vecCol)
+    val scored = qp.join(cp, col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        cosine(dot(col("qq"), col("q")), col("qnsq"), col("nsq")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket per vector. */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                 planes: Int, dim: Int): DataFrame =
+    emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("bucket", lshBucketExpr("q", planes, dim))
+      .select(col(idCol), col("bucket"))
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked similarity-search queries over `embeddings` (64-dim
+  * float vectors). Implementations in [[Similarity]]. */
+object SimilarityOps {
+
+  private val Dim = 64
+  private val Planes = 12
+
+  /** DuckDB side of VectorFunctions.quantize + exact norms: integer-valued
+    * doubles, so list_dot_product sums are exact in any order. */
+  private val PreparedCte =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM e),
+      |n AS (
+      |  SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM p)""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- embedding near-dup: top-50 all-pairs cosine ----
+    Q("q42_embedding_neardup",
+      s"""WITH $PreparedCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin) { (s, d) =>
+      Similarity.allPairsCosine(Tables.t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
+    // ---- brute-force cosine top-k ----
+    Q("q43_knn_brute",
+      s"""WITH $PreparedCte,
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.bruteForceKnn(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .select("qid", "nid", "cos", "rank")
+        .orderBy("qid", "rank")
+    },
+
+    // ---- random-hyperplane LSH bucket assignment ----
+    Q("q44_knn_lsh_buckets",
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(0, $Planes), p ->
+         |    CASE WHEN list_sum(list_transform(range(0, $Dim), d ->
+         |      q[CAST(d + 1 AS INTEGER)] * ((p * 73856093 + d * 19349663) % 2001 - 1000))) >= 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT) AS bucket
+         |FROM e ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.lshBuckets(Tables.t(s, d, "embeddings"), "vec_id", "embedding",
+          Planes, Dim)
+        .orderBy("vec_id")
+    }
+  )
+}
