@@ -16,7 +16,9 @@ object SparkEntry {
     operators.CleanerOps.defs,
     operators.TextOps.defs,
     operators.DedupOps.defs,
-    operators.SimilarityOps.defs
+    operators.SimilarityOps.defs,
+    operators.WindowingOps.defs,
+    operators.MultimodalOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events`, oracle-checked in batch mode. The
+  * SAME transform functions (EventStreams) run behind readStream with
+  * watermarks — batch checking here certifies the streaming semantics,
+  * since Structured Streaming windows are defined by the batch equivalence.
+  *
+  * Window starts are epoch-aligned, so the DuckDB oracle rebuilds them with
+  * date_trunc arithmetic.
+  */
+object WindowingOps {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- tumbling 1h windows per event type ----
+    Q("q45_window_tumbling",
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      EventStreams.tumbling(Tables.t(s, d, "events"), "1 hour")
+        .orderBy("ws", "event_type")
+    },
+
+    // ---- sliding 1h windows every 30m (each event in 2 windows) ----
+    Q("q46_window_sliding",
+      """WITH g AS (
+        |  SELECT value,
+        |    date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS g30
+        |  FROM events),
+        |w AS (SELECT unnest([g30, g30 - INTERVAL 30 MINUTE]) AS ws, value FROM g)
+        |SELECT ws, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM w GROUP BY 1 ORDER BY ws""".stripMargin) { (s, d) =>
+      EventStreams.sliding(Tables.t(s, d, "events"), "1 hour", "30 minutes")
+        .orderBy("ws")
+    },
+
+    // ---- session windows: 5m inactivity gap per user ----
+    Q("q47_window_session",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      EventStreams.sessions(Tables.t(s, d, "events"), "5 minutes")
+        .orderBy("user_id", "session_start")
+    }
+  )
+}
