@@ -1,0 +1,35 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Pinned-column-order CSV sink/source (SURVEY.md §2.1 S3/S4).
+  *
+  * Matches the reference's writer behavior: header row, UTF-8, minimal
+  * quoting, ISO-8601 `Z` timestamps (ways.csv:2), field order from
+  * OsmModel.columnOrder (py:91).
+  */
+object OsmCsv {
+
+  val TsFormat = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  def write(df: DataFrame, path: String, table: String): Unit =
+    df.select(OsmModel.columnOrder(table).map(col): _*)
+      .write.mode("overwrite")
+      .option("header", true)
+      .option("timestampFormat", TsFormat)
+      .option("emptyValue", "")
+      // Python csv dialect (the reference writer): quotes escaped by
+      // doubling (RFC 4180), not backslash.
+      .option("escape", "\"")
+      .csv(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("timestampFormat", TsFormat)
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+}

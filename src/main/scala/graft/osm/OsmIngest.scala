@@ -1,0 +1,117 @@
+package graft.osm
+
+import graft.functions.Cleaners
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OSM XML → 5 normalized tables, Spark-first (SURVEY.md §2.1 S1/S2, §2.4).
+  *
+  * The reference stream-parses with iterparse one element at a time
+  * (py:179–186); here the whole shape is declarative: the built-in XML
+  * source scans `<node>`/`<way>` row-tags in parallel splits, projection +
+  * cleaning are codegen'd expressions, and the child `<tag>`/`<nd>` lists
+  * flatten with explode/posexplode (G1/G2). The entire pipeline is narrow —
+  * no shuffle — so it scales linearly with input splits.
+  *
+  * `<relation>` elements are dropped by row-tag selection (S2, py:108/149).
+  *
+  * Explicit read schemas (no inference): single-child elements then parse as
+  * 1-element arrays, and a second schema-inference pass over 100 TB of XML
+  * is avoided.
+  */
+object OsmIngest {
+
+  private val tagArray = ArrayType(StructType(Seq(
+    StructField("_k", StringType), StructField("_v", StringType))))
+
+  val nodeReadSchema: StructType = StructType(Seq(
+    StructField("_id", LongType), StructField("_lat", DoubleType),
+    StructField("_lon", DoubleType), StructField("_user", StringType),
+    StructField("_uid", LongType), StructField("_version", IntegerType),
+    StructField("_changeset", LongType), StructField("_timestamp", TimestampType),
+    StructField("tag", tagArray)))
+
+  val wayReadSchema: StructType = StructType(Seq(
+    StructField("_id", LongType), StructField("_user", StringType),
+    StructField("_uid", LongType), StructField("_version", IntegerType),
+    StructField("_changeset", LongType), StructField("_timestamp", TimestampType),
+    StructField("tag", tagArray),
+    StructField("nd", ArrayType(StructType(Seq(StructField("_ref", LongType)))))))
+
+  def readRaw(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("attributePrefix", "_")
+      .schema(schema)
+      .load(path)
+
+  def readNodesRaw(spark: SparkSession, path: String): DataFrame =
+    readRaw(spark, path, "node", nodeReadSchema)
+
+  def readWaysRaw(spark: SparkSession, path: String): DataFrame =
+    readRaw(spark, path, "way", wayReadSchema)
+
+  /** P1: node attribute projection (py:108–110). */
+  def nodes(raw: DataFrame): DataFrame =
+    raw.select(
+      col("_id").as("id"), col("_lat").as("lat"), col("_lon").as("lon"),
+      col("_user").as("user"), col("_uid").as("uid"),
+      col("_version").as("version"), col("_changeset").as("changeset"),
+      col("_timestamp").as("timestamp"))
+
+  /** G1 + T1 + node-only T2/T3 cleaning (py:111–147).
+    * The postcode/phone branches are exclusive if/elif (py:128,131):
+    * postcode matches the POST-split key, phone matches the RAW key. */
+  def nodeTags(raw: DataFrame): DataFrame = {
+    val exploded = raw
+      .select(col("_id").as("id"), explode(col("tag")).as("t"))
+      .select(col("id"), col("t._k").as("k"), col("t._v").as("v"))
+    exploded
+      .withColumn("key", Cleaners.keyTail(col("k")))
+      .withColumn("type", Cleaners.keyType(col("k")))
+      .withColumn("value",
+        when(col("key") === "postcode", Cleaners.nlPostcode(col("v")))
+          .when(col("k") === "phone", Cleaners.nlPhone(col("v")))
+          .otherwise(col("v")))
+      .select("id", "key", "value", "type")
+  }
+
+  /** P2: way attribute projection (py:150–151). */
+  def ways(raw: DataFrame): DataFrame =
+    raw.select(
+      col("_id").as("id"), col("_user").as("user"), col("_uid").as("uid"),
+      col("_version").as("version"), col("_changeset").as("changeset"),
+      col("_timestamp").as("timestamp"))
+
+  /** G1 + T1 only — the way branch does NO value cleaning (py:160–173;
+    * verified in the committed golden output, SURVEY.md §2.3). */
+  def wayTags(raw: DataFrame): DataFrame =
+    raw.select(col("_id").as("id"), explode(col("tag")).as("t"))
+      .select(
+        col("id"),
+        Cleaners.keyTail(col("t._k")).as("key"),
+        col("t._v").as("value"),
+        Cleaners.keyType(col("t._k")).as("type"))
+
+  /** G2: positional explode of `<nd>` refs — position is the 0-based
+    * document order (py:152–159), which posexplode preserves without a
+    * window function. */
+  def wayNodes(raw: DataFrame): DataFrame =
+    raw.select(col("_id").as("id"), posexplode(col("nd")).as(Seq("position", "n")))
+      .select(col("id"), col("n._ref").as("node_id"), col("position"))
+
+  /** The full ETL (EP1, py:206–236): one XML pass per row-tag, 5 CSV sinks.
+    * Equivalent of process_map; each output is an independent narrow job. */
+  def runEtl(spark: SparkSession, osmPath: String, outDir: String): Unit = {
+    val n = readNodesRaw(spark, osmPath).cache()
+    val w = readWaysRaw(spark, osmPath).cache()
+    OsmCsv.write(nodes(n), s"$outDir/nodes", "nodes")
+    OsmCsv.write(nodeTags(n), s"$outDir/node_tags", "node_tags")
+    OsmCsv.write(ways(w), s"$outDir/ways", "ways")
+    OsmCsv.write(wayTags(w), s"$outDir/way_tags", "way_tags")
+    OsmCsv.write(wayNodes(w), s"$outDir/way_nodes", "way_nodes")
+    n.unpersist(); w.unpersist()
+  }
+}

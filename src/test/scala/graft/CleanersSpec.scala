@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.Cleaners
+import org.apache.spark.sql.functions.col
+
+/** Unit + property-style tests for the cleaning layer (SURVEY.md §5.2 items
+  * 3–4). Expected values transcribed from the reference's semantics:
+  * amsterdam_map_data_wrangling.py:87,117–146 and Readme.md:75–128. */
+class CleanersSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def splitOf(k: String): (String, String) = {
+    val r = Seq(k).toDF("k")
+      .select(Cleaners.keyType(col("k")), Cleaners.keyTail(col("k")))
+      .head()
+    (r.getString(0), r.getString(1))
+  }
+
+  private def phonesOf(vs: Seq[String]): Seq[String] =
+    vs.toDF("v").select(Cleaners.nlPhone(col("v"))).collect().map(_.getString(0)).toSeq
+
+  private def postcodesOf(vs: Seq[String]): Seq[String] =
+    vs.toDF("v").select(Cleaners.nlPostcode(col("v"))).collect().map(_.getString(0)).toSeq
+
+  private def phoneOf(v: String): String = phonesOf(Seq(v)).head
+  private def postcodeOf(v: String): String = postcodesOf(Seq(v)).head
+
+  test("T1 splits at the first colon only") {
+    assert(splitOf("addr:postcode") === ("addr", "postcode"))
+    assert(splitOf("cycleway:right:surface:color") === ("cycleway", "right:surface:color"))
+  }
+
+  test("T1 leaves non-matching keys as regular") {
+    assert(splitOf("highway") === ("regular", "highway"))
+    assert(splitOf("CEMT") === ("regular", "CEMT"))               // uppercase
+    assert(splitOf("naptan:CommonName") === ("regular", "naptan:CommonName")) // uppercase after colon
+    assert(splitOf("ref:2") === ("regular", "ref:2"))             // digit after colon
+    assert(splitOf(":postcode") === ("regular", ":postcode"))     // leading colon
+  }
+
+  test("T1 allows underscores") {
+    assert(splitOf("source_ref:name") === ("source_ref", "name"))
+  }
+
+  test("T3 phone: all seven digit-count branches (py:135–146)") {
+    assert(phoneOf("0205551234") === "+31205551234")     // 10 -> +31 + drop leading 0
+    assert(phoneOf("05551234") === "+315551234")         // 8  -> +31 + drop leading 0
+    assert(phoneOf("31205551234") === "+31205551234")    // 11 -> + prefix
+    assert(phoneOf("205551234") === "+205551234")        // 9  -> + prefix
+    assert(phoneOf("310205551234") === "+31205551234")   // 12 -> drop trunk (0) at pos 3
+    assert(phoneOf("0031205551234") === "+31205551234")  // 13 -> drop 00
+    assert(phoneOf("5551234") === "+315551234")          // 7  -> +31 prefix
+    assert(phoneOf("12345") === "12345")                 // else -> unchanged digits
+    assert(phoneOf("020-555 12.34") === "+31205551234")  // separators stripped first
+  }
+
+  test("T2 postcode: slice semantics incl. Readme example 1074CM") {
+    assert(postcodeOf("1074CM") === "1074 CM")
+    assert(postcodeOf("1074 CM") === "1074 CM")       // idempotent on correct form
+    assert(postcodeOf("  1074CM  ") === "1074 CM")    // lstrip/rstrip
+  }
+
+  test("T2 is idempotent over generated NNNN[ ]AA postcodes") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(200) {
+      val d = 1000 + rnd.nextInt(9000)
+      val sp = if (rnd.nextBoolean()) " " else ""
+      val a = ('A' + rnd.nextInt(26)).toChar; val b = ('A' + rnd.nextInt(26)).toChar
+      s"$d$sp$a$b"
+    }
+    val once = postcodesOf(samples)
+    val twice = postcodesOf(once)
+    assert(once === twice)
+  }
+
+  test("T3 is +-prefixed exactly for digit counts 7..13 over generated inputs") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(300)("0" * (1 + rnd.nextInt(3)) +
+      Seq.fill(3 + rnd.nextInt(13))(rnd.nextInt(10)).mkString)
+    val outs = phonesOf(samples)
+    samples.zip(outs).foreach { case (in, out) =>
+      if ((7 to 13).contains(in.length)) assert(out.startsWith("+"), s"in=$in out=$out")
+      else assert(out === in, s"in=$in out=$out")
+    }
+  }
+}
