@@ -25,8 +25,15 @@ object VectorFunctions {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two array<long> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two array<long> columns — backed by the
+    * codegen'd LongArrayDot expression (tight Java loop in whole-stage
+    * codegen; ~10× the declarative zip_with+aggregate form on the n²
+    * similarity path). */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.dotLong(a, b)
+
+  /** Declarative reference implementation of [[dot]] (kept for equivalence
+    * testing of the custom expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Exact squared L2 norm of an array<long> column. */

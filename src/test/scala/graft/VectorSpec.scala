@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Custom-expression equivalence + similarity sanity tests. */
+class VectorSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.t(spark, Sf, "embeddings").cache()
+
+  test("LongArrayDot codegen == declarative zip_with/aggregate on real data") {
+    val q = emb.select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+    val both = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(
+        VectorFunctions.dot(col("a.q"), col("b.q")).as("fast"),
+        VectorFunctions.dotHof(col("a.q"), col("b.q")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("graft_dot is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+    assert(r.getLong(0) === 32L)
+  }
+
+  test("bruteForceKnn: rank-1 neighbor is the true argmax") {
+    val knn = Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 1).collect()
+    assert(knn.length === 1)
+    val best = Similarity.allPairsCosine(emb, "vec_id", "embedding")
+      .filter(col("id_a") === 0 || col("id_b") === 0)
+      .orderBy(col("cos").desc)
+      .select(when(col("id_a") === 0, col("id_b")).otherwise(col("id_a")))
+      .head().getLong(0)
+    assert(knn.head.getAs[Long]("nid") === best)
+  }
+
+  test("LSH buckets are deterministic across runs") {
+    val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1) // buckets actually partition the space
+  }
+}
