@@ -44,6 +44,8 @@ object EventStreams {
   /** File-source stream of event parquet (same schema as the batch table).
     * `maxFilesPerTrigger` bounds per-micro-batch work at scale. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // events fixtures carry TIMESTAMP(NANOS) — see Tables.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup behavior tests on the fixture corpus (which carries planted
+  * near-duplicate pairs at 3-gram Jaccard ≈ 0.98). */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.t(spark, Sf, "documents").cache()
+
+  private lazy val truePairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+
+  test("planted near-dup pairs exist and are symmetric-free (a<b)") {
+    assert(truePairs.nonEmpty)
+    assert(truePairs.forall { case (a, b) => a < b })
+  }
+
+  test("MinHash-LSH candidates achieve full recall on 0.98-Jaccard pairs") {
+    val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val missed = truePairs -- cands
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+    // and the band join prunes: far fewer candidates than the ~125k pairs
+    assert(cands.size < 5000, s"candidate set too large: ${cands.size}")
+  }
+
+  test("SimHash: near-dup pairs collide or sit within hamming distance 2") {
+    val sig = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val far = truePairs.filter { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) > 2
+    }
+    assert(far.isEmpty, s"near-dups at hamming>2: $far")
+  }
+
+  test("exact dedup: corpus has no exact duplicates, dedup keeps all docs") {
+    val n = docs.count()
+    assert(docs.select(md5(col("text"))).distinct().count() === n)
+    assert(docs.dropDuplicates("text").count() === n)
+  }
+
+  test("jaccard pairs are reflexively consistent with shingle counts") {
+    val withCounts = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .filter(col("jac") > 1.0 || col("inter") <= 0)
+    assert(withCounts.count() === 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary payload schema, partition-wise stub decode,
+  * determinism, and compatibility of the feature output with the
+  * similarity operators. */
+class MultimodalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.t(spark, Sf, "documents").cache()
+
+  test("payload column is real binary with correct byte length") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val bad = media.join(docs, col("media_id") === col("doc_id"))
+      .filter(octet_length(col("payload")) =!= length(col("text"))) // ASCII corpus
+    assert(bad.count() === 0)
+  }
+
+  test("stub decode emits fixed-width features, deterministically") {
+    val f1 = Multimodal.documentFeatures(spark, docs)
+    assert(f1.count() === docs.count())
+    val widths = f1.select(size(col("features"))).distinct().collect().map(_.getInt(0))
+    assert(widths.toSeq === Seq(8))
+    val f2 = Multimodal.documentFeatures(spark, docs)
+    val a = f1.orderBy("media_id").collect().map(_.toString)
+    val b = f2.orderBy("media_id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("checksum matches the SQL-side md5 of the text payload") {
+    val feats = Multimodal.documentFeatures(spark, docs)
+      .select(col("media_id"), col("checksum"))
+    val sqlSide = docs.select(col("doc_id").as("media_id"), md5(col("text")).as("m"))
+    val mismatch = feats.join(sqlSide, "media_id")
+      .filter(col("checksum") =!= col("m"))
+    assert(mismatch.count() === 0)
+  }
+
+  test("decode runs partition-wise (one task per partition, no collect)") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+      .repartition(4).as[Multimodal.MediaRecord]
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.rdd.getNumPartitions === 4)
+    assert(feats.count() === docs.count())
+  }
+}

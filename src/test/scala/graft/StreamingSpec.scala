@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Top-level so Spark can generate an Encoder (inner classes can't). */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Structured Streaming behavior: the batch transforms running
+  * incrementally with watermarks, and the typed stateful sessionizer. */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling agg over a stream equals the batch result (watermarked)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts("2024-01-01 00:10:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 00:20:00"), "click", 2.0, 1L),
+      Ev(ts("2024-01-01 01:05:00"), "view", 3.0, 2L),
+      Ev(ts("2024-01-01 02:00:01"), "click", 4.0, 2L))
+    mem.addData(events: _*)
+    val q = EventStreams.tumblingWithWatermark(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("ws", "event_type", "n", "sum_v")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.tumbling(events.toDF(), "1 hour")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(batch.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+  }
+
+  test("declarative session windows match the gaps-and-islands definition") {
+    val events = Seq(
+      Ev(ts("2024-01-01 00:00:00"), "a", 1.0, 7L),
+      Ev(ts("2024-01-01 00:03:00"), "a", 1.0, 7L),  // gap 3m -> same session
+      Ev(ts("2024-01-01 00:10:00"), "a", 1.0, 7L),  // gap 7m -> new session
+      Ev(ts("2024-01-01 00:14:59"), "a", 1.0, 7L),  // gap <5m -> same
+      Ev(ts("2024-01-01 00:30:00"), "a", 1.0, 9L))  // other user
+    val out = EventStreams.sessions(events.toDF(), "5 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (7L, "2024-01-01 00:00:00.0", 2L),
+      (7L, "2024-01-01 00:10:00.0", 2L),
+      (9L, "2024-01-01 00:30:00.0", 1L)))
+  }
+
+  test("typed flatMapGroupsWithState sessionizer agrees on session counts") {
+    val events = Tables.t(spark, Sf, "events")
+    val declarative = EventStreams.sessions(events, "5 minutes").count()
+    val typed = EventStreams.statefulSessions(spark, events, 5 * 60 * 1000L).count()
+    assert(typed === declarative)
+  }
+
+  test("file-source stream of the events table processes all rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("stream_count")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_count").head().getLong(0)
+    assert(n === Tables.t(spark, Sf, "events").count())
+  }
+}
