@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: the properties that make these operators
+  * survive a 100×–1000× scale-up. Asserted on the executed plan so a
+  * regression (lost pushdown, accidental sort-merge join of a dim table,
+  * full sort instead of top-k) fails CI rather than a future bench run. */
+class PlanSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, Sf)
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // ensure AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filters and projection reach the parquet scan") {
+    val p = planOf(q("q01_scan_filter_project"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    // column pruning: the 11-column table reads only the 4 projected columns
+    // plus the filter column (which the final Project then drops)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"), p)
+  }
+
+  test("q07: dimension joins broadcast (no shuffle of the fact side)") {
+    val p = planOf(q("q07_join_star"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05: top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf(q("q05_group_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03: aggregation is two-phase (partial + final hash agg)") {
+    val p = planOf(q("q03_agg_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q42: pairwise scoring runs the codegen'd graft_dot in WholeStageCodegen") {
+    val df = q("q42_embedding_neardup")
+    val p = planOf(df)
+    assert(p.contains("graft_dot"), p)
+    // the pair-scoring Project sits inside a WholeStageCodegen stage
+    // (rendered as "*(n) Project [... graft_dot ...]" in the plan string)
+    assert(p.linesIterator.exists(l => l.contains("graft_dot") &&
+      l.contains("Project") && l.contains("*(")), p)
+  }
+
+  test("entry flagship broadcasts dims and aggregates exactly once per region") {
+    val df = SparkEntry.entry(spark)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(df.count() === 5)
+  }
+
+  test("OSM shape pipeline is narrow - no exchange anywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("w.osm")
+    java.nio.file.Files.write(f,
+      """<osm><way id="1" user="u" uid="1" version="1" changeset="1"
+        |timestamp="2016-01-01T00:00:00Z"><nd ref="2"/><nd ref="3"/></way></osm>
+        |""".stripMargin.getBytes("UTF-8"))
+    val df = graft.osm.OsmIngest.wayNodes(
+      graft.osm.OsmIngest.readWaysRaw(spark, f.toString))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(df.count() === 2)
+  }
+}
