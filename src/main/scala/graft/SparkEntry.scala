@@ -18,7 +18,8 @@ object SparkEntry {
     operators.DedupOps.defs,
     operators.SimilarityOps.defs,
     operators.WindowingOps.defs,
-    operators.MultimodalOps.defs
+    operators.MultimodalOps.defs,
+    operators.StatsOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Catalog/statistics surface (SURVEY.md §2.1 S5 — .dbinfo / file-size
+  * reporting) plus the Readme's derived ratio stats (§2.5 A5) and the two
+  * join shapes not yet covered (full outer; forced shuffle sort-merge). */
+object StatsOps {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- S5: per-table row counts (the .dbinfo analog) ----
+    Q("q49_table_stats", {
+      val union = Tables.names
+        .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+        .mkString(" UNION ALL ")
+      s"SELECT * FROM ($union) t ORDER BY table_name"
+    }) { (s, d) =>
+      Tables.names
+        .map(n => Tables.t(s, d, n)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows")))
+        .reduce(_ union _)
+        .orderBy("table_name")
+    },
+
+    // ---- A5: derived ratio over an aggregate (Readme.md:226) ----
+    Q("q50_value_share",
+      """SELECT CAST(count(CASE WHEN event_type IN ('purchase','signup') THEN 1 END) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE) AS share,
+        |  count(*) AS total
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "events")
+        .agg(
+          (count(when(col("event_type").isin("purchase", "signup"), 1)).cast("double") /
+            count(lit(1)).cast("double")).as("share"),
+          count(lit(1)).as("total"))
+    },
+
+    // ---- full outer join ----
+    Q("q51_join_full_outer",
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nk,
+        |  count(c.c_custkey) AS ncust, count(s.s_suppkey) AS nsupp
+        |FROM (SELECT c_nationkey, c_custkey FROM customer) c
+        |FULL OUTER JOIN (SELECT s_nationkey, s_suppkey FROM supplier) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |GROUP BY 1 ORDER BY nk""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "customer").select("c_nationkey", "c_custkey")
+        .join(Tables.t(s, d, "supplier").select("s_nationkey", "s_suppkey"),
+          col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .groupBy(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"))
+        .agg(count(col("c_custkey")).as("ncust"), count(col("s_suppkey")).as("nsupp"))
+        .orderBy("nk")
+    },
+
+    // ---- forced shuffle sort-merge join (the at-scale fact-fact path;
+    //      broadcast would win at test SF, so pin the strategy) ----
+    Q("q52_join_sortmerge",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .join(Tables.t(s, d, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

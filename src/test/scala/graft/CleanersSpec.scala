@@ -74,6 +74,19 @@ class CleanersSpec extends SparkTestBase {
     assert(once === twice)
   }
 
+  test("cleaners are SQL-callable after registration (§2.12 UDF surface)") {
+    Cleaners.register(spark)
+    val r = spark.sql(
+      "SELECT nl_phone('020-555 1234') AS p, nl_postcode(' 1074CM ') AS pc").head()
+    assert(r.getString(0) === "+31205551234")
+    assert(r.getString(1) === "1074 CM")
+    // SQL UDFs agree with the expression-chain implementations everywhere
+    val vs = Seq("0205551234", "05551234", "+31 (0)20 555", "x", "")
+    val both = vs.toDF("v").selectExpr("nl_phone(v) AS u")
+      .collect().map(_.getString(0)).toSeq
+    assert(both === phonesOf(vs))
+  }
+
   test("T3 is +-prefixed exactly for digit counts 7..13 over generated inputs") {
     val rnd = new scala.util.Random(7)
     val samples = Seq.fill(300)("0" * (1 + rnd.nextInt(3)) +
