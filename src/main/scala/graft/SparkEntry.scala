@@ -19,7 +19,8 @@ object SparkEntry {
     operators.SimilarityOps.defs,
     operators.WindowingOps.defs,
     operators.MultimodalOps.defs,
-    operators.StatsOps.defs
+    operators.StatsOps.defs,
+    operators.ExtendedOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — the time-series operator the reference
+  * lacks but any event pipeline needs (SURVEY.md §2.8 notes no theta/as-of
+  * joins exist there; this is the composed-from-builtins path, preference
+  * (a) of the custom-operator ladder).
+  *
+  * Implementation: union both sides tagged, then one window pass per key
+  * carrying the last-seen right payload forward (`last(_, ignoreNulls)` over
+  * rows unbounded-preceding..current). Exactly ONE shuffle (the window's
+  * hash partition by key) regardless of input sizes — a naive
+  * `join + filter + row_number` would shuffle both sides AND explode the
+  * intermediate pair count; a range join would need a broadcast. This is
+  * the standard scalable as-of shape: at 100 TB both sides hash-partition
+  * by key and sort within partition, nothing materializes pairwise.
+  *
+  * Ties (right.ts == left.ts) match, mirroring ASOF JOIN `>=` semantics:
+  * the right side sorts before the left at equal timestamps.
+  */
+object AsOfJoin {
+
+  /** For each `left` row, attach the latest `right` row with
+    * right.tsR <= left.tsL on equal keys; left rows with no prior right row
+    * keep null payload columns (left-join semantics).
+    *
+    * @param rightPayload right columns to carry (renamed as given)
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           keyL: String, keyR: String, tsL: String, tsR: String,
+           rightPayload: Seq[(String, String)]): DataFrame = {
+    val payloadStruct = struct(rightPayload.map { case (c, a) => col(c).as(a) }: _*)
+    val r = right.select(
+      col(keyR).as("_k"), col(tsR).as("_t"), lit(0).as("_side"),
+      payloadStruct.as("_p"))
+    val payloadType = r.schema("_p").dataType
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(keyL).as("_k"), col(tsL).as("_t"), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_p")) ++ leftCols.map(col): _*)
+    val rAligned = r.select(
+      Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(rAligned)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (_, a) => col(s"_match.$a").as(a) }: _*)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Extended operator coverage: as-of join, CUBE grouping sets, wider
+  * string/array function surface, and sketch-based approximate distinct
+  * (rows-only gate — HLL internals aren't oracle-reproducible; accuracy is
+  * asserted in SketchSpec instead). */
+object ExtendedOps {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- as-of join: latest prior click per purchase ----
+    Q("q53_asof_join",
+      """SELECT a.event_id, a.user_id, b.event_id AS click_id, b.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      AsOfJoin.asOf(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click"),
+        keyL = "user_id", keyR = "user_id", tsL = "ts", tsR = "ts",
+        rightPayload = Seq("event_id" -> "click_id", "ts" -> "click_ts"))
+        .select("event_id", "user_id", "click_id", "click_ts")
+        .orderBy("event_id")
+    },
+
+    // ---- CUBE grouping sets ----
+    Q("q54_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- wider string-function surface ----
+    Q("q55_string_funcs2",
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  reverse(p_name) AS rev,
+        |  translate(p_name, 'aeiou', '12345') AS tr,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  repeat(p_type, 2) AS doubled
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "aeiou", "12345").as("tr"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          repeat(col("p_type"), 2).as("doubled"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- array-function surface (scalar outputs for stable compare) ----
+    Q("q56_array_funcs",
+      """WITH a AS (
+        |  SELECT p_partkey, [p_size, p_size * 2, 7, 1] AS arr FROM part)
+        |SELECT p_partkey,
+        |  array_to_string(list_sort(arr), ',') AS sorted_csv,
+        |  list_contains(arr, 7) AS has7,
+        |  CAST(len(arr) AS INTEGER) AS alen,
+        |  CAST(list_sum(arr) AS BIGINT) AS asum
+        |FROM a ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "part")
+        .select(col("p_partkey"),
+          array(col("p_size"), col("p_size") * 2, lit(7), lit(1)).as("arr"))
+        .select(
+          col("p_partkey"),
+          array_join(sort_array(col("arr")), ",").as("sorted_csv"),
+          array_contains(col("arr"), 7).as("has7"),
+          size(col("arr")).as("alen"),
+          aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("asum"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- HLL sketch distinct (no oracle: sketch internals engine-specific) ----
+    Q("q57_approx_distinct", None) { (s, d) =>
+      Tables.t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrite the declarative integer dot-product pattern
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)
+  *
+  * into the codegen'd [[LongArrayDot]] when both arrays are array<bigint>.
+  * Users (and our own library code) can write the idiomatic higher-order
+  * form and still get the tight-loop implementation — the declarative
+  * surface stays, the physical cost goes away. Exact-Long semantics are
+  * identical (LongArrayDot is the same fold), so the rewrite is safe.
+  *
+  * Registered either via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * or at runtime with [[GraftExtensions.install]].
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            Literal(0L, LongType),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(av: NamedLambdaVariable), _))
+          if fin.exprId == av.exprId && isLongArray(a) && isLongArray(b) =>
+        LongArrayDot(a, b)
+    }
+}
+
+/** SparkSessionExtensions entry point (config:
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => DotProductRewrite)
+}
+
+object GraftExtensions {
+  /** Runtime installation into an existing session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(DotProductRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ DotProductRewrite
+  }
+}

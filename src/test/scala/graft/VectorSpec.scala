@@ -27,6 +27,19 @@ class VectorSpec extends SparkTestBase {
     assert(r.getLong(0) === 32L)
   }
 
+  test("DotProductRewrite: declarative HOF dot is optimized to graft_dot") {
+    graft.plans.GraftExtensions.install(spark)
+    val q = emb.select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+    val df = q.select(VectorFunctions.dotHof(col("q"), col("q")).as("nsq"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized)
+    // and the rewritten plan computes the same values as the unoptimized form
+    val viaRule = df.collect().map(_.getLong(0)).sorted
+    val viaExpr = q.select(VectorFunctions.dot(col("q"), col("q")))
+      .collect().map(_.getLong(0)).sorted
+    assert(viaRule.toSeq === viaExpr.toSeq)
+  }
+
   test("bruteForceKnn: rank-1 neighbor is the true argmax") {
     val knn = Similarity.bruteForceKnn(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 1).collect()
