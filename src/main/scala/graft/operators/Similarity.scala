@@ -55,4 +55,36 @@ object Similarity {
     emb.select(col(idCol), quantize(col(vecCol)).as("q"))
       .withColumn("bucket", lshBucketExpr("q", planes, dim))
       .select(col(idCol), col("bucket"))
+
+  /** Approximate top-k via multi-probe LSH — the IVF-style scale path.
+    *
+    * Each corpus vector lands in one bucket (inverted list); each query
+    * probes its own bucket plus all buckets at hamming distance 1 (sign
+    * flips of single hyperplanes), then exact-reranks candidates. Cost per
+    * query tracks (planes+1)/2^planes of the corpus instead of all of it;
+    * recall is tunable via `planes` (fewer planes → bigger buckets → higher
+    * recall, more compute). The candidate join is a plain equi-join on the
+    * bucket id — at 100 TB this is the shape that replaces brute force. */
+  def multiProbeKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = prepared(corpus, idCol, vecCol)
+      .withColumn("bucket", lshBucketExpr("q", planes, dim))
+    val qp = prepared(queries, idCol, vecCol)
+      .withColumn("bucket", lshBucketExpr("q", planes, dim))
+      .select(col(idCol).as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"), col("bucket"))
+    val probes = qp
+      .withColumn("probe", explode(array(
+        (Seq(col("bucket")) ++
+          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+    val scored = probes
+      .join(cp.withColumnRenamed("bucket", "cbucket"),
+        col("probe") === col("cbucket") && col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        cosine(dot(col("qq"), col("q")), col("qnsq"), col("nsq")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -57,6 +57,13 @@ object EventStreams {
   def tumblingWithWatermark(stream: DataFrame, dur: String, watermark: String): DataFrame =
     tumbling(stream.withWatermark("ts", watermark), dur)
 
+  /** Streaming exact dedup: drop re-deliveries of the same id, with state
+    * bounded by the watermark (late duplicates beyond it age out of state —
+    * the only way dedup state stays finite over an unbounded stream). */
+  def dedupedStream(stream: DataFrame, idCol: String, watermark: String): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   // ---- custom state: typed sessionization via flatMapGroupsWithState ----
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
