@@ -1,7 +1,7 @@
 package graft.osm
 
 import graft.functions.Cleaners
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,6 +101,37 @@ object OsmIngest {
   def wayNodes(raw: DataFrame): DataFrame =
     raw.select(col("_id").as("id"), posexplode(col("nd")).as(Seq("position", "n")))
       .select(col("id"), col("n._ref").as("node_id"), col("position"))
+
+  // ---- typed surface: Dataset[T] views of the 5 tables ----
+
+  import OsmModel._
+
+  def nodesDs(spark: SparkSession, raw: DataFrame): Dataset[Node] = {
+    import spark.implicits._; nodes(raw).as[Node]
+  }
+  def nodeTagsDs(spark: SparkSession, raw: DataFrame): Dataset[NodeTag] = {
+    import spark.implicits._; nodeTags(raw).as[NodeTag]
+  }
+  def waysDs(spark: SparkSession, raw: DataFrame): Dataset[Way] = {
+    import spark.implicits._; ways(raw).as[Way]
+  }
+  def wayTagsDs(spark: SparkSession, raw: DataFrame): Dataset[WayTag] = {
+    import spark.implicits._; wayTags(raw).as[WayTag]
+  }
+  def wayNodesDs(spark: SparkSession, raw: DataFrame): Dataset[WayNode] = {
+    import spark.implicits._; wayNodes(raw).as[WayNode]
+  }
+
+  /** Register the 5 shaped tables as temp views — the SQL surface of EP3
+    * (the reference's interactive sqlite> shell, SURVEY.md §3). */
+  def registerViews(spark: SparkSession, nodesRaw: DataFrame,
+                    waysRaw: DataFrame): Unit = {
+    nodes(nodesRaw).createOrReplaceTempView("nodes")
+    nodeTags(nodesRaw).createOrReplaceTempView("node_tags")
+    ways(waysRaw).createOrReplaceTempView("ways")
+    wayTags(waysRaw).createOrReplaceTempView("way_tags")
+    wayNodes(waysRaw).createOrReplaceTempView("way_nodes")
+  }
 
   /** The full ETL (EP1, py:206–236): one XML pass per row-tag, 5 CSV sinks.
     * Equivalent of process_map; each output is an independent narrow job. */

@@ -94,6 +94,25 @@ class OsmIngestSpec extends SparkTestBase {
       (2002L, 1002L, 0)))
   }
 
+  test("typed Dataset surface + SQL views run the EP3 workload") {
+    // Dataset[T] accessors give compile-time row types
+    val ways = OsmIngest.waysDs(spark, waysRaw)
+    assert(ways.collect().map(_.id).sorted.toSeq === Seq(2001L, 2002L))
+    val tags = OsmIngest.nodeTagsDs(spark, nodesRaw)
+    assert(tags.filter(_.`type` == "addr").count() === 1)
+    // SQL-text surface (the reference's sqlite> shell, EP3)
+    OsmIngest.registerViews(spark, nodesRaw, waysRaw)
+    val n = spark.sql(
+      """SELECT count(DISTINCT alles.uid) FROM
+        |  (SELECT uid FROM nodes UNION ALL SELECT uid FROM ways) alles""".stripMargin)
+      .head().getLong(0)
+    assert(n === 5) // uids 42,43,44,45,46
+    val pos = spark.sql(
+      "SELECT node_id FROM way_nodes WHERE id = 2001 ORDER BY position")
+      .collect().map(_.getLong(0))
+    assert(pos.toSeq === Seq(1001L, 1003L, 1002L))
+  }
+
   test("S3/S4: CSV sink/source round-trips with pinned order and ISO timestamps") {
     val out = Files.createTempDirectory("graft-csv").toFile
     out.deleteOnExit()
