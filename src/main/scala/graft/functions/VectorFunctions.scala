@@ -21,8 +21,13 @@ object VectorFunctions {
 
   /** Quantize an array<float> to array<long> at fixed scale. floor (not
     * round) — floor is unambiguous on every non-integral double in every
-    * engine. */
+    * engine. Codegen'd (FloatArrayQuantize); the declarative form is kept
+    * as quantizeHof for equivalence tests. */
   def quantize(v: Column, scale: Int = 1000): Column =
+    graft.plans.GraftFunctions.quantizeFloat(v, scale)
+
+  /** Declarative reference implementation of [[quantize]]. */
+  def quantizeHof(v: Column, scale: Int = 1000): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two array<long> columns — backed by the

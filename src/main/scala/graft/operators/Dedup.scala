@@ -46,14 +46,19 @@ object Dedup {
       .select("id_a", "id_b", "inter", "jac")
   }
 
-  /** MinHash signature: numHashes md5-permutation minima per doc.
-    * One row per doc with columns mh0..mh{k-1}. Two-phase hash agg — the
-    * shuffle carries signatures, not shingles. */
+  /** MinHash signature: numHashes md5-permutation minima per doc, carried
+    * as 60-bit longs (the first 15 hex chars of the md5 — same ordering as
+    * the hex string since all prefixes are equal length). Long minima keep
+    * the aggregation in HashAggregate (string min buffers force a
+    * SortAggregate fallback) and shrink the signature shuffle 4×. One row
+    * per doc with columns mh0..mh{k-1}; two-phase hash agg — the shuffle
+    * carries signatures, not shingles. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      min(expr(s"CAST(conv(substr(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,7 +69,9 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_hash"))
+      // ':'-separated so adjacent minhash values can't alias across docs
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(":", cols: _*)).as("band_hash"))
     }
     signatures.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))

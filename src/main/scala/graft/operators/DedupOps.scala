@@ -26,7 +26,8 @@ object DedupOps {
 
   private val minhashSigSql = {
     val mins = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(", ")
+      .map(i => s"min(CAST('0x' || substr(md5('$i:' || s), 1, 15) AS BIGINT)) AS mh$i")
+      .mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
 
@@ -34,7 +35,7 @@ object DedupOps {
     val numBands = NumHashes / RowsPerBand
     val hashes = (0 until numBands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
-      s"md5(${cols.mkString(" || ")})"
+      s"md5(concat_ws(':', ${cols.mkString(", ")}))"
     }
     s"""bands AS (SELECT doc_id,
        |  unnest([${hashes.mkString(", ")}]) AS band_hash,

@@ -12,9 +12,17 @@ object GraftFunctions {
     ColumnBridge.column(
       LongArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `graft_dot` for the SQL surface (spark.sql("... graft_dot(a,b)")). */
-  def register(spark: SparkSession): Unit =
-    ColumnBridge.functionRegistry(spark)
-      .createOrReplaceTempFunction("graft_dot",
-        exprs => LongArrayDot(exprs.head, exprs(1)), "built-in")
+  /** Codegen'd float→long quantization (floor(x*scale)) of an array<float>. */
+  def quantizeFloat(v: Column, scale: Int): Column =
+    ColumnBridge.column(FloatArrayQuantize(ColumnBridge.expression(v), scale))
+
+  /** Register the SQL surface: graft_dot(a, b), graft_quantize(v, scale). */
+  def register(spark: SparkSession): Unit = {
+    val reg = ColumnBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => LongArrayDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize",
+      exprs => FloatArrayQuantize(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+  }
 }

@@ -20,6 +20,13 @@ class VectorSpec extends SparkTestBase {
     assert(both.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("FloatArrayQuantize codegen == declarative transform/floor on real data") {
+    val both = emb.select(
+      VectorFunctions.quantize(col("embedding")).as("fast"),
+      VectorFunctions.quantizeHof(col("embedding")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("graft_dot is SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
