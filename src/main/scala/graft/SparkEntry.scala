@@ -20,7 +20,8 @@ object SparkEntry {
     operators.WindowingOps.defs,
     operators.MultimodalOps.defs,
     operators.StatsOps.defs,
-    operators.ExtendedOps.defs
+    operators.ExtendedOps.defs,
+    operators.ChunkingOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

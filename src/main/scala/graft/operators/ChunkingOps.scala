@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document chunking + TF-IDF — the remaining training-data text ops.
+  *
+  * Chunking composes from builtins (sequence → slice → explode) rather than
+  * a custom Generator: SURVEY.md §7.3's ladder prefers composition when the
+  * semantics fit, and the composed form stays inside the optimizer's reach
+  * (column pruning through the Generate, no custom strategy to maintain).
+  *
+  * TF-IDF avoids ln() deliberately: libm transcendentals differ across
+  * engines in final ulps, so the score uses the exact rational N/df — same
+  * ranking monotonicity, bit-reproducible everywhere.
+  */
+object ChunkingOps {
+
+  /** Overlapping fixed-size token chunks: windows of `chunk` tokens every
+    * `stride` tokens, last partial window included iff >= minTail tokens. */
+  def chunks(text: Column, chunk: Int, stride: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    // window starts: 0, stride, 2*stride, ... while start < n
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
+    filter(
+      transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(chunk)))),
+      c => c =!= "")
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- chunking: 32-token windows, stride 16 (50% overlap) ----
+    Q("q58_chunk_documents",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(len(toks) AS BIGINT), 16),
+        |      s -> array_to_string(list_slice(toks, CAST(s + 1 AS BIGINT), CAST(s + 32 AS BIGINT)), ' '))) AS chunk_text,
+        |    unnest(range(0, CAST((len(toks) + 15) // 16 AS BIGINT))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS chunk_tokens
+        |FROM c WHERE chunk_text <> ''
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(chunks(col("text"), 32, 16)).as(Seq("chunk_idx", "chunk_text")))
+        .select(
+          col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          size(TextFunctions.tokens(col("chunk_text"))).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- TF-IDF (rational idf, engine-exact) ----
+    Q("q59_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE tf >= 3
+        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val tok = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = Tables.t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
+        .orderBy("doc_id", "term")
+    }
+  )
+}

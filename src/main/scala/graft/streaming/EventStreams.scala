@@ -57,6 +57,26 @@ object EventStreams {
   def tumblingWithWatermark(stream: DataFrame, dur: String, watermark: String): DataFrame =
     tumbling(stream.withWatermark("ts", watermark), dur)
 
+  /** Stream-stream interval join: purchases joined to the clicks of the
+    * same user within the preceding `window`. Both sides watermarked so
+    * join state is bounded — the required shape for unbounded stream-stream
+    * joins (state eviction needs both the watermark and the time-range
+    * predicate). Works identically on batch frames. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        watermark: String, window: String): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same id, with state
     * bounded by the watermark (late duplicates beyond it age out of state —
     * the only way dedup state stays finite over an unbounded stream). */

@@ -26,6 +26,29 @@ class AnnStreamDedupSpec extends SparkTestBase {
     assert(candidates <= exact.size * 2 + 100)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.t(spark, Sf, "events").cache()
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val batch = EventStreams.purchaseClickJoin(purchases, clicks,
+      "1 hour", "30 minutes").count()
+    assert(batch > 0)
+    // same transform over streams: stage both sides as file streams
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    dir.toFile.deleteOnExit()
+    purchases.write.parquet(s"$dir/p")
+    clicks.write.parquet(s"$dir/c")
+    def stream(p: String) = spark.readStream
+      .schema(purchases.schema).parquet(p)
+    val q = EventStreams.purchaseClickJoin(stream(s"$dir/p"), stream(s"$dir/c"),
+        "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ssj_out").count() === batch)
+  }
+
   test("streaming dedup within watermark drops re-delivered ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev2]
