@@ -83,6 +83,45 @@ object ExtendedOps {
         .orderBy("p_partkey")
     },
 
+    // ---- collect aggregation (ObjectHashAggregate path), stabilized ----
+    Q("q60_collect_agg",
+      """SELECT c_mktsegment,
+        |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          array_join(array_sort(collect_set(col("c_nationkey"))), ",").as("nations_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- non-equi range join (banded lookup) ----
+    Q("q61_range_join",
+      """WITH bands AS (
+        |  SELECT r_regionkey AS band_id,
+        |    r_regionkey * 400.0 AS lo, (r_regionkey + 1) * 400.0 AS hi
+        |  FROM region)
+        |SELECT band_id, count(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM part JOIN bands
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, d) =>
+      val bands = Tables.t(s, d, "region")
+        .select(
+          col("r_regionkey").as("band_id"),
+          (col("r_regionkey") * 400.0).as("lo"),
+          ((col("r_regionkey") + 1) * 400.0).as("hi"))
+      Tables.t(s, d, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(18,4)")).cast("double").as("total"))
+        .orderBy("band_id")
+    },
+
     // ---- HLL sketch distinct (no oracle: sketch internals engine-specific) ----
     Q("q57_approx_distinct", None) { (s, d) =>
       Tables.t(s, d, "events")
