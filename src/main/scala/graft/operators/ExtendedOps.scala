@@ -122,6 +122,40 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- date arithmetic ----
+    Q("q62_date_arith",
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_ref,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, -- duckdb: Sun=0; spark: Sun=1
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_ref"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- exact percentiles (rows-only: interpolation op order differs
+    //      across engines in final ulps; accuracy gated in ExtendedOpsSpec) ----
+    Q("q63_percentiles", None) { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"),
+          min("l_quantity").as("min_q"), max("l_quantity").as("max_q"))
+        .select(col("l_returnflag"), col("median_qty"),
+          col("iqr")(0).as("q25"), col("iqr")(1).as("q75"),
+          col("min_q"), col("max_q"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- HLL sketch distinct (no oracle: sketch internals engine-specific) ----
     Q("q57_approx_distinct", None) { (s, d) =>
       Tables.t(s, d, "events")

@@ -45,6 +45,59 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
+  test("TopKAggregator matches window row_number top-k per group") {
+    import graft.functions.TopKAggregator
+    val ev = Tables.t(spark, Sf, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    val topk = new TopKAggregator(3).toColumn
+    val viaAgg = ev.as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("top"))
+      .collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val viaWindow = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn"))
+        .map(r => (r.getDouble(1), r.getLong(2))).toSeq).toMap
+    assert(viaAgg.keySet === viaWindow.keySet)
+    viaAgg.foreach { case (k, v) => assert(v.toSeq === viaWindow(k), k) }
+  }
+
+  test("percentiles are ordered and bounded per group") {
+    val rows = SparkEntry.queries("q63_percentiles")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, q25, med, q75, mx) = (r.getAs[Double]("min_q"), r.getAs[Double]("q25"),
+        r.getAs[Double]("median_qty"), r.getAs[Double]("q75"), r.getAs[Double]("max_q"))
+      assert(mn <= q25 && q25 <= med && med <= q75 && q75 <= mx, r.toString)
+    }
+  }
+
+  test("OSM bridge-table join yields ordered way geometry") {
+    import graft.osm.{OsmIngest, Workload}
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("g.osm")
+    java.nio.file.Files.write(f,
+      """<osm>
+        |<node id="1" lat="52.1" lon="4.1" user="u" uid="1" version="1" changeset="1" timestamp="2016-01-01T00:00:00Z"/>
+        |<node id="2" lat="52.2" lon="4.2" user="u" uid="1" version="1" changeset="1" timestamp="2016-01-01T00:00:00Z"/>
+        |<way id="9" user="u" uid="1" version="1" changeset="1" timestamp="2016-01-01T00:00:00Z">
+        |<nd ref="2"/><nd ref="1"/></way>
+        |</osm>""".stripMargin.getBytes("UTF-8"))
+    val nodesRaw = OsmIngest.readNodesRaw(spark, f.toString)
+    val waysRaw = OsmIngest.readWaysRaw(spark, f.toString)
+    val geo = Workload.wayGeometry(
+      OsmIngest.ways(waysRaw), OsmIngest.wayNodes(waysRaw), OsmIngest.nodes(nodesRaw))
+      .collect().map(r => (r.getAs[Long]("way_id"), r.getAs[Int]("position"),
+        r.getAs[Double]("lat")))
+    assert(geo.toSeq === Seq((9L, 0, 52.2), (9L, 1, 52.1)))
+  }
+
   test("approx_count_distinct lands within 5% of exact on events") {
     val rows = SparkEntry.queries("q57_approx_distinct")(spark, Sf).collect()
     assert(rows.nonEmpty)
