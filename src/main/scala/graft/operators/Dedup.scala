@@ -26,19 +26,23 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard for all pairs sharing at least one
     * shingle; keeps pairs with jaccard >= minJaccard.
-    * Output: (id_a, id_b, inter, jac), id_a < id_b. */
+    * Output: (id_a, id_b, inter, jac), id_a < id_b.
+    *
+    * The per-doc shingle count rides along on every shingle row (one extra
+    * long) instead of being re-joined after the pair aggregation — two
+    * fewer joins and one fewer shuffle than the textbook formulation. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n).cache()
-    val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val compact = docs.select(col(idCol),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+      .select(col(idCol), size(col("shingles")).as("ns"), explode(col("shingles")).as("s"))
+      .cache()
+    val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
+    val b = compact.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(ns.select(col(idCol).as("id_a"), col("ns").as("na")), "id_a")
-      .join(ns.select(col(idCol).as("id_b"), col("ns").as("nb")), "id_b")
       .withColumn("jac",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
@@ -46,19 +50,48 @@ object Dedup {
       .select("id_a", "id_b", "inter", "jac")
   }
 
-  /** MinHash signature: numHashes md5-permutation minima per doc, carried
-    * as 60-bit longs (the first 15 hex chars of the md5 — same ordering as
-    * the hex string since all prefixes are equal length). Long minima keep
-    * the aggregation in HashAggregate (string min buffers force a
-    * SortAggregate fallback) and shrink the signature shuffle 4×. One row
-    * per doc with columns mh0..mh{k-1}; two-phase hash agg — the shuffle
-    * carries signatures, not shingles. */
+  /** Rotation amounts and xor seeds for the derived minhash family:
+    * hash_i = rot60(base, Rot(i)) XOR Seed(i), a bijection of the 60-bit
+    * base hash per i (rotation and xor are both bijections), so each i is
+    * an independent-enough permutation for MinHash while costing bit-ops
+    * instead of a fresh md5. Constants are inlined literals so the DuckDB
+    * oracle reproduces them exactly. */
+  private[operators] def mhRot(i: Int): Int = i * 7 % 59 + 1
+  private[operators] def mhSeed(i: Int): Long = {
+    // splitmix-style fixed constants, precomputed (no runtime multiply —
+    // DuckDB BIGINT multiplication would overflow-error on these)
+    var x = i.toLong + 0x9E3779B9L
+    x ^= x >>> 13; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    x & 0x0FFFFFFFFFFFFFFL // keep < 2^56 so xor stays within 60 bits
+  }
+
+  /** SQL fragments for hash_i: 60-bit left rotation of `base` by r, then
+    * xor with seed. Masks before shifting so no intermediate exceeds 62
+    * bits (DuckDB errors on BIGINT overflow). Two dialects because `^` is
+    * xor in Spark SQL but POWER in DuckDB. */
+  private[operators] def mhExprSpark(base: String, i: Int): String = {
+    val r = mhRot(i); val seed = mhSeed(i)
+    s"(shiftleft($base % ${1L << (60 - r)}, $r) | shiftright($base, ${60 - r})) ^ $seed"
+  }
+  private[operators] def mhExprDuck(base: String, i: Int): String = {
+    val r = mhRot(i); val seed = mhSeed(i)
+    s"xor((($base % ${1L << (60 - r)}) << $r) | ($base >> ${60 - r}), $seed)"
+  }
+
+  /** MinHash signature: numHashes minima per doc over a derived hash
+    * family — ONE md5 per shingle (60-bit base from the first 15 hex
+    * chars), then numHashes-1 bijective rotate-xor variants. Long minima
+    * keep the aggregation in two-phase HashAggregate (string buffers would
+    * force SortAggregate) and the shuffle carries signatures, not
+    * shingles. One row per doc with columns mh0..mh{k-1}. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
+      .withColumn("h0", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
     val aggs = (0 until numHashes).map(i =>
-      min(expr(s"CAST(conv(substr(md5(concat('$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
-        .as(s"mh$i"))
+      min(expr(mhExprSpark("h0", i))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -26,9 +26,11 @@ object DedupOps {
 
   private val minhashSigSql = {
     val mins = (0 until NumHashes)
-      .map(i => s"min(CAST('0x' || substr(md5('$i:' || s), 1, 15) AS BIGINT)) AS mh$i")
+      .map(i => s"min(${Dedup.mhExprDuck("h0", i)}) AS mh$i")
       .mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    s"""shb AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h0 FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsSql = {
