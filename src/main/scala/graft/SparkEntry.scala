@@ -21,7 +21,8 @@ object SparkEntry {
     operators.MultimodalOps.defs,
     operators.StatsOps.defs,
     operators.ExtendedOps.defs,
-    operators.ChunkingOps.defs
+    operators.ChunkingOps.defs,
+    operators.GeoOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten
