@@ -22,7 +22,8 @@ object SparkEntry {
     operators.StatsOps.defs,
     operators.ExtendedOps.defs,
     operators.ChunkingOps.defs,
-    operators.GeoOps.defs
+    operators.GeoOps.defs,
+    operators.ProfileOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten

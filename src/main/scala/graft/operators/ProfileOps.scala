@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{Q, Tables}
+
+/** Oracle-checked profiling queries. */
+object ProfileOps {
+
+  private val OrderCols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+
+  val defs: Seq[Q] = Seq(
+
+    Q("q66_profile_columns", {
+      val per = OrderCols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT count(*) FROM orders) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) t ORDER BY column_name"
+    }) { (s, d) =>
+      Profile.columnStats(Tables.t(s, d, "orders"), OrderCols)
+        .orderBy("column_name")
+    },
+
+    Q("q67_referential_integrity",
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans""".stripMargin) { (s, d) =>
+      Profile.fkViolations(
+        Tables.t(s, d, "lineitem"), "l_orderkey",
+        Tables.t(s, d, "orders"), "o_orderkey")
+    }
+  )
+}
