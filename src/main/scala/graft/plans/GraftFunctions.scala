@@ -16,6 +16,11 @@ object GraftFunctions {
   def quantizeFloat(v: Column, scale: Int): Column =
     ColumnBridge.column(FloatArrayQuantize(ColumnBridge.expression(v), scale))
 
+  /** Streaming chunk generator — use with multi-alias:
+    * df.select(col("id"), chunkTokens(col("text"), 32, 16).as(Seq("chunk_idx", "chunk_text"))) */
+  def chunkTokens(text: Column, chunk: Int, stride: Int): Column =
+    ColumnBridge.column(ChunkTokens(ColumnBridge.expression(text), chunk, stride))
+
   /** Register the SQL surface: graft_dot(a, b), graft_quantize(v, scale). */
   def register(spark: SparkSession): Unit = {
     val reg = ColumnBridge.functionRegistry(spark)
