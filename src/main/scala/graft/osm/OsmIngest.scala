@@ -25,25 +25,32 @@ object OsmIngest {
   private val tagArray = ArrayType(StructType(Seq(
     StructField("_k", StringType), StructField("_v", StringType))))
 
+  // Attributes read as strings, typed via try_cast in the projections:
+  // the XML source's typed attribute parsing throws on a single malformed
+  // value even in PERMISSIVE mode (and ANSI casts would too); try_cast
+  // degrades bad cells to null without killing a 100 TB job.
   val nodeReadSchema: StructType = StructType(Seq(
-    StructField("_id", LongType), StructField("_lat", DoubleType),
-    StructField("_lon", DoubleType), StructField("_user", StringType),
-    StructField("_uid", LongType), StructField("_version", IntegerType),
-    StructField("_changeset", LongType), StructField("_timestamp", TimestampType),
+    StructField("_id", StringType), StructField("_lat", StringType),
+    StructField("_lon", StringType), StructField("_user", StringType),
+    StructField("_uid", StringType), StructField("_version", StringType),
+    StructField("_changeset", StringType), StructField("_timestamp", StringType),
     StructField("tag", tagArray)))
 
   val wayReadSchema: StructType = StructType(Seq(
-    StructField("_id", LongType), StructField("_user", StringType),
-    StructField("_uid", LongType), StructField("_version", IntegerType),
-    StructField("_changeset", LongType), StructField("_timestamp", TimestampType),
+    StructField("_id", StringType), StructField("_user", StringType),
+    StructField("_uid", StringType), StructField("_version", StringType),
+    StructField("_changeset", StringType), StructField("_timestamp", StringType),
     StructField("tag", tagArray),
-    StructField("nd", ArrayType(StructType(Seq(StructField("_ref", LongType)))))))
+    StructField("nd", ArrayType(StructType(Seq(StructField("_ref", StringType)))))))
 
   def readRaw(spark: SparkSession, path: String, rowTag: String,
               schema: StructType): DataFrame =
     spark.read.format("xml")
       .option("rowTag", rowTag)
       .option("attributePrefix", "_")
+      // one malformed element must not kill a 100 TB job: unparseable
+      // attributes degrade to nulls instead of failing the task
+      .option("mode", "PERMISSIVE")
       .schema(schema)
       .load(path)
 
@@ -53,20 +60,23 @@ object OsmIngest {
   def readWaysRaw(spark: SparkSession, path: String): DataFrame =
     readRaw(spark, path, "way", wayReadSchema)
 
+  private def tc(c: String, t: String) = expr(s"try_cast($c AS $t)")
+
   /** P1: node attribute projection (py:108–110). */
   def nodes(raw: DataFrame): DataFrame =
     raw.select(
-      col("_id").as("id"), col("_lat").as("lat"), col("_lon").as("lon"),
-      col("_user").as("user"), col("_uid").as("uid"),
-      col("_version").as("version"), col("_changeset").as("changeset"),
-      col("_timestamp").as("timestamp"))
+      tc("_id", "BIGINT").as("id"), tc("_lat", "DOUBLE").as("lat"),
+      tc("_lon", "DOUBLE").as("lon"), col("_user").as("user"),
+      tc("_uid", "BIGINT").as("uid"), tc("_version", "INT").as("version"),
+      tc("_changeset", "BIGINT").as("changeset"),
+      tc("_timestamp", "TIMESTAMP").as("timestamp"))
 
   /** G1 + T1 + node-only T2/T3 cleaning (py:111–147).
     * The postcode/phone branches are exclusive if/elif (py:128,131):
     * postcode matches the POST-split key, phone matches the RAW key. */
   def nodeTags(raw: DataFrame): DataFrame = {
     val exploded = raw
-      .select(col("_id").as("id"), explode(col("tag")).as("t"))
+      .select(tc("_id", "BIGINT").as("id"), explode(col("tag")).as("t"))
       .select(col("id"), col("t._k").as("k"), col("t._v").as("v"))
     exploded
       .withColumn("key", Cleaners.keyTail(col("k")))
@@ -81,14 +91,15 @@ object OsmIngest {
   /** P2: way attribute projection (py:150–151). */
   def ways(raw: DataFrame): DataFrame =
     raw.select(
-      col("_id").as("id"), col("_user").as("user"), col("_uid").as("uid"),
-      col("_version").as("version"), col("_changeset").as("changeset"),
-      col("_timestamp").as("timestamp"))
+      tc("_id", "BIGINT").as("id"), col("_user").as("user"),
+      tc("_uid", "BIGINT").as("uid"), tc("_version", "INT").as("version"),
+      tc("_changeset", "BIGINT").as("changeset"),
+      tc("_timestamp", "TIMESTAMP").as("timestamp"))
 
   /** G1 + T1 only — the way branch does NO value cleaning (py:160–173;
     * verified in the committed golden output, SURVEY.md §2.3). */
   def wayTags(raw: DataFrame): DataFrame =
-    raw.select(col("_id").as("id"), explode(col("tag")).as("t"))
+    raw.select(tc("_id", "BIGINT").as("id"), explode(col("tag")).as("t"))
       .select(
         col("id"),
         Cleaners.keyTail(col("t._k")).as("key"),
@@ -99,8 +110,8 @@ object OsmIngest {
     * document order (py:152–159), which posexplode preserves without a
     * window function. */
   def wayNodes(raw: DataFrame): DataFrame =
-    raw.select(col("_id").as("id"), posexplode(col("nd")).as(Seq("position", "n")))
-      .select(col("id"), col("n._ref").as("node_id"), col("position"))
+    raw.select(tc("_id", "BIGINT").as("id"), posexplode(col("nd")).as(Seq("position", "n")))
+      .select(col("id"), expr("try_cast(n._ref AS BIGINT)").as("node_id"), col("position"))
 
   // ---- typed surface: Dataset[T] views of the 5 tables ----
 

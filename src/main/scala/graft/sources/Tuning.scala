@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spill-aware sizing helpers (SURVEY-prompt: size shuffle partitions and
+  * scan splits so partitions fit executor memory at the target SF).
+  *
+  * The rules of thumb encoded here: shuffle partitions ≈ shuffled bytes /
+  * target (128 MiB) rounded up to a multiple of parallelism, never below
+  * it; AQE then coalesces small outputs at runtime, so oversizing is cheap
+  * and undersizing (spill) is not. Scan-side parallelism comes from
+  * spark.sql.files.maxPartitionBytes, which Spark applies per file split.
+  */
+object Tuning {
+
+  val TargetPartitionBytes: Long = 128L * 1024 * 1024
+
+  /** Partition count that keeps ~target bytes per shuffle partition. */
+  def adviseShufflePartitions(shuffledBytes: Long, parallelism: Int,
+                              targetBytes: Long = TargetPartitionBytes): Int = {
+    val byBytes = math.ceil(shuffledBytes.toDouble / targetBytes).toInt
+    val rounded = math.ceil(byBytes.toDouble / parallelism).toInt * parallelism
+    math.max(parallelism, rounded)
+  }
+
+  /** Sum of input file sizes behind a DataFrame's scan(s) — the cheap
+    * planning-time proxy for shuffle volume of a scan-heavy stage. */
+  def inputBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.sizeInBytes
+    }.sum
+
+  /** Apply advised sizing to a session for a given expected input. */
+  def configureFor(spark: SparkSession, expectedInputBytes: Long): Unit = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions",
+      adviseShufflePartitions(expectedInputBytes, parallelism).toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      TargetPartitionBytes.toString)
+  }
+}
