@@ -23,7 +23,8 @@ object SparkEntry {
     operators.ExtendedOps.defs,
     operators.ChunkingOps.defs,
     operators.GeoOps.defs,
-    operators.ProfileOps.defs
+    operators.ProfileOps.defs,
+    operators.OsmOps.defs
   )
 
   val allQueries: Seq[Q] = modules.flatten
