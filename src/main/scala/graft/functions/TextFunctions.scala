@@ -17,8 +17,11 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Regex tokenizer: splits on runs of non-word chars — a BPE-ish
-    * pre-tokenization approximation. */
-  def tokensRe(text: Column): Column = split(text, "[^\\p{L}\\p{N}]+")
+    * pre-tokenization approximation. Leading/trailing separators would
+    * otherwise produce empty tokens (Java split keeps them at limit -1),
+    * so empties are filtered. */
+  def tokensRe(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

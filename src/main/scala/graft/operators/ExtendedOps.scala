@@ -122,6 +122,34 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- null handling: nullif / coalesce / null-aware aggregation ----
+    Q("q69_null_handling",
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    nullif(o_orderstatus, 'O') AS status_or_null,
+        |    CASE WHEN o_totalprice < 50000.0 THEN NULL ELSE o_totalprice END AS big_price
+        |  FROM orders)
+        |SELECT coalesce(status_or_null, 'OPEN') AS status_norm,
+        |  count(*) AS n_rows, count(big_price) AS n_big,
+        |  count(*) - count(big_price) AS n_null_price,
+        |  CAST(coalesce(SUM(CAST(big_price AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_big
+        |FROM o GROUP BY 1 ORDER BY status_norm""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          when(col("o_totalprice") < 50000.0, lit(null)).otherwise(col("o_totalprice"))
+            .as("big_price"))
+        .groupBy(coalesce(col("status_or_null"), lit("OPEN")).as("status_norm"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("big_price")).as("n_big"),
+          (count(lit(1)) - count(col("big_price"))).as("n_null_price"),
+          coalesce(sum(col("big_price").cast("decimal(18,4)")), lit(0))
+            .cast("double").as("sum_big"))
+        .orderBy("status_norm")
+    },
+
     // ---- date arithmetic ----
     Q("q62_date_arith",
       """SELECT o_orderkey,

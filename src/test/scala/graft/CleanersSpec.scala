@@ -74,6 +74,21 @@ class CleanersSpec extends SparkTestBase {
     assert(once === twice)
   }
 
+  test("TextFunctions: regex tokenizer, stopword ratio, fingerprints") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.{col, size}
+    val df = Seq("the cat, and the dog!", "solo").toDF("t")
+    val toks = df.select(size(TextFunctions.tokensRe(col("t"))))
+      .collect().map(_.getInt(0))
+    assert(toks.head === 5) // punctuation separates; no empty trailing token
+    val ratios = df.select(TextFunctions.stopwordRatio(col("t"), Seq("the", "and")))
+      .collect().map(_.getDouble(0))
+    assert(ratios.head === 3.0 / 5.0) // 'the','and','the' of 5 space-tokens... see below
+    val fps = df.select(TextFunctions.fingerprint(TextFunctions.normalized(col("t"))))
+      .collect().map(_.getString(0))
+    assert(fps.distinct.length === 2 && fps.forall(_.length === 32))
+  }
+
   test("cleaners are SQL-callable after registration (§2.12 UDF surface)") {
     Cleaners.register(spark)
     val r = spark.sql(
