@@ -61,6 +61,44 @@ class StreamingSpec extends SparkTestBase {
     assert(typed === declarative)
   }
 
+  test("OSM cleaning pipeline runs unchanged over a CSV stream (SURVEY §2.11)") {
+    // The stateless shape/clean transforms are streaming-safe as-is: stream
+    // raw tag rows and apply the same expression chain used in batch.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-osmstream")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("tags.csv"),
+      """id,k,v
+        |1,addr:postcode,1074CM
+        |1,phone,020-555 1234
+        |2,highway,residential
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("header", true).csv(dir.toString)
+    import graft.functions.Cleaners
+    val cleaned = stream
+      .withColumn("key", Cleaners.keyTail(col("k")))
+      .withColumn("type", Cleaners.keyType(col("k")))
+      .withColumn("value",
+        when(col("key") === "postcode", Cleaners.nlPostcode(col("v")))
+          .when(col("k") === "phone", Cleaners.nlPhone(col("v")))
+          .otherwise(col("v")))
+      .select("id", "key", "value", "type")
+    val q = cleaned.writeStream.format("memory").queryName("osm_stream_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("osm_stream_out").orderBy("id", "key")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "phone", "+31205551234", "regular"),
+      (1L, "postcode", "1074 CM", "addr"),
+      (2L, "highway", "residential", "regular")))
+  }
+
   test("file-source stream of the events table processes all rows") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
