@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (id, shingle) rows, one per DISTINCT word n-gram per document. */
+  /** (id, shingle, ns) rows, one per DISTINCT word n-gram per document,
+    * with the doc's distinct-shingle count on every row. Backed by the
+    * WordShingleRows generator (one tight eval per document — the
+    * declarative distinct/explode chain was the pipeline's hot spot). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("s"))
+      graft.plans.GraftFunctions.shingleRows(col(textCol), n).as(Seq("s", "ns")))
 
   /** Exact pairwise n-gram Jaccard for all pairs sharing at least one
     * shingle; keeps pairs with jaccard >= minJaccard.
@@ -33,10 +36,7 @@ object Dedup {
     * fewer joins and one fewer shuffle than the textbook formulation. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val compact = docs.select(col(idCol),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
-      .select(col(idCol), size(col("shingles")).as("ns"), explode(col("shingles")).as("s"))
-      .cache()
+    val compact = shingleRows(docs, idCol, textCol, n).cache()
     val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
     val b = compact.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
     a.join(b, Seq("s"))

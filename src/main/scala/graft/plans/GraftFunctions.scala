@@ -21,6 +21,11 @@ object GraftFunctions {
   def chunkTokens(text: Column, chunk: Int, stride: Int): Column =
     ColumnBridge.column(ChunkTokens(ColumnBridge.expression(text), chunk, stride))
 
+  /** Distinct word-shingle generator — use with multi-alias:
+    * df.select(col("id"), shingleRows(col("text"), 3).as(Seq("s", "ns"))) */
+  def shingleRows(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n))
+
   /** Register the SQL surface: graft_dot(a, b), graft_quantize(v, scale). */
   def register(spark: SparkSession): Unit = {
     val reg = ColumnBridge.functionRegistry(spark)
