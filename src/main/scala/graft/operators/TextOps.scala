@@ -146,7 +146,8 @@ object TextOps {
         |  FROM documents) t
         |GROUP BY bg ORDER BY num DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
       Tables.t(s, d, "documents")
-        .select(explode(wordShingles(col("text"), 2)).as("bg"))
+        .select(graft.plans.GraftFunctions.shingleRows(col("text"), 2, distinct = false)
+          .as(Seq("bg", "nbg")))
         .groupBy("bg")
         .agg(count(lit(1)).as("num"))
         .orderBy(col("num").desc, col("bg"))

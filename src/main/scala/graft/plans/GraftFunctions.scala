@@ -23,8 +23,8 @@ object GraftFunctions {
 
   /** Distinct word-shingle generator — use with multi-alias:
     * df.select(col("id"), shingleRows(col("text"), 3).as(Seq("s", "ns"))) */
-  def shingleRows(text: Column, n: Int): Column =
-    ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n))
+  def shingleRows(text: Column, n: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n, distinct))
 
   /** Register the SQL surface: graft_dot(a, b), graft_quantize(v, scale). */
   def register(spark: SparkSession): Unit = {

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one eval: split once, build the distinct set, emit rows. Output set is
   * identical (order is irrelevant downstream: everything is join/groupBy/
   * min). Documents with fewer than n tokens emit nothing. */
-case class WordShingleRows(child: Expression, n: Int)
+case class WordShingleRows(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n > 0, "shingle size must be positive")
@@ -42,17 +42,19 @@ case class WordShingleRows(child: Expression, n: Int)
       val count = toks.length - n + 1
       if (count <= 0) Iterator.empty
       else {
-        val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+        val out = new java.util.ArrayList[UTF8String](count)
+        val seen = if (distinct) new java.util.HashSet[UTF8String](count * 2) else null
         var i = 0
         while (i < count) {
           val parts = new Array[UTF8String](n)
           var j = 0
           while (j < n) { parts(j) = toks(i + j); j += 1 }
-          seen.add(UTF8String.concatWs(space, parts: _*))
+          val sh = UTF8String.concatWs(space, parts: _*)
+          if (!distinct || seen.add(sh)) out.add(sh)
           i += 1
         }
-        val ns = seen.size
-        val it = seen.iterator()
+        val ns = out.size
+        val it = out.iterator()
         new Iterator[InternalRow] {
           override def hasNext: Boolean = it.hasNext
           override def next(): InternalRow = InternalRow(it.next(), ns)
