@@ -147,13 +147,22 @@ object OsmIngest {
   /** The full ETL (EP1, py:206–236): one XML pass per row-tag, 5 CSV sinks.
     * Equivalent of process_map; each output is an independent narrow job. */
   def runEtl(spark: SparkSession, osmPath: String, outDir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val n = readNodesRaw(spark, osmPath).cache()
     val w = readWaysRaw(spark, osmPath).cache()
-    OsmCsv.write(nodes(n), s"$outDir/nodes", "nodes")
-    OsmCsv.write(nodeTags(n), s"$outDir/node_tags", "node_tags")
-    OsmCsv.write(ways(w), s"$outDir/ways", "ways")
-    OsmCsv.write(wayTags(w), s"$outDir/way_tags", "way_tags")
-    OsmCsv.write(wayNodes(w), s"$outDir/way_nodes", "way_nodes")
+    // Submit all five sink jobs concurrently: the scheduler overlaps the
+    // node-side and way-side parses and the per-table writes (cached raw
+    // frames are computed once — RDD cache locks per partition). Serial
+    // submission would serialize five scans of work behind one another.
+    val jobs = Seq(
+      Future(OsmCsv.write(nodes(n), s"$outDir/nodes", "nodes")),
+      Future(OsmCsv.write(nodeTags(n), s"$outDir/node_tags", "node_tags")),
+      Future(OsmCsv.write(ways(w), s"$outDir/ways", "ways")),
+      Future(OsmCsv.write(wayTags(w), s"$outDir/way_tags", "way_tags")),
+      Future(OsmCsv.write(wayNodes(w), s"$outDir/way_nodes", "way_nodes")))
+    Await.result(Future.sequence(jobs), Duration.Inf)
     n.unpersist(); w.unpersist()
   }
 }
