@@ -71,11 +71,11 @@ object TextOps {
     Q("q34_lang_id",
       """WITH m AS (
         |  SELECT doc_id, lang,
-        |    len(list_filter(string_split(text,' '), w -> w = 'the')) AS c_the,
-        |    len(list_filter(string_split(text,' '), w -> w = 'a')) AS c_a,
-        |    len(list_filter(string_split(text,' '), w -> w = 'data')) AS c_data,
-        |    len(list_filter(string_split(text,' '), w -> w = 'spark')) AS c_spark,
-        |    len(list_filter(string_split(text,' '), w -> w = 'fast')) AS c_fast
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'the')) AS INTEGER) AS c_the,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'a')) AS INTEGER) AS c_a,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'data')) AS INTEGER) AS c_data,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'spark')) AS INTEGER) AS c_spark,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'fast')) AS INTEGER) AS c_fast
         |  FROM documents)
         |SELECT doc_id, lang, c_the, c_a, c_data, c_spark, c_fast,
         |  CASE WHEN c_the >= c_a AND c_the >= c_data THEN 'en'

@@ -38,6 +38,11 @@ def main(sf_dir, out_dir):
         if list(spark_df.columns) != list(ora_df.columns):
             print(f"FAIL {name}: cols spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
             n_fail += 1; continue
+        sdt = [str(t) for t in spark_df.dtypes]
+        odt = [str(t) for t in ora_df.dtypes]
+        if sdt != odt:
+            print(f"FAIL {name}: dtypes spark={list(zip(spark_df.columns, sdt))} oracle={list(zip(ora_df.columns, odt))}")
+            n_fail += 1; continue
         if len(spark_df) != len(ora_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} oracle={len(ora_df)}")
             n_fail += 1; continue
