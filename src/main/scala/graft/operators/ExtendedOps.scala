@@ -122,6 +122,59 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- time-range window frame: rolling 1h per-user event features ----
+    Q("q70_window_time_range",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS events_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "events")
+        .selectExpr(
+          "event_id", "user_id",
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS events_1h""".stripMargin,
+          """CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_1h""".stripMargin)
+        .orderBy("event_id")
+    },
+
+    // ---- first/last value over explicit frames ----
+    Q("q71_window_first_last",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(ordered).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- ntile bucketing ----
+    Q("q72_window_ntile",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS price_quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).as("price_quartile"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- null handling: nullif / coalesce / null-aware aggregation ----
     Q("q69_null_handling",
       """WITH o AS (
