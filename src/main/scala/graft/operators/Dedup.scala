@@ -39,7 +39,11 @@ object Dedup {
     val compact = shingleRows(docs, idCol, textCol, n).cache()
     val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
     val b = compact.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
-    a.join(b, Seq("s"))
+    // shuffle-hash, not broadcast: the shingle side is large enough that
+    // collect-to-driver + rebroadcast per run dominates and is load-
+    // sensitive; hash-partitioning both sides by shingle stays executor-
+    // side and is also the only shape that survives at corpus scale.
+    a.join(b.hint("shuffle_hash"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
