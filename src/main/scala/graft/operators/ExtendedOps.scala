@@ -122,6 +122,25 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- correlated scalar subquery through the SQL-text surface (EP3);
+    //      Catalyst decorrelates it into a join ----
+    Q("q73_correlated_subquery",
+      """SELECT o_orderkey, o_orderpriority,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+        |  (SELECT CAST(coalesce(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS DOUBLE)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      graft.Tables.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority,
+          |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+          |  (SELECT CAST(coalesce(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS DOUBLE)
+          |   FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+          |FROM orders WHERE o_orderkey <= 500
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- time-range window frame: rolling 1h per-user event features ----
     Q("q70_window_time_range",
       """SELECT event_id, user_id,

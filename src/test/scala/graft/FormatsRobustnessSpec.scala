@@ -48,6 +48,30 @@ class FormatsRobustnessSpec extends SparkTestBase {
     assert(df.filter(col("id").isNull).count() === 1)
   }
 
+  test("deterministic sampling: same seed same rows, different seed differs") {
+    val li = Tables.t(spark, Sf, "lineitem")
+    val s1 = li.sample(0.1, seed = 42).count()
+    val s2 = li.sample(0.1, seed = 42).count()
+    val s3 = li.sample(0.1, seed = 7).count()
+    assert(s1 === s2)
+    assert(s1 > 0 && math.abs(s1 - li.count() / 10.0) < li.count() * 0.05)
+    assert((s3 != s1) ||
+      li.sample(0.1, 7).collect().toSet != li.sample(0.1, 42).collect().toSet)
+  }
+
+  test("execution metrics surface scan cardinality and operator counts") {
+    import graft.sources.Metrics
+    val df = Tables.t(spark, Sf, "lineitem")
+      .filter(col("l_quantity") > 45).groupBy("l_returnflag").count()
+    df.collect()
+    val m = Metrics.all(df)
+    assert(m.nonEmpty)
+    assert(Metrics.scanOutputRows(df) > 0)
+    // the scan feeds fewer rows than the table after pushdown... (pushed
+    // filters still scan row-groups; assert it's bounded by table size)
+    assert(Metrics.scanOutputRows(df) <= Tables.t(spark, Sf, "lineitem").count())
+  }
+
   test("shuffle-partition advice scales with bytes and floors at parallelism") {
     assert(Tuning.adviseShufflePartitions(0L, 32) === 32)
     assert(Tuning.adviseShufflePartitions(1L << 30, 32) === 32)     // 1 GiB -> 8, floored
