@@ -132,6 +132,20 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** End-to-end near-dup removal: Jaccard pairs → transitive clusters
+    * (connected components) → keep the minimum doc id per cluster plus all
+    * unpaired docs. This is the user-facing dedup operation; the pair/
+    * candidate ops above are its building blocks. */
+  def nearDupKeepList(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minJaccard: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val dropped = Graph.connectedComponents(pairs)
+      .filter(col("component") =!= col("v"))
+      .select(col("v").as(idCol))
+    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** SimHash over tokens: `bits`-bit signature from md5-derived token
     * hashes; each token occurrence votes ±1 per bit. All-integer math —
     * engine-exact. One shuffle (groupBy doc). */

@@ -108,6 +108,33 @@ object DedupOps {
     Q("q41_simhash", simhashOracle) { (s, d) =>
       Dedup.simhash(Tables.t(s, d, "documents"), "doc_id", "text", SimhashBits)
         .orderBy("doc_id")
+    },
+
+    // ---- end-to-end dedup: clusters -> keep-list. Oracle propagates the
+    //      min label 3 rounds (cluster diameter <= 2 in the fixture; the
+    //      Spark side iterates to an exact fixpoint regardless) ----
+    Q("q74_dedup_keeplist",
+      s"""WITH $ShingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, a.ns AS na, b.ns AS nb, count(*) AS inter
+         |  FROM (SELECT sh.doc_id, sh.s, n.ns FROM sh JOIN (SELECT doc_id, count(*) ns FROM sh GROUP BY 1) n ON sh.doc_id = n.doc_id) a
+         |  JOIN (SELECT sh.doc_id, sh.s, n.ns FROM sh JOIN (SELECT doc_id, count(*) ns FROM sh GROUP BY 1) n ON sh.doc_id = n.doc_id) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (SELECT i, j FROM p
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+         |       GROUP BY l2.v, l2.l)
+         |SELECT v AS doc_id FROM l3 WHERE l = v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.nearDupKeepList(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("doc_id")
     }
   )
 }
