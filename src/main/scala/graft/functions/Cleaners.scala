@@ -32,6 +32,17 @@ object Cleaners {
     when(k.rlike(LowerColon), k.substr(instr(k, ":") + 1, length(k)))
       .otherwise(k)
 
+  /** py:88 `PROBLEMCHARS` — compiled by the reference but NEVER applied
+    * (py:100 passes it, the body ignores it; no tag is ever dropped). The
+    * documented-but-unenforced rule is exposed here as an opt-in predicate
+    * (SURVEY.md §2.3: "replicate the actual behavior by default; expose the
+    * documented drop rule as an opt-in flag"). */
+  val ProblemChars = "[=\\+/&<>;'\"\\?%#$@,\\. \\t\\r\\n]"
+
+  /** True when a tag key contains a problematic character (re.search
+    * semantics — anywhere in the key). */
+  def hasProblemChars(k: Column): Column = k.rlike(ProblemChars)
+
   /** T2 — Dutch postcode normalization, py:129:
     * `v.lstrip()[0:4] + " " + v.rstrip()[-2:]` — UNCONDITIONAL, idempotent
     * on already-correct `NNNN AA`. */

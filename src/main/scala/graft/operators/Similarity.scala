@@ -56,6 +56,22 @@ object Similarity {
       .withColumn("bucket", lshBucketExpr("q", planes, dim))
       .select(col(idCol), col("bucket"))
 
+  /** End-to-end embedding near-dup removal: cosine pairs over threshold →
+    * transitive clusters → keep the minimum vector id per cluster plus all
+    * unpaired vectors (mirrors Dedup.nearDupKeepList for the vector
+    * modality). At scale the pair stage is replaced by the LSH-bucket join
+    * (same downstream). */
+  def nearDupKeepList(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double): DataFrame = {
+    val pairs = allPairsCosine(emb, idCol, vecCol)
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val dropped = Graph.connectedComponents(pairs)
+      .filter(col("component") =!= col("v"))
+      .select(col("v").as(idCol))
+    emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k via multi-probe LSH — the IVF-style scale path.
     *
     * Each corpus vector lands in one bucket (inverted list); each query

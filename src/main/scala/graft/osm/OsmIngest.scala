@@ -74,10 +74,18 @@ object OsmIngest {
   /** G1 + T1 + node-only T2/T3 cleaning (py:111–147).
     * The postcode/phone branches are exclusive if/elif (py:128,131):
     * postcode matches the POST-split key, phone matches the RAW key. */
-  def nodeTags(raw: DataFrame): DataFrame = {
-    val exploded = raw
+  def nodeTags(raw: DataFrame): DataFrame = nodeTags(raw, dropProblemTags = false)
+
+  /** dropProblemTags enables the reference's documented-but-never-enforced
+    * PROBLEMCHARS rule (py:33 vs py:88 — SURVEY.md §2.3). Default false =
+    * the reference's ACTUAL behavior (nothing dropped). */
+  def nodeTags(raw: DataFrame, dropProblemTags: Boolean): DataFrame = {
+    val exploded0 = raw
       .select(tc("_id", "BIGINT").as("id"), explode(col("tag")).as("t"))
       .select(col("id"), col("t._k").as("k"), col("t._v").as("v"))
+    val exploded =
+      if (dropProblemTags) exploded0.filter(!Cleaners.hasProblemChars(col("k")))
+      else exploded0
     exploded
       .withColumn("key", Cleaners.keyTail(col("k")))
       .withColumn("type", Cleaners.keyType(col("k")))

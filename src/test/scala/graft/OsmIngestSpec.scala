@@ -94,6 +94,22 @@ class OsmIngestSpec extends SparkTestBase {
       (2002L, 1002L, 0)))
   }
 
+  test("PROBLEMCHARS drop rule is opt-in; default replicates actual behavior") {
+    import graft.functions.Cleaners
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // default: nothing dropped (the reference compiles the regex but never
+    // applies it — py:88 vs py:33)
+    val defaults = OsmIngest.nodeTags(nodesRaw).count()
+    assert(defaults === 5)
+    // opt-in: a key with a problem char would be dropped
+    val probe = Seq("addr:postcode", "bad key", "bad=key", "ok_key").toDF("k")
+    val flagged = probe.filter(Cleaners.hasProblemChars(col("k")))
+      .collect().map(_.getString(0)).toSet
+    assert(flagged === Set("bad key", "bad=key"))
+    assert(OsmIngest.nodeTags(nodesRaw, dropProblemTags = true).count() === 5)
+  }
+
   test("typed Dataset surface + SQL views run the EP3 workload") {
     // Dataset[T] accessors give compile-time row types
     val ways = OsmIngest.waysDs(spark, waysRaw)

@@ -59,6 +59,20 @@ class VectorSpec extends SparkTestBase {
     assert(knn.head.getAs[Long]("nid") === best)
   }
 
+  test("embedding near-dup keep-list drops one vector per over-threshold pair") {
+    val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
+      .filter(col("cos") >= 0.45)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val keep = Similarity.nearDupKeepList(emb, "vec_id", "embedding", 0.45)
+      .collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty)
+    // no over-threshold pair survives intact (both kept is the only bug case)
+    pairs.foreach { case (a, b) =>
+      assert(!(keep.contains(a) && keep.contains(b)), s"pair ($a,$b) both kept")
+    }
+    assert(keep.size < emb.count())
+  }
+
   test("LSH buckets are deterministic across runs") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12, 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
