@@ -25,6 +25,29 @@ object MultimodalOps {
           md5(col("text")).as("checksum"),
           ascii(substring(col("text"), 1, 1)).as("first_byte"))
         .orderBy("media_id")
+    },
+
+    // ---- multimodal fusion: text features joined to vector features by id
+    //      (documents.doc_id and embeddings.vec_id share the id space) ----
+    Q("q75_multimodal_join",
+      """SELECT d.doc_id, d.lang,
+        |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(list_dot_product(
+        |    list_transform(e.embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)),
+        |    list_transform(e.embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE))) AS BIGINT) AS vec_norm_sq,
+        |  e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.{TextFunctions, VectorFunctions}
+      Tables.t(s, d, "documents")
+        .join(Tables.t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+          VectorFunctions.normSq(VectorFunctions.quantize(col("embedding")))
+            .as("vec_norm_sq"),
+          col("label"))
+        .orderBy("doc_id")
     }
   )
 }
