@@ -54,6 +54,16 @@ object StatsOps {
         .orderBy("nk")
     },
 
+    // ---- skew-safe salted aggregation: two-round exact counts. Output is
+    //      salt-independent (partials combine exactly), so the oracle is
+    //      the plain GROUP BY ----
+    Q("q76_skew_salted_agg",
+      """SELECT l_suppkey, count(*) AS n FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      Skew.saltedCount(Tables.t(s, d, "lineitem"), "l_suppkey", 16)
+        .orderBy("l_suppkey")
+    },
+
     // ---- forced shuffle sort-merge join (the at-scale fact-fact path;
     //      broadcast would win at test SF, so pin the strategy) ----
     Q("q52_join_sortmerge",
