@@ -60,8 +60,8 @@ object Dedup {
     * an independent-enough permutation for MinHash while costing bit-ops
     * instead of a fresh md5. Constants are inlined literals so the DuckDB
     * oracle reproduces them exactly. */
-  private[operators] def mhRot(i: Int): Int = i * 7 % 59 + 1
-  private[operators] def mhSeed(i: Int): Long = {
+  def mhRot(i: Int): Int = i * 7 % 59 + 1
+  def mhSeed(i: Int): Long = {
     // splitmix-style fixed constants, precomputed (no runtime multiply —
     // DuckDB BIGINT multiplication would overflow-error on these)
     var x = i.toLong + 0x9E3779B9L
@@ -75,11 +75,11 @@ object Dedup {
     * xor with seed. Masks before shifting so no intermediate exceeds 62
     * bits (DuckDB errors on BIGINT overflow). Two dialects because `^` is
     * xor in Spark SQL but POWER in DuckDB. */
-  private[operators] def mhExprSpark(base: String, i: Int): String = {
+  def mhExprSpark(base: String, i: Int): String = {
     val r = mhRot(i); val seed = mhSeed(i)
     s"(shiftleft($base % ${1L << (60 - r)}, $r) | shiftright($base, ${60 - r})) ^ $seed"
   }
-  private[operators] def mhExprDuck(base: String, i: Int): String = {
+  def mhExprDuck(base: String, i: Int): String = {
     val r = mhRot(i); val seed = mhSeed(i)
     s"xor((($base % ${1L << (60 - r)}) << $r) | ($base >> ${60 - r}), $seed)"
   }
@@ -94,9 +94,12 @@ object Dedup {
                         n: Int, numHashes: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
       .withColumn("h0", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
-    val aggs = (0 until numHashes).map(i =>
-      min(expr(mhExprSpark("h0", i))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // whole signature in one TypedImperativeAggregate buffer (see
+    // plans.MinHashSigAgg) instead of numHashes separate min expressions
+    val sig = sh.groupBy(col(idCol))
+      .agg(graft.plans.GraftFunctions.minhashSig(col("h0"), numHashes).as("sig"))
+    sig.select(col(idCol) +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding over a MinHash signature: (id, band_idx, band_hash) rows.

@@ -26,6 +26,12 @@ object GraftFunctions {
   def shingleRows(text: Column, n: Int, distinct: Boolean = true): Column =
     ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n, distinct))
 
+  /** Whole-MinHash-signature aggregate over a BIGINT base-hash column. */
+  def minhashSig(baseHash: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSigAgg(ColumnBridge.expression(baseHash), numHashes)
+        .toAggregateExpression())
+
   /** Register the SQL surface: graft_dot(a, b), graft_quantize(v, scale). */
   def register(spark: SparkSession): Unit = {
     val reg = ColumnBridge.functionRegistry(spark)
