@@ -53,6 +53,28 @@ class PlanSpec extends SparkTestBase {
       l.contains("Project") && l.contains("*(")), p)
   }
 
+  test("q40: signature aggregation runs in ObjectHashAggregate (no sort fallback)") {
+    val p = planOf(q("q40_minhash_lsh"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q52: merge hint forces a shuffle sort-merge join") {
+    val p = planOf(q("q52_join_sortmerge"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q61: band lookup broadcasts the small side of the non-equi join") {
+    val p = planOf(q("q61_range_join"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q39: shingle self-join is a shuffled hash join, not a broadcast") {
+    val p = planOf(q("q39_ngram_jaccard"))
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("entry flagship broadcasts dims and aggregates exactly once per region") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)
