@@ -60,6 +60,52 @@ object WindowingOps {
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       EventStreams.sessions(Tables.t(s, d, "events"), "5 minutes")
         .orderBy("user_id", "session_start")
+    },
+
+    // ---- sessionized funnel: click→purchase conversion per session ----
+    Q("q77_session_funnel",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |f AS (
+        |  SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  count(CASE WHEN first_click IS NOT NULL
+        |              AND last_purchase IS NOT NULL
+        |              AND last_purchase >= first_click THEN 1 END) AS n_converted
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val ev = Tables.t(s, d, "events")
+        .withColumn("brk",
+          // microsecond precision: cast-to-long would truncate to seconds
+          // and disagree with the oracle's INTERVAL comparison
+          when(lag(col("ts"), 1).over(byUser).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >= 300000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "sid")
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count(when(col("first_click").isNotNull && col("last_purchase").isNotNull &&
+            col("last_purchase") >= col("first_click"), 1)).as("n_converted"))
+        .orderBy("user_id")
     }
   )
 }
