@@ -122,6 +122,34 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- regexp_extract_all + per-row match counts ----
+    Q("q78_regexp_extract_all",
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER) AS vowel_runs,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS word_runs
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).as("vowel_runs"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), "|").as("word_runs"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- filtered distinct aggregation ----
+    Q("q79_filtered_distinct",
+      """SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers,
+        |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers,
+        |  count(DISTINCT user_id) AS all_users
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "events")
+        .agg(
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("buyers"),
+          countDistinct(when(col("event_type") === "click", col("user_id"))).as("clickers"),
+          countDistinct(col("user_id")).as("all_users"))
+    },
+
     // ---- correlated scalar subquery through the SQL-text surface (EP3);
     //      Catalyst decorrelates it into a join ----
     Q("q73_correlated_subquery",
