@@ -32,7 +32,11 @@ object Bench {
       }
     val results = SparkEntry.allQueries.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.run(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // visible in the driver log; the timing line keeps its shape
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

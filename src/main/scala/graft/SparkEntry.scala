@@ -27,7 +27,13 @@ object SparkEntry {
     operators.OsmOps.defs
   )
 
-  val allQueries: Seq[Q] = modules.flatten
+  val allQueries: Seq[Q] = {
+    val qs = modules.flatten
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate query names would be silently dropped by the Map: $dup")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region: broadcast-dim star join + two-phase hash agg. */

@@ -28,7 +28,8 @@ object OsmEtlMain {
         val d = new java.io.File(s"$outDir/$t")
         val bytes = Option(d.listFiles()).map(_.filter(_.getName.endsWith(".csv"))
           .map(_.length()).sum).getOrElse(0L)
-        s"$t=${bytes}B"
+        val rows = spark.read.option("header", true).csv(s"$outDir/$t").count()
+        s"$t=$rows rows/${bytes}B"
       }.mkString(" ")
     println(f"[osm-etl] done in $secs%.2fs $sizes")
     spark.stop()
