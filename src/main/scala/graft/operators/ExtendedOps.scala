@@ -122,6 +122,30 @@ object ExtendedOps {
         .orderBy("band_id")
     },
 
+    // ---- rank-family window functions (tie-deterministic: they depend
+    //      only on key values, not row order) ----
+    Q("q80_rank_family",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cd
+        |FROM lineitem WHERE l_orderkey <= 100
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- regexp_extract_all + per-row match counts ----
     Q("q78_regexp_extract_all",
       """SELECT p_partkey,
