@@ -71,7 +71,12 @@ object ChunkingOps {
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = Tables.t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(df), "term")
+      // df (document frequency per term) grows with the VOCABULARY — at
+      // corpus scale that's billions of terms, so it must never be
+      // broadcast: plain shuffle equi-join on term (both sides already
+      // hash-partitioned by term from their aggregations). The 1-row corpus
+      // count is the only broadcast side.
+      tf.join(df.hint("shuffle_hash"), "term")
         .crossJoin(broadcast(n))
         .filter(col("tf") >= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -91,12 +91,19 @@ object Dedup {
     * force SortAggregate) and the shuffle carries signatures, not
     * shingles. One row per doc with columns mh0..mh{k-1}. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+                        n: Int, numHashes: Int): DataFrame =
+    signaturesFromShingles(shingleRows(docs, idCol, textCol, n), idCol, numHashes)
+
+  /** Signature stage over pre-computed (id, s, ns) shingle rows, so
+    * pipelines that also need the raw shingles (e.g. candidate
+    * verification) reuse ONE cached shingle scan instead of re-shingling
+    * the corpus per stage. */
+  def signaturesFromShingles(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val withBase = sh
       .withColumn("h0", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
     // whole signature in one TypedImperativeAggregate buffer (see
     // plans.MinHashSigAgg) instead of numHashes separate min expressions
-    val sig = sh.groupBy(col(idCol))
+    val sig = withBase.groupBy(col(idCol))
       .agg(graft.plans.GraftFunctions.minhashSig(col("h0"), numHashes).as("sig"))
     sig.select(col(idCol) +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
@@ -122,10 +129,15 @@ object Dedup {
     * (band_idx, band_hash) is the whole point at scale: cost tracks bucket
     * occupancy, never n². */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = lshBands(
-      minhashSignatures(docs, idCol, textCol, n, numHashes),
-      idCol, numHashes, rowsPerBand).cache()
+                           n: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    candidatesFromBands(
+      lshBands(minhashSignatures(docs, idCol, textCol, n, numHashes),
+        idCol, numHashes, rowsPerBand).cache(),
+      idCol)
+
+  /** Band-bucket equi-join over precomputed (id, band_idx, band_hash) rows:
+    * (id_a, id_b, shared_bands), id_a < id_b. */
+  def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -133,15 +145,45 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("shared_bands"))
+
+  /** Exact Jaccard verification restricted to candidate pairs: joins the
+    * candidate list back to the shingle rows BY DOC ID (uniform keys — a's
+    * side fans out one row per candidate×shingle, b's side is an equi-join
+    * on (id_b, s)), never shingle-vs-shingle. Output matches
+    * [[ngramJaccardPairs]]: (id_a, id_b, inter, jac). */
+  def verifyCandidates(candidates: DataFrame, sh: DataFrame, idCol: String,
+                       minJaccard: Double): DataFrame = {
+    val shA = sh.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
+    val shB = sh.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
+    candidates.select("id_a", "id_b")
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jac")
   }
 
-  /** End-to-end near-dup removal: Jaccard pairs → transitive clusters
-    * (connected components) → keep the minimum doc id per cluster plus all
-    * unpaired docs. This is the user-facing dedup operation; the pair/
-    * candidate ops above are its building blocks. */
+  /** End-to-end near-dup removal, LSH-routed (the 100 TB shape): shingles →
+    * MinHash signatures → LSH band-bucket candidates → exact Jaccard on the
+    * CANDIDATE pairs only → transitive clusters (connected components) →
+    * keep the minimum doc id per cluster plus all unpaired docs.
+    *
+    * Never self-joins raw shingle rows: a stopword shingle shared by m docs
+    * would emit m² join rows on one key. Candidate generation is the banded
+    * equi-join (cost tracks bucket occupancy); verification re-joins
+    * candidates to shingles keyed by doc id — both stages stay linear in
+    * data volume for a fixed near-dup rate. */
   def nearDupKeepList(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, minJaccard: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard)
+                      n: Int, minJaccard: Double,
+                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).cache()
+    val bands = lshBands(signaturesFromShingles(sh, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val pairs = verifyCandidates(candidatesFromBands(bands, idCol), sh, idCol, minJaccard)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val dropped = Graph.connectedComponents(pairs)
       .filter(col("component") =!= col("v"))

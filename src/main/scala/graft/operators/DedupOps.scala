@@ -110,19 +110,32 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
-    // ---- end-to-end dedup: clusters -> keep-list. Oracle propagates the
-    //      min label 3 rounds (cluster diameter <= 2 in the fixture; the
-    //      Spark side iterates to an exact fixpoint regardless) ----
+    // ---- end-to-end dedup: LSH candidates -> exact verify -> clusters ->
+    //      keep-list. The oracle replays the SAME deterministic pipeline
+    //      (md5 minhash family, banded candidates, Jaccard on candidates
+    //      only) and propagates the min label 3 rounds (cluster diameter
+    //      <= 2 in the fixture; the Spark side iterates to an exact
+    //      fixpoint regardless) ----
     Q("q74_dedup_keeplist",
       s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
          |p AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, a.ns AS na, b.ns AS nb, count(*) AS inter
-         |  FROM (SELECT sh.doc_id, sh.s, n.ns FROM sh JOIN (SELECT doc_id, count(*) ns FROM sh GROUP BY 1) n ON sh.doc_id = n.doc_id) a
-         |  JOIN (SELECT sh.doc_id, sh.s, n.ns FROM sh JOIN (SELECT doc_id, count(*) ns FROM sh GROUP BY 1) n ON sh.doc_id = n.doc_id) b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4),
+         |  SELECT cand.i, cand.j, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.i
+         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
+         |  GROUP BY 1, 2),
          |pairs AS (SELECT i, j FROM p
-         |          WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
          |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
          |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
          |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),

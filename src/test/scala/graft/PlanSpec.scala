@@ -75,6 +75,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q59: TF-IDF document-frequency join never broadcasts the vocabulary") {
+    val p = planOf(q("q59_tfidf"))
+    // term-keyed join must be a shuffle join (df table is vocabulary-sized);
+    // the only broadcast allowed is the 1-row corpus count
+    val termJoin = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("term#")).toSeq
+    assert(termJoin.nonEmpty, p)
+    assert(!termJoin.exists(_.contains("BroadcastHashJoin")), p)
+  }
+
+  test("keep-list pair stage is LSH-routed: no raw-shingle self-join") {
+    // Same pipeline nearDupKeepList builds internally (its own executed plan
+    // hides these stages behind the CC checkpoints, so assert on the pair
+    // stage directly): candidates from the band-bucket equi-join, exact
+    // Jaccard restricted to candidates via doc-id-keyed joins.
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, Sf, "documents")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(
+      Dedup.signaturesFromShingles(sh, "doc_id", 16), "doc_id", 16, 4)
+    val pairs = Dedup.verifyCandidates(
+      Dedup.candidatesFromBands(bands, "doc_id"), sh, "doc_id", 0.8)
+    val p = planOf(pairs)
+    assert(p.contains("band_hash"), p)
+    // a join keyed by the shingle ALONE is the quadratic hot-key shape;
+    // the verification join is keyed by (doc id, shingle), which is fine
+    assert("Join \\[s#\\d+[^,\\]]*\\], \\[s#\\d+".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("entry flagship broadcasts dims and aggregates exactly once per region") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)
