@@ -32,17 +32,32 @@ object Bench {
       }
     val results = SparkEntry.allQueries.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // visible in the driver log; the timing line keeps its shape
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.run(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // visible in the driver log; the JSON marks it failed too so a
+            // broken query can't masquerade as a fast one
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            false
+        }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // also durable on disk: the driver's log tail can truncate stdout
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

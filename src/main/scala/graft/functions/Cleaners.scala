@@ -45,9 +45,14 @@ object Cleaners {
 
   /** T2 — Dutch postcode normalization, py:129:
     * `v.lstrip()[0:4] + " " + v.rstrip()[-2:]` — UNCONDITIONAL, idempotent
-    * on already-correct `NNNN AA`. */
+    * on already-correct `NNNN AA`. Strips ALL whitespace (\s), not just
+    * spaces, matching Python's lstrip/rstrip and the registered nl_postcode
+    * UDF (Spark's ltrim/rtrim are space-only and would disagree on
+    * tab/newline padding). */
   def nlPostcode(v: Column): Column =
-    concat(substring(ltrim(v), 1, 4), lit(" "), substring(rtrim(v), -2, 2))
+    concat(
+      substring(regexp_replace(v, "^\\s+", ""), 1, 4), lit(" "),
+      substring(regexp_replace(v, "\\s+$", ""), -2, 2))
 
   /** T3 — Dutch phone normalization, py:131–146: strip non-digits, then case
     * on digit count. All seven branches of the reference, same order. */

@@ -293,9 +293,18 @@ object ExtendedOps {
         .orderBy("o_orderkey")
     },
 
-    // ---- exact percentiles (rows-only: interpolation op order differs
-    //      across engines in final ulps; accuracy gated in ExtendedOpsSpec) ----
-    Q("q63_percentiles", None) { (s, d) =>
+    // ---- exact percentiles. Bit-exact vs quantile_cont: l_quantity is an
+    //      integer-valued DOUBLE, so lo/hi and (hi-lo) are exact and the
+    //      dyadic fractions 0.25/0.5/0.75 make every interpolation step a
+    //      correctly-rounded op on exactly-representable inputs — identical
+    //      in both engines regardless of formula order. ----
+    Q("q63_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -308,13 +317,23 @@ object ExtendedOps {
         .orderBy("l_returnflag")
     },
 
-    // ---- HLL sketch distinct (no oracle: sketch internals engine-specific) ----
-    Q("q57_approx_distinct", None) { (s, d) =>
+    // ---- HLL sketch distinct, range-gated: the sketch estimate itself is
+    //      engine-specific (can't cross-hash), so the query emits the exact
+    //      count plus a WITHIN-TOLERANCE flag the oracle asserts true —
+    //      a wildly-off sketch now fails the hash compare. ----
+    Q("q57_approx_distinct",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.t(s, d, "events")
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("approx_ok"))
         .orderBy("event_type")
     }
   )

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over edge DataFrames — the OSM model encodes a graph
   * (ways reference nodes through way_nodes, SURVEY.md §1.1), and a
@@ -13,12 +15,32 @@ import org.apache.spark.sql.functions._
   * rounds repeat until no label changes. O(diameter) rounds, each one
   * shuffle keyed by vertex.
   *
-  * Scale hygiene for iterative Spark jobs, applied here: persist each
-  * round's labels and truncate lineage with localCheckpoint — without it
-  * the plan doubles per round and the job dies re-planning long lineages
-  * well before data size matters.
+  * Scale hygiene for iterative Spark jobs, applied here:
+  *  - each round's labels are snapshotted (lineage truncated) so the plan
+  *    doesn't double per round;
+  *  - the SUPERSEDED round's storage is unpersisted as soon as the next
+  *    round is materialized — executor storage stays O(1) rounds, not
+  *    O(iterations);
+  *  - when the SparkContext has a checkpoint dir configured, snapshots use
+  *    RELIABLE checkpointing (survives executor loss — required for long
+  *    100 TB jobs); otherwise localCheckpoint semantics (executor-local
+  *    blocks) via RDD.localCheckpoint.
   */
 object Graph {
+
+  /** Snapshot a small iteration frame: truncate lineage and persist, keeping
+    * the RDD handle so the PREVIOUS round can be unpersisted (Dataset
+    * .localCheckpoint exposes no handle to its persisted RDD). */
+  private def snapshot(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    if (rdd.context.getCheckpointDir.isDefined) {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 
   /** Connected components of an undirected edge list (columns src, dst —
     * any integral type). Returns (v, component) where component is the
@@ -28,9 +50,9 @@ object Graph {
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
       .persist()
-    var labels = sym.select(col("a").as("v"), col("b"))
-      .groupBy("v").agg(least(min(col("b")), col("v")).as("component"))
-      .localCheckpoint()
+    var (labels, labelsRdd) = snapshot(
+      sym.select(col("a").as("v"), col("b"))
+        .groupBy("v").agg(least(min(col("b")), col("v")).as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -38,13 +60,16 @@ object Graph {
       val neighborLabels = sym
         .join(labels.withColumnRenamed("v", "b2"), col("b") === col("b2"))
         .select(col("a").as("v"), col("component"))
-      val next = labels.select(col("v"), col("component"))
-        .union(neighborLabels)
-        .groupBy("v").agg(min("component").as("component"))
-        .localCheckpoint()
+      val (next, nextRdd) = snapshot(
+        labels.select(col("v"), col("component"))
+          .union(neighborLabels)
+          .groupBy("v").agg(min("component").as("component")))
+      // materializes nextRdd (and the reliable checkpoint, when configured)
       changed = next.join(labels.withColumnRenamed("component", "old"), "v")
         .filter(col("component") =!= col("old")).count()
+      labelsRdd.unpersist()
       labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     sym.unpersist()

@@ -9,6 +9,17 @@ object SimilarityOps {
 
   private val Dim = 64
   private val Planes = 12
+  // multi-probe kNN uses fewer planes: 2^6 buckets over the fixture keeps
+  // inverted lists populated so every query finds candidates (recall knob)
+  private val MpPlanes = 6
+
+  /** DuckDB replica of VectorFunctions.lshBucketExpr over a quantized list
+    * column named `q` — all-integer math, identical in both engines. */
+  private def bucketSqlDuck(planes: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+       |    CASE WHEN list_sum(list_transform(range(0, $Dim), d ->
+       |      q[CAST(d + 1 AS INTEGER)] * ((p * 73856093 + d * 19349663) % 2001 - 1000))) >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   /** DuckDB side of VectorFunctions.quantize + exact norms: integer-valued
     * doubles, so list_dot_product sums are exact in any order. */
@@ -70,6 +81,44 @@ object SimilarityOps {
       Similarity.lshBuckets(Tables.t(s, d, "embeddings"), "vec_id", "embedding",
           Planes, Dim)
         .orderBy("vec_id")
+    },
+
+    // ---- multi-probe LSH kNN: the scale path, oracle-gated. Each query
+    //      probes its bucket + all single-bit flips, exact-reranks the
+    //      candidates. Deterministic end-to-end (integer buckets, exact
+    //      integer dots), so DuckDB replays it bit-for-bit. ----
+    Q("q81_knn_multiprobe", {
+      val probes = "bucket" +:
+        (0 until MpPlanes).map(p => s"xor(bucket, ${1L << p})")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, ${bucketSqlDuck(MpPlanes)} AS bucket FROM e),
+         |n AS (
+         |  SELECT vec_id, bucket, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+         |  FROM b),
+         |c AS (SELECT vec_id, bucket, qd, list_dot_product(qd, qd) AS nsq FROM n),
+         |qs AS (
+         |  SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq,
+         |    unnest([${probes.mkString(", ")}]) AS probe
+         |  FROM c WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT DISTINCT qid, c.vec_id AS nid,
+         |    list_dot_product(qqd, c.qd) / sqrt(qnsq * c.nsq) AS cos
+         |  FROM qs JOIN c ON qs.probe = c.bucket AND qs.qid <> c.vec_id)
+         |SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.multiProbeKnn(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          5, MpPlanes, Dim)
+        .select("qid", "nid", "cos", "rank")
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -14,7 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object WindowingOps {
 
+  /** Memory-sink names must be unique per invocation (bench warmup + timed
+    * run + verify all execute the same query in one session). */
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val defs: Seq[Q] = Seq(
+
+    // ---- ACTUAL streaming run of the tumbling aggregation: readStream →
+    //      watermark → window agg → memory sink, complete mode (state holds
+    //      every window, so the final table equals the batch result and the
+    //      q45 oracle gates it hash-exact). Append mode + watermark is the
+    //      unbounded-production shape; complete mode here makes the
+    //      micro-batch output oracle-checkable. ----
+    Q("q82_stream_tumbling",
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+      val agg = EventStreams.tumblingWithWatermark(stream, "1 hour", "10 minutes")
+      val name = s"q82_stream_sink_${sinkId.incrementAndGet()}"
+      val query = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).orderBy("ws", "event_type")
+    },
 
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",

@@ -31,11 +31,21 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _),
+              Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(av: NamedLambdaVariable), _))
-          if fin.exprId == av.exprId && isLongArray(a) && isLongArray(b) =>
+          // bind by exprId: the multiply must consume BOTH zip_with variables
+          // (not x*x), the merge must be acc+element (not acc+acc) — either
+          // order, both ops are commutative
+          if fin.exprId == av.exprId &&
+            mx.exprId != my.exprId &&
+            Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
+            ax.exprId != ay.exprId &&
+            Set(ax.exprId, ay.exprId) == Set(acc.exprId, el.exprId) &&
+            isLongArray(a) && isLongArray(b) =>
         LongArrayDot(a, b)
     }
 }

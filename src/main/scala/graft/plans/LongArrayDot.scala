@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * across engines (see VectorFunctions).
   *
   * Null elements inside the arrays are not supported (quantized vectors
-  * never contain them); a null array input yields null.
+  * never contain them); a null array input yields null, and so does a
+  * length mismatch — matching the declarative form, where zip_with
+  * null-pads the shorter array and the null poisons the whole fold.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // null on length mismatch, even for non-nullable inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -37,11 +42,14 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
-    s
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,13 +58,16 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |  ? $a.numElements() : $b.numElements();
-         |long $sum = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -47,9 +47,18 @@ object EventStreams {
     // events fixtures carry TIMESTAMP(NANOS) — see Tables.t
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema)
+    // FileStreamSource requires a directory or glob; a single-file fixture
+    // path is wrapped in a {name} glob so its parent becomes the basePath
+    val f = new java.io.File(dir)
+    val path = if (f.isFile) s"${f.getParent}/{${f.getName}}" else dir
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+      .parquet(path)
+    // same micros conversion Tables.t applies to the batch table, so
+    // watermarks / event-time windows see a real TimestampType column
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Watermarked streaming tumbling aggregation: drops events later than

@@ -61,6 +61,23 @@ class CleanersSpec extends SparkTestBase {
     assert(postcodeOf("  1074CM  ") === "1074 CM")    // lstrip/rstrip
   }
 
+  test("T2 strips tabs/newlines like Python lstrip/rstrip; chain == UDF") {
+    // Spark's ltrim/rtrim are space-only; the chain must strip ALL \s to
+    // agree with the reference's lstrip()/rstrip() and the registered UDF
+    assert(postcodeOf("\t1074CM\n") === "1074 CM")
+    assert(postcodeOf(" \t 1074 \n CM \r\n") === "1074 CM")
+    graft.functions.Cleaners.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val padded = Seq("\t1074CM\n", " 9999\tAB ", "1011\r\nZZ", "  1074CM  ")
+      .toDF("v")
+    val disagree = padded
+      .select(graft.functions.Cleaners.nlPostcode(col("v")).as("chain"),
+        expr("nl_postcode(v)").as("udf"))
+      .filter(col("chain") =!= col("udf"))
+    assert(disagree.count() === 0)
+  }
+
   test("T2 is idempotent over generated NNNN[ ]AA postcodes") {
     val rnd = new scala.util.Random(42)
     val samples = Seq.fill(200) {

@@ -27,6 +27,19 @@ class GraphSpec extends SparkTestBase {
     assert(cc.count() === n)
   }
 
+  test("iteration storage is bounded: superseded rounds are unpersisted") {
+    val n = 40 // path graph => ~n/2 label-propagation rounds
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Graph.connectedComponents(edges, maxIter = 60)
+    assert(cc.select(countDistinct("component")).head().getLong(0) === 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL round's snapshot may remain persisted — a leak here
+    // grows executor storage O(iterations) on 100 TB dedup-cluster jobs
+    assert(after - before <= 1,
+      s"persisted RDDs grew from $before to $after — iteration leak")
+  }
+
   test("near-dup pairs cluster into transitive dedup groups") {
     val docs = Tables.t(spark, Sf, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

@@ -47,6 +47,49 @@ class VectorSpec extends SparkTestBase {
     assert(viaRule.toSeq === viaExpr.toSeq)
   }
 
+  test("LongArrayDot returns null on length-mismatched arrays (zip_with parity)") {
+    GraftFunctions.register(spark)
+    // interpreted + codegen paths both null; equal lengths still exact
+    val r = spark.sql(
+      """SELECT graft_dot(array(1L, 2L), array(1L, 2L, 3L)) AS mismatch,
+        |       graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS ok,
+        |       aggregate(zip_with(array(1L, 2L), array(1L, 2L, 3L),
+        |         (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS hof_mismatch
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "length mismatch must be null")
+    assert(r.getLong(1) === 32L)
+    assert(r.isNullAt(2), "declarative form nulls too — semantics agree")
+  }
+
+  test("DotProductRewrite requires exact lambda-variable identity") {
+    graft.plans.GraftExtensions.install(spark)
+    val q = emb.limit(50)
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+    // x*x (ignores second zip variable) and acc+acc (ignores element) are
+    // NOT dot products — the rule must leave them alone
+    val notDotSquare = q.select(
+      aggregate(zip_with(col("q"), col("q"), (x, _) => x * x),
+        lit(0L), (acc, v) => acc + v).as("s"))
+    assert(!notDotSquare.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      notDotSquare.queryExecution.optimizedPlan.toString)
+    val notDotAcc = q.select(
+      aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+        lit(0L), (acc, _) => acc + acc).as("s"))
+    assert(!notDotAcc.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      notDotAcc.queryExecution.optimizedPlan.toString)
+    // the true dot (either operand order in the merge) still rewrites
+    val isDot = q.select(
+      aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+        lit(0L), (acc, v) => v + acc).as("s"))
+    assert(isDot.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      isDot.queryExecution.optimizedPlan.toString)
+    // and the non-rewritten squares are actually correct (values unchanged)
+    val sq = notDotSquare.collect().map(_.getLong(0))
+    val ref = q.select(aggregate(transform(col("q"), x => x * x),
+      lit(0L), (acc, v) => acc + v).as("s")).collect().map(_.getLong(0))
+    assert(sq.toSeq === ref.toSeq)
+  }
+
   test("bruteForceKnn: rank-1 neighbor is the true argmax") {
     val knn = Similarity.bruteForceKnn(
       emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 1).collect()
