@@ -14,7 +14,13 @@ object OsmCsv {
 
   val TsFormat = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
-  def write(df: DataFrame, path: String, table: String): Unit =
+  /** pythonCsvDialect=true reproduces the reference writer BYTE-exactly:
+    * Python's csv module terminates rows with \r\n (its default
+    * lineterminator), while Spark's default is \n. Quoting semantics
+    * (minimal quoting, quotes escaped by doubling) already match, asserted
+    * byte-for-byte against the committed golden files in GoldenWaysSpec. */
+  def write(df: DataFrame, path: String, table: String,
+            pythonCsvDialect: Boolean = false): Unit =
     df.select(OsmModel.columnOrder(table).map(col): _*)
       .write.mode("overwrite")
       .option("header", true)
@@ -23,6 +29,11 @@ object OsmCsv {
       // Python csv dialect (the reference writer): quotes escaped by
       // doubling (RFC 4180), not backslash.
       .option("escape", "\"")
+      // Spark's writer trims field whitespace by default; Python's csv
+      // writer never does — keep values verbatim
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .option("lineSep", if (pythonCsvDialect) "\r\n" else "\n")
       .csv(path)
 
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =

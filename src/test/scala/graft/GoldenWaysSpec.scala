@@ -75,6 +75,33 @@ class GoldenWaysSpec extends SparkTestBase {
     assert(topHighway.head.getLong(1) === expected._2.toLong)
   }
 
+  test("pythonCsvDialect round-trips the golden ways.csv BYTE-exactly") {
+    assertByteExactRoundTrip("/root/reference/ways.csv", "ways", OsmModel.waysSchema)
+  }
+
+  test("pythonCsvDialect round-trips golden ways_tags.csv (quoted fields) BYTE-exactly") {
+    // ways_tags contains commas and doubled quotes inside values — the
+    // stress case for the minimal-quoting dialect
+    assertByteExactRoundTrip("/root/reference/ways_tags.csv", "way_tags",
+      OsmModel.tagsSchema)
+  }
+
+  private def assertByteExactRoundTrip(golden: String, table: String,
+                                       schema: org.apache.spark.sql.types.StructType): Unit = {
+    val expected = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(golden))
+    val out = java.nio.file.Files.createTempDirectory("graft-bytecsv").toFile
+    out.deleteOnExit()
+    // single input file read into one partition + coalesce(1): row order is
+    // partition-local and preserved end to end
+    val df = OsmCsv.read(spark, golden, schema).coalesce(1)
+    OsmCsv.write(df, out.toString, table, pythonCsvDialect = true)
+    val part = out.listFiles().filter(_.getName.endsWith(".csv")).head
+    val actual = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(actual.length === expected.length,
+      s"byte length ${actual.length} != golden ${expected.length}")
+    assert(java.util.Arrays.equals(actual, expected), "byte-level diff vs golden")
+  }
+
   test("A2 distinct contributors over ways∪ways runs (shape check)") {
     val n = Workload.distinctContributors(
       ways.select(col("uid")), ways.select(col("uid"))).head().getLong(0)
