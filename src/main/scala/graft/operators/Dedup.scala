@@ -33,10 +33,26 @@ object Dedup {
     *
     * The per-doc shingle count rides along on every shingle row (one extra
     * long) instead of being re-joined after the pair aggregation — two
-    * fewer joins and one fewer shuffle than the textbook formulation. */
+    * fewer joins and one fewer shuffle than the textbook formulation.
+    *
+    * `maxShingleDf` is the corpus-scale skew knob: a shingle shared by m
+    * documents produces m² join rows on ONE shuffle key, and stopword-heavy
+    * shingles ("of the and") make m huge. Capping document frequency drops
+    * those shingles from the JOIN ONLY — per-doc totals (na/nb) keep the
+    * full count, so the reported jac becomes a LOWER bound and every
+    * emitted pair is still genuinely >= minJaccard on the pruned overlap.
+    * Default None = exact (the oracle-gated semantics). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
-    val compact = shingleRows(docs, idCol, textCol, n).cache()
+                        n: Int, minJaccard: Double,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val compact0 = shingleRows(docs, idCol, textCol, n).cache()
+    val compact = maxShingleDf match {
+      case Some(cap) =>
+        val hot = compact0.groupBy("s")
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("s")
+        compact0.join(hot, Seq("s"), "left_anti")
+      case None => compact0
+    }
     val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
     val b = compact.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
     // shuffle-hash, not broadcast: the shingle side is large enough that

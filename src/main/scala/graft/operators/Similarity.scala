@@ -49,6 +49,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
+    * corpus so expected bucket occupancy stays near `targetBucket` at any
+    * scale — a fixed plane count that is right at 10^3 vectors is
+    * catastrophically coarse at 10^9. Deterministic given n (oracle-safe:
+    * the same n yields the same plane count in any engine). */
+  def adaptivePlanes(n: Long, targetBucket: Int = 32): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(2, raw))
+  }
+
   /** Random-hyperplane LSH bucket per vector. */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dim: Int): DataFrame =
@@ -56,13 +67,47 @@ object Similarity {
       .withColumn("bucket", lshBucketExpr("q", planes, dim))
       .select(col(idCol), col("bucket"))
 
-  /** End-to-end embedding near-dup removal: cosine pairs over threshold →
-    * transitive clusters → keep the minimum vector id per cluster plus all
-    * unpaired vectors (mirrors Dedup.nearDupKeepList for the vector
-    * modality). At scale the pair stage is replaced by the LSH-bucket join
-    * (same downstream). */
+  /** End-to-end embedding near-dup removal, LSH-routed (the 100 TB shape,
+    * mirroring Dedup.nearDupKeepList for the vector modality): bucket each
+    * vector, generate candidate pairs from a multi-probe bucket equi-join
+    * (own bucket + all hamming-1 flips), verify exact cosine on CANDIDATES
+    * only, then transitive clusters → keep the minimum vector id per
+    * cluster plus all unpaired vectors.
+    *
+    * Never materializes all pairs: candidate cost tracks bucket occupancy.
+    * Recall is the LSH tradeoff — fewer planes → bigger buckets → higher
+    * recall; every emitted drop is still exact-verified. Use
+    * [[nearDupKeepListExact]] as the small-N exhaustive verifier. */
   def nearDupKeepList(emb: DataFrame, idCol: String, vecCol: String,
-                      minCosine: Double): DataFrame = {
+                      minCosine: Double, planes: Int, dim: Int): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucketExpr("q", planes, dim)).cache()
+    val probes = p.select(
+      col(idCol).as("id_a"), col("q").as("qa"), col("nsq").as("na"),
+      explode(array((Seq(col("bucket")) ++
+        (0 until planes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
+        .as("probe"))
+    val cand = probes.join(
+      p.select(col(idCol).as("id_b"), col("q").as("qb"), col("nsq").as("nb"),
+        col("bucket").as("cbucket")),
+      col("probe") === col("cbucket") && col("id_a") < col("id_b"))
+    // verify BEFORE deduplicating: the threshold filter runs codegen'd on
+    // the join output (no exchange), so the dedup shuffle carries only the
+    // few surviving (src, dst) id pairs — never the quantized vectors
+    val pairs = cand
+      .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= minCosine)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .dropDuplicates("src", "dst")
+    val dropped = Graph.connectedComponents(pairs)
+      .filter(col("component") =!= col("v"))
+      .select(col("v").as(idCol))
+    emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Exhaustive-verification variant of [[nearDupKeepList]]: exact cosine
+    * over ALL pairs (n² nested loop — small-N only). */
+  def nearDupKeepListExact(emb: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double): DataFrame = {
     val pairs = allPairsCosine(emb, idCol, vecCol)
       .filter(col("cos") >= minCosine)
       .select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -119,6 +119,53 @@ object SimilarityOps {
           5, MpPlanes, Dim)
         .select("qid", "nid", "cos", "rank")
         .orderBy("qid", "rank")
+    },
+
+    // ---- end-to-end embedding dedup, LSH-routed: multi-probe candidates →
+    //      exact cosine verify → connected components → keep-list. The
+    //      oracle replays the identical deterministic pipeline (integer
+    //      buckets, exact integer dots, 3-round min-label propagation —
+    //      fixture pair graph has diameter 1; Spark iterates to fixpoint). ----
+    Q("q83_embedding_keeplist", {
+      val KlPlanes = 4
+      val probes = "bucket" +:
+        (0 until KlPlanes).map(p => s"xor(bucket, ${1L << p})")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, ${bucketSqlDuck(KlPlanes)} AS bucket FROM e),
+         |c AS (
+         |  SELECT vec_id, bucket, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd,
+         |    list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
+         |                     list_transform(q, x -> CAST(x AS DOUBLE))) AS nsq
+         |  FROM b),
+         |pr AS (
+         |  SELECT vec_id, qd, nsq, unnest([${probes.mkString(", ")}]) AS probe
+         |  FROM c),
+         |cand AS (
+         |  SELECT DISTINCT pr.vec_id AS i, c2.vec_id AS j,
+         |    list_dot_product(pr.qd, c2.qd) / sqrt(pr.nsq * c2.nsq) AS cos
+         |  FROM pr JOIN c c2 ON pr.probe = c2.bucket AND pr.vec_id < c2.vec_id),
+         |pairs AS (SELECT i, j FROM cand WHERE cos >= 0.45),
+         |ed AS (SELECT i AS a, b FROM (SELECT i, j AS b FROM pairs UNION SELECT j, i FROM pairs) t(i, b)),
+         |l1 AS (SELECT d.vec_id AS v, LEAST(d.vec_id, coalesce(min(ed.b), d.vec_id)) AS l
+         |       FROM embeddings d LEFT JOIN ed ON ed.a = d.vec_id GROUP BY d.vec_id),
+         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN ed ON ed.a = l1.v LEFT JOIN l1 nb ON nb.v = ed.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN ed ON ed.a = l2.v LEFT JOIN l2 nb ON nb.v = ed.b
+         |       GROUP BY l2.v, l2.l)
+         |SELECT v AS vec_id FROM l3 WHERE l = v ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      // adaptivePlanes(500 vectors @ sf0.01) = 4, which the static oracle
+      // SQL pins; at larger SFs the plane count grows with the corpus
+      // (no oracle compare runs there — the driver gates at sf0.01)
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.nearDupKeepList(emb, "vec_id", "embedding", 0.45,
+          Similarity.adaptivePlanes(emb.count()), Dim)
+        .orderBy("vec_id")
     }
   )
 }

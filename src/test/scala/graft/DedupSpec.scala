@@ -27,6 +27,20 @@ class DedupSpec extends SparkTestBase {
     assert(cands.size < 5000, s"candidate set too large: ${cands.size}")
   }
 
+  test("hot-shingle df cap: loose cap is exact, tight cap only lowers jac") {
+    // cap above the max shingle df: identical to the exact result
+    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDf = Some(1000000))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(loose === truePairs)
+    // tight cap: jac becomes a lower bound, so emitted pairs are a subset
+    // of the exact >=0.8 pairs (precision preserved, recall traded)
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxShingleDf = Some(3))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(tight.subsetOf(truePairs), s"cap invented pairs: ${tight -- truePairs}")
+  }
+
   test("SimHash: near-dup pairs collide or sit within hamming distance 2") {
     val sig = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -106,7 +106,7 @@ class VectorSpec extends SparkTestBase {
     val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
       .filter(col("cos") >= 0.45)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
-    val keep = Similarity.nearDupKeepList(emb, "vec_id", "embedding", 0.45)
+    val keep = Similarity.nearDupKeepListExact(emb, "vec_id", "embedding", 0.45)
       .collect().map(_.getLong(0)).toSet
     assert(pairs.nonEmpty)
     // no over-threshold pair survives intact (both kept is the only bug case)
@@ -114,6 +114,31 @@ class VectorSpec extends SparkTestBase {
       assert(!(keep.contains(a) && keep.contains(b)), s"pair ($a,$b) both kept")
     }
     assert(keep.size < emb.count())
+  }
+
+  test("LSH keep-list is sound: its drops are a subset of the exact drops") {
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactKeep = Similarity.nearDupKeepListExact(emb, "vec_id", "embedding", 0.45)
+      .collect().map(_.getLong(0)).toSet
+    val lshKeep = Similarity.nearDupKeepList(emb, "vec_id", "embedding", 0.45, 4, 64)
+      .collect().map(_.getLong(0)).toSet
+    // every LSH drop is exact-verified (cos >= threshold on a candidate
+    // pair), so it must also be dropped by the exhaustive path; recall may
+    // be lower (LSH misses pairs), never precision
+    assert((all -- lshKeep).subsetOf(all -- exactKeep),
+      s"LSH dropped a vector the exact path kept: ${(all -- lshKeep) -- (all -- exactKeep)}")
+  }
+
+  test("adaptivePlanes tracks corpus size; sf0.01 pins the q83 oracle at 4") {
+    assert(Similarity.adaptivePlanes(500) === 4) // MUST match q83's oracle SQL
+    assert(Similarity.adaptivePlanes(32) === 2) // clamped floor
+    assert(Similarity.adaptivePlanes(2000) === 6)
+    assert(Similarity.adaptivePlanes(1000000000L) === 24) // clamped ceiling
+    // occupancy stays near target across 6 orders of magnitude
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val occ = n.toDouble / (1L << Similarity.adaptivePlanes(n))
+      assert(occ >= 8 && occ <= 64, s"n=$n occupancy=$occ")
+    }
   }
 
   test("LSH buckets are deterministic across runs") {
