@@ -22,6 +22,7 @@ object SparkEntry {
     operators.StatsOps.defs,
     operators.ExtendedOps.defs,
     operators.ChunkingOps.defs,
+    operators.Sampling.defs,
     operators.GeoOps.defs,
     operators.ProfileOps.defs,
     operators.OsmOps.defs

@@ -54,6 +54,35 @@ object ChunkingOps {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- sequence packing: concatenate documents into fixed-token-budget
+    //      training sequences (greedy by running token offset). Packing is
+    //      PER SOURCE SHARD (window partitioned by source), so at corpus
+    //      scale each shard packs independently — no global sort. ----
+    Q("q86_seq_pack",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, ntok,
+        |    SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("cum", sum("ntok").over(w))
+        .withColumn("pack_id", expr("(cum - ntok) div 2048"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    },
+
     // ---- TF-IDF (rational idf, engine-exact) ----
     Q("q59_tfidf",
       """WITH tok AS (

@@ -207,6 +207,40 @@ object Dedup {
     docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** SimHash banded near-dup pairs: split each `bits`-bit signature into
+    * `bands` equal slices; docs sharing ANY slice are candidates, then
+    * exact hamming distance is verified on candidates only. Pigeonhole
+    * gives FULL recall at radius bands-1: hamming <= bands-1 errors cannot
+    * dirty all `bands` slices, so at least one matches. The band equi-join
+    * is the same scale shape as MinHash-LSH banding — never n². */
+  def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(maxHamming <= bands - 1,
+      s"banding only has full recall up to hamming ${bands - 1}")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bandRows = simhash(docs, idCol, textCol, bits)
+      .select(col(idCol), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+              .as("band_val"))): _*)).as("band"))
+      .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val a = bandRows.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("band_idx"), col("band_val"))
+    val b = bandRows.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sig_a", "sig_b")
+      .agg(count(lit(1)).as("shared_bands"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "shared_bands", "hamming")
+  }
+
   /** SimHash over tokens: `bits`-bit signature from md5-derived token
     * hashes; each token occurrence votes ±1 per bit. All-integer math —
     * engine-exact. One shuffle (groupBy doc). */

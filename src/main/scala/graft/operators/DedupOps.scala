@@ -44,18 +44,23 @@ object DedupOps {
        |  unnest(range($numBands)) AS band_idx FROM sig)""".stripMargin
   }
 
-  private val simhashOracle = {
+  /** Shared DuckDB CTE ending in `sm(doc_id, simhash)` — the exact SimHash
+    * pipeline (md5 token hashes, ±1 votes, bit pack). */
+  private val simhashCte = {
     val votes = (0 until SimhashBits)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
     val pack = (0 until SimhashBits)
       .map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
-       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |vt AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sm AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM vt)""".stripMargin
   }
+
+  private val simhashOracle =
+    s"WITH $simhashCte SELECT doc_id, simhash FROM sm ORDER BY doc_id"
 
   val defs: Seq[Q] = Seq(
 
@@ -108,6 +113,29 @@ object DedupOps {
     Q("q41_simhash", simhashOracle) { (s, d) =>
       Dedup.simhash(Tables.t(s, d, "documents"), "doc_id", "text", SimhashBits)
         .orderBy("doc_id")
+    },
+
+    // ---- SimHash banded candidates + exact hamming verify (4 bands of 4
+    //      bits: full recall at hamming <= 3 by pigeonhole) ----
+    Q("q84_simhash_bands",
+      s"""WITH $simhashCte,
+         |bd AS (SELECT doc_id, simhash,
+         |  unnest(list_transform(range(4), b -> (simhash >> (b * 4)) & 15)) AS band_val,
+         |  unnest(range(4)) AS band_idx FROM sm),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb, count(*) AS shared_bands
+         |  FROM bd a JOIN bd b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, shared_bands,
+         |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.simhashCandidatePairs(Tables.t(s, d, "documents"), "doc_id", "text",
+          SimhashBits, 4, 2)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- end-to-end dedup: LSH candidates -> exact verify -> clusters ->

@@ -64,6 +64,24 @@ object StatsOps {
         .orderBy("l_suppkey")
     },
 
+    // ---- skew-safe salted join: small side replicated per salt, big side
+    //      salted randomly — results are salt-independent (exact join), so
+    //      the oracle is the plain join + aggregation ----
+    Q("q87_skew_salted_join",
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      Skew.saltedJoin(
+          Tables.t(s, d, "lineitem").select("l_suppkey", "l_quantity"),
+          Tables.t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          "l_suppkey", "s_suppkey", 16)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     // ---- forced shuffle sort-merge join (the at-scale fact-fact path;
     //      broadcast would win at test SF, so pin the strategy) ----
     Q("q52_join_sortmerge",

@@ -50,6 +50,14 @@ class DedupSpec extends SparkTestBase {
     assert(far.isEmpty, s"near-dups at hamming>2: $far")
   }
 
+  test("SimHash banded candidates recover every planted pair (pigeonhole recall)") {
+    val cand = Dedup.simhashCandidatePairs(docs, "doc_id", "text", 16, 4, 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- cand
+    assert(missed.isEmpty, s"banding missed true pairs: $missed")
+  }
+
   test("exact dedup: corpus has no exact duplicates, dedup keeps all docs") {
     val n = docs.count()
     assert(docs.select(md5(col("text"))).distinct().count() === n)
