@@ -53,12 +53,18 @@ object VectorFunctions {
     * `qCol` (array<bigint>): `planes` sign bits packed into a BIGINT.
     * Hyperplane weights are a deterministic integer pseudo-sequence
     * `(p*73856093 + d*19349663) % 2001 - 1000`, so bucket assignment is
-    * exactly reproducible in any engine (all-integer math).
-    *
-    * Expressed as one SQL expression because lambda-bound variables can't
-    * cross the Scala-DSL `shiftleft` signature (Int-only); still a pure
-    * Catalyst expression tree. */
+    * exactly reproducible in any engine (all-integer math). Backed by the
+    * codegen'd [[graft.plans.LshBucket]] (tight planes×dim loop; the
+    * declarative form below runs planes×dim interpreted lambdas per row —
+    * per-vector cost that multiplies by 10⁹ at corpus scale). */
   def lshBucketExpr(qCol: String, planes: Int, dim: Int): Column =
+    graft.plans.GraftFunctions.lshBucket(expr(qCol), planes, dim)
+
+  /** Declarative reference implementation of [[lshBucketExpr]] (kept for
+    * equivalence testing of the custom expression). Expressed as one SQL
+    * expression because lambda-bound variables can't cross the Scala-DSL
+    * `shiftleft` signature (Int-only); still a pure Catalyst tree. */
+  def lshBucketHof(qCol: String, planes: Int, dim: Int): Column =
     expr(
       s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
          |  IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT),

@@ -26,6 +26,10 @@ object GraftFunctions {
   def shingleRows(text: Column, n: Int, distinct: Boolean = true): Column =
     ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n, distinct))
 
+  /** Codegen'd hyperplane-LSH bucket of a quantized array<bigint> vector. */
+  def lshBucket(q: Column, planes: Int, dim: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(q), planes, dim))
+
   /** Whole-MinHash-signature aggregate over a BIGINT base-hash column. */
   def minhashSig(baseHash: Column, numHashes: Int): Column =
     ColumnBridge.column(
@@ -40,5 +44,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_quantize",
       exprs => FloatArrayQuantize(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucket(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -129,6 +129,24 @@ class VectorSpec extends SparkTestBase {
       s"LSH dropped a vector the exact path kept: ${(all -- lshKeep) -- (all -- exactKeep)}")
   }
 
+  test("LshBucket codegen == declarative nested-aggregate HOF on real data") {
+    val q = emb.select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+    for (planes <- Seq(4, 6, 12)) {
+      val both = q.select(
+        VectorFunctions.lshBucketExpr("q", planes, 64).as("fast"),
+        VectorFunctions.lshBucketHof("q", planes, 64).as("ref"))
+      assert(both.filter(col("fast") =!= col("ref")).count() === 0, s"planes=$planes")
+    }
+    // and SQL-callable
+    GraftFunctions.register(spark)
+    q.limit(5).createOrReplaceTempView("lsh_probe")
+    val viaSql = spark.sql("SELECT graft_lsh_bucket(q, 12, 64) AS b FROM lsh_probe")
+      .collect().map(_.getLong(0))
+    val viaCol = q.limit(5).select(VectorFunctions.lshBucketExpr("q", 12, 64))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("adaptivePlanes tracks corpus size; sf0.01 pins the q83 oracle at 4") {
     assert(Similarity.adaptivePlanes(500) === 4) // MUST match q83's oracle SQL
     assert(Similarity.adaptivePlanes(32) === 2) // clamped floor
