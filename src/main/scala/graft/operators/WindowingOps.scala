@@ -39,6 +39,27 @@ object WindowingOps {
       s.table(name).orderBy("ws", "event_type")
     },
 
+    // ---- interval join (the stream-stream shape, batch-checked): each
+    //      purchase joined to the same user's clicks in the preceding 30
+    //      minutes. The SAME function runs behind readStream with both
+    //      sides watermarked (AnnStreamDedupSpec) — watermark + time-range
+    //      predicate is what bounds join state on unbounded streams. ----
+    Q("q88_interval_join",
+      """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
+        |  b.event_id AS click_id, b.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON b.user_id = a.user_id
+        |  AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      EventStreams.purchaseClickJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "30 minutes", "30 minutes")
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,

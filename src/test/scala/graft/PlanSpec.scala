@@ -104,6 +104,27 @@ class PlanSpec extends SparkTestBase {
     assert("Join \\[s#\\d+[^,\\]]*\\], \\[s#\\d+".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("q81: multi-probe candidates come from an equi-join, never a nested loop") {
+    val p = planOf(q("q81_knn_multiprobe"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_lsh_bucket"), p) // codegen'd bucketing in the scan stage
+  }
+
+  test("q84: SimHash band join is an equi-join, never a nested loop") {
+    val p = planOf(q("q84_simhash_bands"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("band_val"), p)
+  }
+
+  test("q86: sequence packing windows per source shard — no global sort barrier") {
+    val p = planOf(q("q86_seq_pack"))
+    // the running-sum Window must be partitioned (by source), not a single
+    // global ordering — that's what keeps packing shard-parallel at scale
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p)
+    assert(windowLines.forall(_.contains("source#")), p)
+  }
+
   test("entry flagship broadcasts dims and aggregates exactly once per region") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)
