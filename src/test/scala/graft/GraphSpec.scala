@@ -19,10 +19,12 @@ class GraphSpec extends SparkTestBase {
     assert(cc(6L) === 6L)
   }
 
-  test("chain graph converges to one component (diameter stress)") {
+  test("chain graph converges in O(log diameter) rounds (pointer jumping)") {
     val n = 64
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val cc = Graph.connectedComponents(edges, maxIter = 80)
+    // a diameter-63 path MUST converge within 10 rounds — pure neighbor
+    // propagation would need ~32; path halving needs ~log2(63)+slack
+    val cc = Graph.connectedComponents(edges, maxIter = 10)
     assert(cc.select(countDistinct("component")).head().getLong(0) === 1L)
     assert(cc.count() === n)
   }
