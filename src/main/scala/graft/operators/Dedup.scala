@@ -204,6 +204,9 @@ object Dedup {
     val dropped = Graph.connectedComponents(pairs)
       .filter(col("component") =!= col("v"))
       .select(col("v").as(idCol))
+    // CC materialized eagerly through the cached shingles; the returned
+    // frame only reads docs + the checkpointed labels, so release now
+    sh.unpersist()
     docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -317,6 +317,25 @@ object ExtendedOps {
         .orderBy("l_returnflag")
     },
 
+    // ---- approx quantiles (KLL-style rank sketch), tolerance-gated like
+    //      q57: rank error <= 1/accuracy of n rows, and l_quantity sits on
+    //      an integer grid, so the sketch median must land within 1.0 of
+    //      the exact median — the oracle asserts that verdict. ----
+    Q("q89_approx_quantiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_median,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"),
+          expr("percentile(l_quantity, 0.5)").as("exact_median"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx_median") - col("exact_median")) <= 1.0).as("approx_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- HLL sketch distinct, range-gated: the sketch estimate itself is
     //      engine-specific (can't cross-hash), so the query emits the exact
     //      count plus a WITHIN-TOLERANCE flag the oracle asserts true —

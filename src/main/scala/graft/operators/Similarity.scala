@@ -101,6 +101,9 @@ object Similarity {
     val dropped = Graph.connectedComponents(pairs)
       .filter(col("component") =!= col("v"))
       .select(col("v").as(idCol))
+    // CC materialized eagerly through the cached buckets; the returned
+    // frame only reads emb + the checkpointed labels, so release now
+    p.unpersist()
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
