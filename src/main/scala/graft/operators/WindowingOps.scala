@@ -39,6 +39,30 @@ object WindowingOps {
       s.table(name).orderBy("ws", "event_type")
     },
 
+    // ---- streaming exact dedup, hash-gated: the SAME event file feeds two
+    //      file-source streams (genuine duplicate delivery across
+    //      micro-batches); dropDuplicates on the stream must reconstruct
+    //      the batch table exactly. Production uses
+    //      dropDuplicatesWithinWatermark (bounded state, EventStreams
+    //      .dedupedStream); the unbounded form is used here because the
+    //      within-watermark guarantee is deliberately weaker than the
+    //      bit-exact oracle. ----
+    Q("q90_stream_dedup",
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val path = s"$d/events.parquet"
+      val stream = EventStreams.readEventStream(s, path)
+        .union(EventStreams.readEventStream(s, path))
+        .dropDuplicates("event_id")
+      val name = s"q90_stream_sink_${sinkId.incrementAndGet()}"
+      val query = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    },
+
     // ---- interval join (the stream-stream shape, batch-checked): each
     //      purchase joined to the same user's clicks in the preceding 30
     //      minutes. The SAME function runs behind readStream with both
