@@ -52,4 +52,38 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightPayload.map { case (_, a) => col(s"_match.$a").as(a) }: _*)
   }
+
+  /** Same semantics on the custom PHYSICAL operator (SURVEY §7.3 rung (c)):
+    * [[graft.plans.AsOfJoinNode]] plans to
+    * [[graft.plans.AsOfMergeJoinExec]] via the injected
+    * [[graft.plans.AsOfJoinStrategy]] — a streamed merge with a single
+    * forward right-cursor per partition instead of a window buffer over
+    * the unioned rows. Key/ts columns must be integral/timestamp. */
+  def asOfMerge(left: DataFrame, right: DataFrame,
+                keyL: String, keyR: String, tsL: String, tsR: String,
+                rightPayload: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    graft.plans.GraftExtensions.install(left.sparkSession)
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${out.map(_.name)}"))
+    // All renaming happens INSIDE a right-side Project: (a) fresh attribute
+    // ids so the two sides never collide when they derive from the same
+    // base table, (b) payload columns take their output names here, because
+    // the analyzer's CleanupAliases strips Alias nodes held by non-Project
+    // operators — the custom node must carry bare attributes only.
+    val pay = rightPayload.map { case (c, a) => Alias(attr(rp0.output, c), a)() }
+    val kR = Alias(attr(rp0.output, keyR), "_graft_kr")()
+    val tR = Alias(attr(rp0.output, tsR), "_graft_tr")()
+    val rp = Project(pay ++ Seq(kR, tR), rp0)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lp, rp,
+        attr(lp.output, keyL), kR.toAttribute,
+        attr(lp.output, tsL), tR.toAttribute,
+        pay.map(_.toAttribute)))
+  }
 }

@@ -28,6 +28,25 @@ object ExtendedOps {
         .orderBy("event_id")
     },
 
+    // ---- as-of join on the custom PHYSICAL operator (same semantics and
+    //      oracle as q53; plan is AsOfMergeJoinExec via the injected
+    //      strategy instead of the composed window) ----
+    Q("q91_asof_merge_join",
+      """SELECT a.event_id, a.user_id, b.event_id AS click_id, b.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      AsOfJoin.asOfMerge(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "click"),
+          keyL = "user_id", keyR = "user_id", tsL = "ts", tsR = "ts",
+          rightPayload = Seq("event_id" -> "click_id", "ts" -> "click_ts"))
+        .select("event_id", "user_id", "click_id", "click_ts")
+        .orderBy("event_id")
+    },
+
     // ---- CUBE grouping sets ----
     Q("q54_cube",
       """SELECT l_returnflag, l_linestatus, count(*) AS n

@@ -51,10 +51,14 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point (config:
-  * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`): the optimizer
+  * rewrite plus the planner strategy for graft's whole-operator plans
+  * (as-of merge join). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DotProductRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -63,5 +67,7 @@ object GraftExtensions {
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(DotProductRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ DotProductRewrite
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
   }
 }

@@ -17,3 +17,14 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
 }
+
+/** Bridge for constructing a DataFrame from a raw (already-resolved)
+  * LogicalPlan — `Dataset.ofRows` is `private[sql]`. Used by graft's custom
+  * whole-operator plans (e.g. the as-of merge join node). */
+object PlanBridge {
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

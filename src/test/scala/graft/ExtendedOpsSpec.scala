@@ -31,6 +31,40 @@ class ExtendedOpsSpec extends SparkTestBase {
       ("p1", Some(101L)), ("p2", Some(102L)), ("p3", None)))
   }
 
+  test("asOfMerge (custom physical op) semantics match the crafted fixture") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3"))
+      .toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // tie -> matches (>=)
+      (1L, ts("2024-01-01 11:00:00"), 102L),
+      (2L, ts("2024-01-01 23:00:00"), 103L)) // after p3 -> not matched
+      .toDF("user_id", "ts", "click_id")
+    val out = AsOfJoin.asOfMerge(left, right, "user_id", "user_id", "ts", "ts",
+        Seq("click_id" -> "click_id"))
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.get(r.fieldIndex("click_id")))))
+    assert(out.toSeq === Seq(
+      ("p1", Some(101L)), ("p2", Some(102L)), ("p3", None)))
+  }
+
+  test("asOfMerge equals the composed window form on the events fixture") {
+    val ev = Tables.t(spark, Sf, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "click")
+    val payload = Seq("event_id" -> "click_id", "ts" -> "click_ts")
+    val composed = AsOfJoin.asOf(l, r, "user_id", "user_id", "ts", "ts", payload)
+      .collect().map(_.toSeq).toSet
+    val merged = AsOfJoin.asOfMerge(l, r, "user_id", "user_id", "ts", "ts", payload)
+      .collect().map(_.toSeq).toSet
+    assert(merged === composed)
+    assert(merged.nonEmpty)
+  }
+
   test("asOf plan: exactly one exchange (single shuffle by key)") {
     val ev = Tables.t(spark, Sf, "events")
     val df = AsOfJoin.asOf(

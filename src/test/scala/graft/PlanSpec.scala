@@ -125,6 +125,14 @@ class PlanSpec extends SparkTestBase {
     assert(windowLines.forall(_.contains("source#")), p)
   }
 
+  test("q91: as-of runs on the custom physical operator, not a window buffer") {
+    val p = planOf(q("q91_asof_merge_join"))
+    assert(p.contains("AsOfMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // co-partitioned: exactly one exchange per side feeding the merge
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("entry flagship broadcasts dims and aggregates exactly once per region") {
     val df = SparkEntry.entry(spark)
     val p = planOf(df)
