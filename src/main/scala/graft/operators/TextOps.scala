@@ -152,6 +152,71 @@ object TextOps {
         .agg(count(lit(1)).as("num"))
         .orderBy(col("num").desc, col("bg"))
         .limit(20)
+    },
+
+    // ---- CDC-style latest snapshot: newest record per key (ts desc,
+    //      id desc tie-break) — the latest-record-wins compaction every
+    //      incremental pipeline runs; one shuffle, rank inside window ----
+    Q("q92_latest_snapshot",
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))
+        .orderBy("user_id")
+    },
+
+    // ---- winnowing fingerprints (k-gram hash + window-min selection, the
+    //      MOSS document-fingerprinting scheme): per char position a hashed
+    //      k-gram; each w-window contributes its MIN hash; the distinct
+    //      selected hashes are the document's fingerprints. All md5-integer
+    //      math — engine-exact; narrow explode + two-phase agg. ----
+    Q("q93_winnow_fingerprints", {
+      val k = 8; val w = 4
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, CAST(len(text) - ${k - 1} AS BIGINT) + 1),
+         |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), $k)), 1, 8)) AS BIGINT))) AS h,
+         |    unnest(range(1, CAST(len(text) - ${k - 1} AS BIGINT) + 1)) AS pos
+         |  FROM documents WHERE len(text) >= $k),
+         |wmin AS (
+         |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+         |    pos, count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM g),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - ${w - 1})
+         |SELECT doc_id, count(*) AS n_fp, CAST(SUM(fp) AS BIGINT) AS fp_sum
+         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 8; val w = 4
+      val grams = Tables.t(s, d, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, length(text) - ${k - 1}), i -> " +
+              s"CAST(conv(substr(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT))"))
+            .as(Seq("pos0", "h")))
+      val byPos = Window.partitionBy("doc_id").orderBy("pos0")
+        .rowsBetween(Window.currentRow, w - 1)
+      val all = Window.partitionBy("doc_id")
+      grams
+        .withColumn("fp", min("h").over(byPos))
+        .withColumn("ng", count(lit(1)).over(all))
+        .filter(col("pos0") <= col("ng") - w) // pos0 is 0-based; windows w wide
+        .select("doc_id", "fp").distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
+        .orderBy("doc_id")
     }
   )
 }
