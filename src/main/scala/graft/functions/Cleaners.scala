@@ -45,14 +45,15 @@ object Cleaners {
 
   /** T2 — Dutch postcode normalization, py:129:
     * `v.lstrip()[0:4] + " " + v.rstrip()[-2:]` — UNCONDITIONAL, idempotent
-    * on already-correct `NNNN AA`. Strips ALL whitespace (\s), not just
-    * spaces, matching Python's lstrip/rstrip and the registered nl_postcode
-    * UDF (Spark's ltrim/rtrim are space-only and would disagree on
-    * tab/newline padding). */
+    * on already-correct `NNNN AA`. Strips ALL whitespace — (?U) makes \s
+    * match Unicode whitespace (NBSP etc.) exactly like Python's
+    * lstrip/rstrip; Spark's ltrim/rtrim are space-only and plain Java \s
+    * is ASCII-only, both of which would diverge from the reference on
+    * tab/newline/NBSP padding. */
   def nlPostcode(v: Column): Column =
     concat(
-      substring(regexp_replace(v, "^\\s+", ""), 1, 4), lit(" "),
-      substring(regexp_replace(v, "\\s+$", ""), -2, 2))
+      substring(regexp_replace(v, "(?U)^\\s+", ""), 1, 4), lit(" "),
+      substring(regexp_replace(v, "(?U)\\s+$", ""), -2, 2))
 
   /** T3 — Dutch phone normalization, py:131–146: strip non-digits, then case
     * on digit count. All seven branches of the reference, same order. */
@@ -72,7 +73,7 @@ object Cleaners {
     spark.udf.register("nl_postcode", (v: String) => {
       if (v == null) null
       else {
-        val l = v.replaceAll("^\\s+", ""); val r = v.replaceAll("\\s+$", "")
+        val l = v.replaceAll("(?U)^\\s+", ""); val r = v.replaceAll("(?U)\\s+$", "")
         l.substring(0, math.min(4, l.length)) + " " +
           r.substring(math.max(0, r.length - 2))
       }

@@ -44,7 +44,10 @@ object AsOfJoin {
     val rAligned = r.select(
       Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+    // _p as the final sort key: among right rows with IDENTICAL (key, ts),
+    // the retained payload is the struct-max — deterministic regardless of
+    // shuffle order (and consistent with AsOfMergeJoinExec's tie-break)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(rAligned)
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -30,18 +30,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Snapshot a small iteration frame: truncate lineage and persist, keeping
-    * the RDD handle so the PREVIOUS round can be unpersisted (Dataset
-    * .localCheckpoint exposes no handle to its persisted RDD). */
-  private def snapshot(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
+  /** Snapshot an iteration frame: truncate lineage and persist, keeping the
+    * RDD handle so the PREVIOUS round can be unpersisted and its reliable-
+    * checkpoint files deleted (Dataset.localCheckpoint exposes neither).
+    * Stays at the InternalRow layer end to end (graftbridge) — no external
+    * Row encoding per round. The map(_.copy()) is required before
+    * persisting: the scan reuses UnsafeRow buffers. */
+  private def snapshot(df: DataFrame): (DataFrame, RDD[_]) = {
+    import org.apache.spark.sql.graftbridge.InternalRowBridge
+    val rdd = InternalRowBridge.toRdd(df).map(_.copy())
     if (rdd.context.getCheckpointDir.isDefined) {
       rdd.persist(StorageLevel.MEMORY_AND_DISK)
       rdd.checkpoint()
     } else {
       rdd.localCheckpoint()
     }
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    (InternalRowBridge.ofInternalRows(df.sparkSession, rdd, df.schema), rdd)
+  }
+
+  /** Release a superseded snapshot: unpersist its blocks AND delete its
+    * reliable-checkpoint files (Spark never cleans those by default —
+    * without this a long job leaks one checkpoint dir per round). */
+  private def release(rdd: RDD[_]): Unit = {
+    rdd.unpersist()
+    rdd.getCheckpointFile.foreach { path =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(rdd.context.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () } // best-effort cleanup
+    }
   }
 
   /** Connected components of an undirected edge list (columns src, dst —
@@ -64,8 +81,14 @@ object Graph {
         .select(col("a").as("v"), col("component"))
       // pointer jump (path halving): v can also adopt its LABEL's label —
       // every component id is itself a vertex with a labels row, so this
-      // join always resolves; it is what makes rounds logarithmic
+      // join always resolves; it is what makes rounds logarithmic. Root
+      // rows (component == v) jump to themselves and are excluded. The
+      // join key IS the component id — a near-converged giant component
+      // makes it a hot key by construction; AQE's skew-join splitting
+      // (on by default) is the runtime mitigation, the same one every
+      // star-contraction CC formulation relies on.
       val jumped = labels.as("x")
+        .filter(col("component") =!= col("v"))
         .join(labels.select(col("v").as("cv"), col("component").as("cc")),
           col("x.component") === col("cv"))
         .select(col("x.v").as("v"), col("cc").as("component"))
@@ -77,7 +100,7 @@ object Graph {
       // materializes nextRdd (and the reliable checkpoint, when configured)
       changed = next.join(labels.withColumnRenamed("component", "old"), "v")
         .filter(col("component") =!= col("old")).count()
-      labelsRdd.unpersist()
+      release(labelsRdd)
       labels = next
       labelsRdd = nextRdd
       iter += 1

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -60,6 +60,13 @@ object Similarity {
     math.min(24, math.max(2, raw))
   }
 
+  /** Multi-probe set for a bucket: the bucket itself plus every hamming-1
+    * flip — ONE definition shared by the kNN and keep-list paths (and
+    * mirrored by the DuckDB probe replicas in SimilarityOps). */
+  private def probeArray(bucket: Column, planes: Int): Column =
+    array((Seq(bucket) ++
+      (0 until planes).map(i => bucket.bitwiseXOR(lit(1L << i)))): _*)
+
   /** Random-hyperplane LSH bucket per vector. */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dim: Int): DataFrame =
@@ -84,9 +91,7 @@ object Similarity {
       .withColumn("bucket", lshBucketExpr("q", planes, dim)).cache()
     val probes = p.select(
       col(idCol).as("id_a"), col("q").as("qa"), col("nsq").as("na"),
-      explode(array((Seq(col("bucket")) ++
-        (0 until planes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*))
-        .as("probe"))
+      explode(probeArray(col("bucket"), planes)).as("probe"))
     val cand = probes.join(
       p.select(col(idCol).as("id_b"), col("q").as("qb"), col("nsq").as("nb"),
         col("bucket").as("cbucket")),
@@ -139,9 +144,7 @@ object Similarity {
       .select(col(idCol).as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"), col("bucket"))
     val probes = qp
-      .withColumn("probe", explode(array(
-        (Seq(col("bucket")) ++
-          (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+      .withColumn("probe", explode(probeArray(col("bucket"), planes)))
     val scored = probes
       .join(cp.withColumnRenamed("bucket", "cbucket"),
         col("probe") === col("cbucket") && col("qid") =!= col(idCol))

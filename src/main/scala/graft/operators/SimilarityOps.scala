@@ -159,12 +159,13 @@ object SimilarityOps {
          |       GROUP BY l2.v, l2.l)
          |SELECT v AS vec_id FROM l3 WHERE l = v ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      // adaptivePlanes(500 vectors @ sf0.01) = 4, which the static oracle
-      // SQL pins; at larger SFs the plane count grows with the corpus
-      // (no oracle compare runs there — the driver gates at sf0.01)
-      val emb = Tables.t(s, d, "embeddings")
-      Similarity.nearDupKeepList(emb, "vec_id", "embedding", 0.45,
-          Similarity.adaptivePlanes(emb.count()), Dim)
+      // planes pinned to 4 = adaptivePlanes(500 @ sf0.01) because the
+      // oracle SQL is static text — a data-dependent plane count would
+      // desync the gate at any other SF (and cost an eager count() per
+      // run). Library callers at scale pass adaptivePlanes(n) instead
+      // (spec-tested in VectorSpec).
+      Similarity.nearDupKeepList(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", 0.45, 4, Dim)
         .orderBy("vec_id")
     }
   )

@@ -56,7 +56,11 @@ case class AsOfMergeJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(keyL, Ascending), SortOrder(tsL, Ascending)),
-      Seq(SortOrder(keyR, Ascending), SortOrder(tsR, Ascending)))
+      // payload columns break (key, ts) ties on the right: without them
+      // duplicate-timestamp right rows would make which payload "wins"
+      // depend on shuffle-internal order — nondeterministic output
+      Seq(SortOrder(keyR, Ascending), SortOrder(tsR, Ascending)) ++
+        payload.map(p => SortOrder(p.toAttribute, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 

@@ -32,13 +32,16 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val q = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, q.numElements())
+    // shorter-than-dim arrays: the subscripting HOF reference errors under
+    // ANSI; this expression is total instead — bucket 0, the value the
+    // null-tolerant get() formulation null-poisons to
+    if (q.numElements() < dim) return 0L
     var bucket = 0L
     var p = 0
     while (p < planes) {
       var acc = 0L
       var d = 0
-      while (d < n) {
+      while (d < dim) {
         acc += q.getLong(d) * ((p.toLong * 73856093L + d.toLong * 19349663L) % 2001L - 1000L)
         d += 1
       }
@@ -52,19 +55,19 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
     nullSafeCodeGen(ctx, ev, q => {
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
       s"""
-         |int $n = $dim < $q.numElements() ? $dim : $q.numElements();
          |long $bucket = 0L;
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  long $acc = 0L;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $acc += $q.getLong($d) *
-         |      (((long) $p * 73856093L + (long) $d * 19349663L) % 2001L - 1000L);
+         |if ($q.numElements() >= $dim) {
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    long $acc = 0L;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += $q.getLong($d) *
+         |        (((long) $p * 73856093L + (long) $d * 19349663L) % 2001L - 1000L);
+         |    }
+         |    if ($acc >= 0) $bucket |= 1L << $p;
          |  }
-         |  if ($acc >= 0) $bucket |= 1L << $p;
          |}
          |${ev.value} = $bucket;
        """.stripMargin

@@ -66,6 +66,8 @@ class CleanersSpec extends SparkTestBase {
     // agree with the reference's lstrip()/rstrip() and the registered UDF
     assert(postcodeOf("\t1074CM\n") === "1074 CM")
     assert(postcodeOf(" \t 1074 \n CM \r\n") === "1074 CM")
+    // Unicode whitespace (NBSP) — Python's lstrip/rstrip strips it too
+    assert(postcodeOf(" 1074CM ") === "1074 CM")
     graft.functions.Cleaners.register(spark)
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}

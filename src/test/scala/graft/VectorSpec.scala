@@ -145,6 +145,19 @@ class VectorSpec extends SparkTestBase {
     val viaCol = q.limit(5).select(VectorFunctions.lshBucketExpr("q", 12, 64))
       .collect().map(_.getLong(0))
     assert(viaSql.toSeq === viaCol.toSeq)
+    // shorter-than-dim arrays: under ANSI the subscripting HOF ERRORS, so
+    // the expression extends it totally — bucket 0, matching what the
+    // null-tolerant get() formulation null-poisons to
+    val shortArr = spark.sql(
+      """SELECT graft_lsh_bucket(array(5L, -3L), 4, 64) AS fast,
+        |  aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, p) -> acc +
+        |    IF(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        |         (a2, d) -> a2 + get(array(5L, -3L), d) *
+        |           ((CAST(p AS BIGINT) * 73856093 + CAST(d AS BIGINT) * 19349663) % 2001 - 1000)) >= 0,
+        |       shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS ref
+        |""".stripMargin).head()
+    assert(shortArr.getLong(0) === 0L)
+    assert(shortArr.getLong(0) === shortArr.getLong(1))
   }
 
   test("adaptivePlanes tracks corpus size; sf0.01 pins the q83 oracle at 4") {
