@@ -197,23 +197,12 @@ object TextOps {
          |SELECT doc_id, count(*) AS n_fp, CAST(SUM(fp) AS BIGINT) AS fp_sum
          |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 8; val w = 4
-      val grams = Tables.t(s, d, "documents")
-        .filter(length(col("text")) >= k)
+      // whole winnow (gram hash + window min + dedupe) runs inside the
+      // narrow WinnowRows generator — the only shuffle is the per-doc
+      // aggregation of the selected fingerprints
+      Tables.t(s, d, "documents")
         .select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(1, length(text) - ${k - 1}), i -> " +
-              s"CAST(conv(substr(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT))"))
-            .as(Seq("pos0", "h")))
-      val byPos = Window.partitionBy("doc_id").orderBy("pos0")
-        .rowsBetween(Window.currentRow, w - 1)
-      val all = Window.partitionBy("doc_id")
-      grams
-        .withColumn("fp", min("h").over(byPos))
-        .withColumn("ng", count(lit(1)).over(all))
-        .filter(col("pos0") <= col("ng") - w) // pos0 is 0-based; windows w wide
-        .select("doc_id", "fp").distinct()
+          graft.plans.GraftFunctions.winnowRows(col("text"), 8, 4).as("fp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
         .orderBy("doc_id")

@@ -26,6 +26,11 @@ object GraftFunctions {
   def shingleRows(text: Column, n: Int, distinct: Boolean = true): Column =
     ColumnBridge.column(WordShingleRows(ColumnBridge.expression(text), n, distinct))
 
+  /** Winnowing fingerprint generator — one row per distinct fingerprint:
+    * df.select(col("id"), winnowRows(col("text"), 8, 4).as("fp")) */
+  def winnowRows(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowRows(ColumnBridge.expression(text), k, w))
+
   /** Codegen'd hyperplane-LSH bucket of a quantized array<bigint> vector. */
   def lshBucket(q: Column, planes: Int, dim: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(q), planes, dim))
