@@ -70,4 +70,51 @@ object Multimodal {
     val media = withPayload(docs, "doc_id", "text").as[MediaRecord]
     decodeFeatures(media).toDF()
   }
+
+  /** One sampled frame of a media payload. */
+  case class FrameRecord(
+      media_id: Long,
+      frame_idx: Long,  // index in the ORIGINAL frame sequence
+      frame: Array[Byte],
+      frame_bytes: Long)
+
+  /** STUB frame sampling (video modality): treat the payload as a sequence
+    * of fixed-size pseudo-frames, keep every `everyNth` frame up to
+    * `maxFrames`. A real decoder would demux/seek keyframes inside the same
+    * flatMap — the dataflow (typed rows out, one per frame, partition-wise,
+    * nothing driver-side) is the production shape. Deterministic, so the
+    * per-media frame COUNTS are oracle-checkable from n_bytes alone. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   everyNth: Int, maxFrames: Int): Dataset[FrameRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameRecord]
+    media.flatMap { r =>
+      val nChunks = (r.payload.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, nChunks)
+        .filter(_ % everyNth == 0)
+        .take(maxFrames)
+        .map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          FrameRecord(r.media_id, i.toLong,
+            java.util.Arrays.copyOfRange(r.payload, from, until),
+            (until - from).toLong)
+        }
+    }
+  }
+
+  /** STUB resize (image modality): normalize every payload to exactly
+    * `targetBytes` (truncate or zero-pad) — the fixed-resolution analog; a
+    * real implementation decodes, scales, re-encodes in the same
+    * partition-wise map. Output schema/metadata stay consistent with
+    * [[MediaRecord]] so downstream ops are unchanged. */
+  def resized(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    media.mapPartitions { it =>
+      // per-partition codec context would be created here
+      it.map { r =>
+        val out = java.util.Arrays.copyOf(r.payload, targetBytes)
+        r.copy(payload = out, n_bytes = targetBytes.toLong)
+      }
+    }
+  }
 }

@@ -48,6 +48,31 @@ object MultimodalOps {
             .as("vec_norm_sq"),
           col("label"))
         .orderBy("doc_id")
+    },
+
+    // ---- frame sampling (video-modality shape): payload as 256-byte
+    //      pseudo-frames, every 3rd kept, max 5. Frame PAYLOADS are
+    //      spec-checked (MultimodalSpec); the per-media sample METADATA is
+    //      pure arithmetic over n_bytes, which the oracle replays. ----
+    Q("q94_multimodal_frames",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT media_id, (n_bytes + 255) // 256 AS n_chunks FROM m
+        |      WHERE n_bytes > 0)
+        |SELECT media_id,
+        |  CAST(least(5, (n_chunks + 2) // 3) AS BIGINT) AS n_frames,
+        |  CAST((least(5, (n_chunks + 2) // 3) - 1) * 3 AS BIGINT) AS last_frame_idx
+        |FROM c ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .withPayload(Tables.t(s, d, "documents"), "doc_id", "text")
+        .as[graft.multimodal.Multimodal.MediaRecord]
+      graft.multimodal.Multimodal.sampleFrames(media, 256, 3, 5).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("last_frame_idx"))
+        .orderBy("media_id")
     }
   )
 }

@@ -41,6 +41,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(mismatch.count() === 0)
   }
 
+  test("frame sampling: chunk boundaries, stride, cap, and byte content") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val frames = Multimodal.sampleFrames(media, 256, 3, 5).collect()
+    val payloads = media.collect().map(r => r.media_id -> r.payload).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val p = payloads(f.media_id)
+      assert(f.frame_idx % 3 === 0) // stride respected
+      val from = (f.frame_idx * 256).toInt
+      val until = math.min(from + 256, p.length)
+      assert(f.frame_bytes === (until - from).toLong)
+      assert(java.util.Arrays.equals(f.frame,
+        java.util.Arrays.copyOfRange(p, from, until))) // exact byte slice
+    }
+    val perMedia = frames.groupBy(_.media_id).values
+    assert(perMedia.forall(_.length <= 5)) // cap respected
+  }
+
+  test("resize stub normalizes every payload to the target size") {
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.resized(media, 128).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.payload.length === 128 && r.n_bytes === 128L))
+    // truncation keeps the original prefix; padding is zeros
+    val orig = media.collect().map(r => r.media_id -> r.payload).toMap
+    out.foreach { r =>
+      val p = orig(r.media_id)
+      val n = math.min(128, p.length)
+      assert(java.util.Arrays.equals(r.payload.take(n), p.take(n)))
+      assert(r.payload.drop(n).forall(_ === 0.toByte))
+    }
+  }
+
   test("decode runs partition-wise (one task per partition, no collect)") {
     val media = Multimodal.withPayload(docs, "doc_id", "text")
       .repartition(4).as[Multimodal.MediaRecord]
