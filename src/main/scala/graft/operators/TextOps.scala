@@ -154,6 +154,24 @@ object TextOps {
         .limit(20)
     },
 
+    // ---- regex (BPE-ish pre-tokenization) token stats: tokensRe splits on
+    //      non-letter/number runs; the oracle uses the extract-all identity
+    //      (tokens == matches of the complement class), RE2 and Java agree
+    //      on \p{L}/\p{N} ----
+    Q("q95_token_regex",
+      """SELECT source, count(*) AS ndocs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))) AS BIGINT) AS total_re_tokens,
+        |  CAST(MAX(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))) AS INTEGER) AS max_re_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("source"), size(tokensRe(col("text"))).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ndocs"),
+          sum(col("n").cast("long")).as("total_re_tokens"),
+          max("n").as("max_re_tokens"))
+        .orderBy("source")
+    },
+
     // ---- CDC-style latest snapshot: newest record per key (ts desc,
     //      id desc tie-break) — the latest-record-wins compaction every
     //      incremental pipeline runs; one shuffle, rank inside window ----
