@@ -25,6 +25,23 @@ object ProfileOps {
         .orderBy("column_name")
     },
 
+    // ---- the 100 TB profiling knob, gated: HLL distinct per column with
+    //      an in-query tolerance verdict the oracle asserts ----
+    Q("q96_profile_approx", {
+      val per = OrderCols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT count(*) FROM orders) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  TRUE AS approx_ok
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$per\n) t ORDER BY column_name"
+    }) { (s, d) =>
+      Profile.columnStatsApprox(Tables.t(s, d, "orders"), OrderCols)
+        .orderBy("column_name")
+    },
+
     Q("q67_referential_integrity",
       """SELECT
         |  (SELECT count(*) FROM lineitem) AS n_child,
