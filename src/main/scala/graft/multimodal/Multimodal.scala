@@ -86,19 +86,26 @@ object Multimodal {
     * per-media frame COUNTS are oracle-checkable from n_bytes alone. */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
                    everyNth: Int, maxFrames: Int): Dataset[FrameRecord] = {
+    require(frameBytes > 0 && everyNth > 0 && maxFrames > 0,
+      s"frameBytes=$frameBytes, everyNth=$everyNth, maxFrames=$maxFrames must be positive")
     implicit val enc = org.apache.spark.sql.Encoders.product[FrameRecord]
     media.flatMap { r =>
-      val nChunks = (r.payload.length + frameBytes - 1) / frameBytes
-      Iterator.range(0, nChunks)
-        .filter(_ % everyNth == 0)
-        .take(maxFrames)
-        .map { i =>
-          val from = i * frameBytes
-          val until = math.min(from + frameBytes, r.payload.length)
-          FrameRecord(r.media_id, i.toLong,
-            java.util.Arrays.copyOfRange(r.payload, from, until),
-            (until - from).toLong)
-        }
+      // null payload (e.g. NULL source text) samples nothing — same row the
+      // metadata oracle drops via n_bytes. Long math: byte arrays can reach
+      // 2^31-1, where (len + frameBytes - 1) overflows Int.
+      if (r.payload == null) Iterator.empty
+      else {
+        val nChunks = ((r.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+        Iterator.range(0, nChunks, everyNth)
+          .take(maxFrames)
+          .map { i =>
+            val from = i * frameBytes
+            val until = math.min(from.toLong + frameBytes, r.payload.length).toInt
+            FrameRecord(r.media_id, i.toLong,
+              java.util.Arrays.copyOfRange(r.payload, from, until),
+              (until - from).toLong)
+          }
+      }
     }
   }
 
@@ -108,12 +115,15 @@ object Multimodal {
     * partition-wise map. Output schema/metadata stay consistent with
     * [[MediaRecord]] so downstream ops are unchanged. */
   def resized(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
     media.mapPartitions { it =>
       // per-partition codec context would be created here
       it.map { r =>
-        val out = java.util.Arrays.copyOf(r.payload, targetBytes)
-        r.copy(payload = out, n_bytes = targetBytes.toLong)
+        if (r.payload == null) r // null media passes through undecoded
+        else r.copy(
+          payload = java.util.Arrays.copyOf(r.payload, targetBytes),
+          n_bytes = targetBytes.toLong)
       }
     }
   }

@@ -13,50 +13,65 @@ import org.apache.spark.sql.functions._
   * only acceptable shape. */
 object Profile {
 
+  /** Shared single-pass profile scaffold: all per-column aggregates in one
+    * Aggregate node, then a stack unpivot to one row per column. `perCol`
+    * supplies the suffixed aggregate columns per input column; `fields`
+    * names the unpivoted (suffix -> output field) mapping in order. */
+  private def profiled(df: DataFrame, cols: Seq[String],
+                       perCol: String => Seq[Column],
+                       fields: Seq[(String, String)]): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("_n")) ++ cols.flatMap(perCol)
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      (s"'$c'" +: fields.map { case (suffix, _) => s"${c}__$suffix" })
+        .mkString(", ")).mkString(", ")
+    val outFields = fields.map(_._2).mkString(", ")
+    row.selectExpr("_n",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, $outFields)")
+      .select(col("column_name") +: col("_n").as("n_rows") +:
+        fields.map { case (_, f) => col(f) }: _*)
+  }
+
   /** Per-column stats: (column_name, n_rows, n_nulls, n_distinct, min_str,
     * max_str). min/max rendered as strings so heterogeneous columns fit one
     * result schema. */
-  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
-      Seq(
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    profiled(df, cols,
+      c => Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot: one output row per column (stack is a single Generate)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
-    row.selectExpr("_n",
-        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_str, max_str)")
-      .select(col("column_name"), col("_n").as("n_rows"),
-        col("n_nulls"), col("n_distinct"), col("min_str"), col("max_str"))
-  }
+        max(col(c)).cast("string").as(s"${c}__max")),
+      Seq("nulls" -> "n_nulls", "distinct" -> "n_distinct",
+        "min" -> "min_str", "max" -> "max_str"))
 
-  /** The 100 TB variant of [[columnStats]]: exact countDistinct triples the
-    * aggregation's expand factor (one row per distinct-agg per input row);
-    * HLL sketches keep the profile a single cheap pass. Emits the exact
-    * count alongside a within-`tol` verdict so the sketch is itself
-    * gate-checkable (same pattern as the q57/q89 sketch gates). */
+  /** The 100 TB profiling variant: HLL sketch distinct per column — exact
+    * countDistinct multiplies the aggregation's expand factor by the number
+    * of distinct aggs, the sketch keeps the profile one cheap pass.
+    * Default (`withVerdict = false`) is the production shape: sketch only,
+    * (column_name, n_rows, n_nulls, n_distinct_approx). With
+    * `withVerdict = true` it ALSO computes the exact count and a
+    * within-`tol` verdict — the gate-check shape (q96, same pattern as the
+    * q57/q89 sketch gates), which deliberately pays the exact cost. */
   def columnStatsApprox(df: DataFrame, cols: Seq[String],
-                        rsd: Double = 0.02, tol: Double = 0.05): DataFrame = {
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
-      Seq(
-        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__exact"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__approx"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__exact, ${c}__approx").mkString(", ")
-    row.selectExpr("_n",
-        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, n_approx)")
-      .select(col("column_name"), col("_n").as("n_rows"),
-        col("n_nulls"), col("n_distinct"),
-        (abs(col("n_approx") - col("n_distinct"))
-          <= col("n_distinct") * tol).as("approx_ok"))
-  }
+                        rsd: Double = 0.02, tol: Double = 0.05,
+                        withVerdict: Boolean = false): DataFrame =
+    if (!withVerdict)
+      profiled(df, cols,
+        c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          approx_count_distinct(col(c), rsd).as(s"${c}__approx")),
+        Seq("nulls" -> "n_nulls", "approx" -> "n_distinct_approx"))
+    else
+      profiled(df, cols,
+        c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__exact"),
+          approx_count_distinct(col(c), rsd).as(s"${c}__approx")),
+        Seq("nulls" -> "n_nulls", "exact" -> "n_distinct", "approx" -> "n_approx"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("n_approx") - col("n_distinct"))
+            <= col("n_distinct") * tol).as("approx_ok"))
 
   /** Referential integrity: count of child rows whose key has no parent
     * (anti join), plus totals. */

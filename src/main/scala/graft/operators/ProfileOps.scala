@@ -38,7 +38,8 @@ object ProfileOps {
       }.mkString("\nUNION ALL\n")
       s"SELECT * FROM (\n$per\n) t ORDER BY column_name"
     }) { (s, d) =>
-      Profile.columnStatsApprox(Tables.t(s, d, "orders"), OrderCols)
+      Profile.columnStatsApprox(Tables.t(s, d, "orders"), OrderCols,
+          withVerdict = true)
         .orderBy("column_name")
     },
 

@@ -164,7 +164,11 @@ object TextOps {
         |  CAST(MAX(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))) AS INTEGER) AS max_re_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       Tables.t(s, d, "documents")
-        .select(col("source"), size(tokensRe(col("text"))).as("n"))
+        // guard NULL text: size(NULL array) is -1 under the legacy default,
+        // which would poison the sums; null here is skipped by SUM/MAX in
+        // both engines
+        .select(col("source"),
+          when(col("text").isNotNull, size(tokensRe(col("text")))).as("n"))
         .groupBy("source")
         .agg(count(lit(1)).as("ndocs"),
           sum(col("n").cast("long")).as("total_re_tokens"),
