@@ -62,16 +62,26 @@ object Profile {
           count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
           approx_count_distinct(col(c), rsd).as(s"${c}__approx")),
         Seq("nulls" -> "n_nulls", "approx" -> "n_distinct_approx"))
-    else
-      profiled(df, cols,
+    else {
+      // gate-check mode: exact + sketch as TWO separate single-pass
+      // aggregations joined on column_name — mixing the HLL imperative
+      // buffer into the multi-countDistinct Expand forces a sort-based
+      // aggregate over the expanded rows (measured ~3x slower than the
+      // two clean passes combined)
+      val exact = profiled(df, cols,
         c => Seq(
           count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__exact"),
-          approx_count_distinct(col(c), rsd).as(s"${c}__approx")),
-        Seq("nulls" -> "n_nulls", "exact" -> "n_distinct", "approx" -> "n_approx"))
+          countDistinct(col(c)).as(s"${c}__exact")),
+        Seq("nulls" -> "n_nulls", "exact" -> "n_distinct"))
+      val approx = profiled(df, cols,
+        c => Seq(approx_count_distinct(col(c), rsd).as(s"${c}__approx")),
+        Seq("approx" -> "n_approx"))
+        .select(col("column_name"), col("n_approx"))
+      exact.join(broadcast(approx), "column_name")
         .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
           (abs(col("n_approx") - col("n_distinct"))
             <= col("n_distinct") * tol).as("approx_ok"))
+    }
 
   /** Referential integrity: count of child rows whose key has no parent
     * (anti join), plus totals. */
