@@ -65,6 +65,28 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(merged.nonEmpty)
   }
 
+  test("asOfMerge == composed form on random data with duplicate (key, ts)") {
+    val rnd = new scala.util.Random(11)
+    // small key/ts domains force collisions: duplicate timestamps per key
+    // on BOTH sides exercise the tie-break paths
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, ts(f"2024-01-01 10:${rnd.nextInt(10)}%02d:00"), i.toLong))
+      .toDF("user_id", "ts", "purchase_id")
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, ts(f"2024-01-01 10:${rnd.nextInt(10)}%02d:00"), i.toLong))
+      .toDF("user_id", "ts", "click_id")
+    val payload = Seq("click_id" -> "click_id")
+    val composed = AsOfJoin.asOf(left, right, "user_id", "user_id", "ts", "ts", payload)
+      .collect().map(_.toSeq).toSet
+    val merged = AsOfJoin.asOfMerge(left, right, "user_id", "user_id", "ts", "ts", payload)
+      .collect().map(_.toSeq).toSet
+    assert(merged === composed)
+    // determinism: a second run of each produces identical rows
+    val merged2 = AsOfJoin.asOfMerge(left, right, "user_id", "user_id", "ts", "ts", payload)
+      .collect().map(_.toSeq).toSet
+    assert(merged2 === merged)
+  }
+
   test("asOf plan: exactly one exchange (single shuffle by key)") {
     val ev = Tables.t(spark, Sf, "events")
     val df = AsOfJoin.asOf(

@@ -42,6 +42,34 @@ class GraphSpec extends SparkTestBase {
       s"persisted RDDs grew from $before to $after — iteration leak")
   }
 
+  test("random graphs: labels equal a reference union-find (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nV = 300
+      val edges = Seq.fill(250)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // reference: driver-side union-find with path compression
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component id = minimum member; union-find root is min because
+          // unions always attach the larger root under the smaller
+          find(v.toInt).toLong
+        }).toMap
+      val got = Graph.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial mismatch")
+    }
+  }
+
   test("near-dup pairs cluster into transitive dedup groups") {
     val docs = Tables.t(spark, Sf, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
