@@ -45,12 +45,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
                         maxShingleDf: Option[Int] = None): DataFrame = {
-    val compact0 = shingleRows(docs, idCol, textCol, n).cache()
+    val compact0 = shingleRows(docs, idCol, textCol, n)
+    // No cache: both join sides are the identical subtree, so ReuseExchange
+    // computes the shingle shuffle once — and unlike a cache the storage is
+    // released when the query finishes (a long-lived session calling this
+    // per-corpus must not accrete resident shingle tables).
     val compact = maxShingleDf match {
       case Some(cap) =>
-        val hot = compact0.groupBy("s")
-          .agg(count(lit(1)).as("df")).filter(col("df") > cap).select("s")
-        compact0.join(hot, Seq("s"), "left_anti")
+        // df via a window over the same hash-partition-by-s the join needs:
+        // one shuffle total, instead of a separate groupBy + anti-join pass
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        compact0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).drop("df")
       case None => compact0
     }
     val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
@@ -146,9 +152,12 @@ object Dedup {
     * occupancy, never n². */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    // no cache: the band self-join's two sides canonicalize identically, so
+    // ReuseExchange shares the signature+band shuffle (verified in PlanSpec);
+    // a cache here outlived the query and leaked storage for the session
     candidatesFromBands(
       lshBands(minhashSignatures(docs, idCol, textCol, n, numHashes),
-        idCol, numHashes, rowsPerBand).cache(),
+        idCol, numHashes, rowsPerBand),
       idCol)
 
   /** Band-bucket equi-join over precomputed (id, band_idx, band_hash) rows:

@@ -73,6 +73,17 @@ class PlanSpec extends SparkTestBase {
   test("q39: shingle self-join is a shuffled hash join, not a broadcast") {
     val p = planOf(q("q39_ngram_jaccard"))
     assert(p.contains("ShuffledHashJoin"), p)
+    // the two sides are the identical shingle subtree: the heavy shuffle
+    // must be computed once and reused, with NO resident cache (a cache here
+    // outlives the query and leaks storage for the session lifetime)
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("InMemoryRelation"), p)
+  }
+
+  test("q40: band self-join reuses the signature exchange instead of caching") {
+    val p = planOf(q("q40_minhash_lsh"))
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("InMemoryRelation"), p)
   }
 
   test("q59: TF-IDF document-frequency join never broadcasts the vocabulary") {
