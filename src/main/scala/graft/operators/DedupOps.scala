@@ -14,6 +14,11 @@ object DedupOps {
   private val NumHashes = 16
   private val RowsPerBand = 4
   private val SimhashBits = 16
+  // df cap for the gated skew-path query: high enough that planted dup
+  // pairs (whose shingles have df ~ 2) survive with jac >= 0.8, low enough
+  // that template shingles are actually pruned at sf0.01 (151 shingles
+  // there have df > 4, max df 7 — the cap branch genuinely executes)
+  private val JaccardCapDf = 4
 
   /** DuckDB 3-gram shingle CTE (1-based list indexing; matches
     * TextFunctions.wordShingles(n=3) incl. the <3-token empty case). */
@@ -91,6 +96,33 @@ object DedupOps {
          |WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- capped n-gram Jaccard: the corpus-scale skew path, gated. A
+    //      shingle shared by m docs emits m^2 join rows on ONE key; capping
+    //      document frequency bounds every bucket at cap^2. Per-doc totals
+    //      (na/nb) keep the FULL count, so jac is a lower bound and every
+    //      emitted pair is still genuinely >= the threshold. The oracle
+    //      replays the identical semantics: df via window count, join only
+    //      rows with df <= cap, totals from the uncapped shingle set. ----
+    Q("q97_ngram_jaccard_capped",
+      s"""WITH $ShingleCte,
+         |shc AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+         |  WHERE df <= $JaccardCapDf),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter,
+         |  CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) AS jac
+         |FROM pairs JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), "doc_id", "text",
+          3, 0.8, maxShingleDf = Some(JaccardCapDf))
         .orderBy("id_a", "id_b")
     },
 
