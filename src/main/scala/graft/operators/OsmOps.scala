@@ -30,8 +30,24 @@ object OsmOps {
       |</osm>
       |""".stripMargin
 
+  /** The shaped output of the fixed sample extract is fully deterministic
+    * (fixture above + the reference's cleaning semantics), so the oracle is
+    * the literal expected relation — this flips q68 from a rows-only check
+    * to the same hash-exact gate as every warehouse query. */
+  private val ExpectedSql =
+    """SELECT CAST(id AS BIGINT) AS id, "key", "value", "type" FROM (VALUES
+      |  (1, 'CEMT', 'II', 'regular'),
+      |  (1, 'name', 'Café Früh', 'regular'),
+      |  (1, 'phone', '020-555 9999', 'contact'),
+      |  (1, 'phone', '+31205551234', 'regular'),
+      |  (1, 'postcode', '1074 CM', 'addr'),
+      |  (1, 'right:surface:color', 'red', 'cycleway'),
+      |  (2, 'postcode', '1091GC', 'addr')
+      |) t(id, "key", "value", "type")
+      |ORDER BY id, "key", "type"""".stripMargin
+
   val defs: Seq[Q] = Seq(
-    Q("q68_osm_etl_pipeline", None) { (s, _) =>
+    Q("q68_osm_etl_pipeline", ExpectedSql) { (s, _) =>
       val dir = Files.createTempDirectory("graft-osmop")
       dir.toFile.deleteOnExit()
       val f = dir.resolve("sample.osm")
