@@ -33,7 +33,12 @@ object AsOfJoin {
            keyL: String, keyR: String, tsL: String, tsR: String,
            rightPayload: Seq[(String, String)]): DataFrame = {
     val payloadStruct = struct(rightPayload.map { case (c, a) => col(c).as(a) }: _*)
-    val r = right.select(
+    // A NULL right timestamp can never satisfy ts_r <= ts_l under ASOF
+    // semantics, but the window ORDER BY sorts NULLS FIRST — an unfiltered
+    // null-ts row would sort before everything and leak its payload into
+    // every left row. Dropping them keeps this form consistent with
+    // AsOfMergeJoinExec (which skips null-ts right rows) and SQL ASOF.
+    val r = right.filter(col(tsR).isNotNull).select(
       col(keyR).as("_k"), col(tsR).as("_t"), lit(0).as("_side"),
       payloadStruct.as("_p"))
     val payloadType = r.schema("_p").dataType

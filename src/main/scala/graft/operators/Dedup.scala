@@ -230,6 +230,9 @@ object Dedup {
     require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
     require(maxHamming <= bands - 1,
       s"banding only has full recall up to hamming ${bands - 1}")
+    // signature packs into one BIGINT and (1L << width) wraps at 64 — both
+    // cap the usable width at 63 bits
+    require(bits > 0 && bits <= 63, s"bits=$bits must be in 1..63")
     val width = bits / bands
     val mask = (1L << width) - 1
     val bandRows = simhash(docs, idCol, textCol, bits)
@@ -257,6 +260,8 @@ object Dedup {
     * hashes; each token occurrence votes ±1 per bit. All-integer math —
     * engine-exact. One shuffle (groupBy doc). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits > 0 && bits <= 63,
+      s"bits=$bits must be in 1..63 (signature packs into one BIGINT)")
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))

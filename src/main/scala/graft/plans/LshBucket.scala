@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
 case class LshBucket(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression {
 
+  // 1L << p wraps at 64 (Java shift is mod 64): planes beyond 63 would
+  // silently fold high planes onto low bits, colliding buckets instead of
+  // erroring. 63 keeps the packed bucket non-negative-or-not irrelevant but
+  // distinct per plane.
+  require(planes > 0 && planes <= 63,
+    s"planes=$planes must be in 1..63 (bucket bits pack into one BIGINT)")
+  require(dim > 0, s"dim=$dim must be positive")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

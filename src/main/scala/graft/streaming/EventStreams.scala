@@ -48,9 +48,13 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     // FileStreamSource requires a directory or glob; a single-file fixture
-    // path is wrapped in a {name} glob so its parent becomes the basePath
+    // path is wrapped in a {name} glob so its parent becomes the basePath.
+    // Glob metacharacters in the file name are escaped, otherwise a name
+    // like part-[0].parquet silently matches nothing (or the wrong files).
     val f = new java.io.File(dir)
-    val path = if (f.isFile) s"${f.getParent}/{${f.getName}}" else dir
+    val path =
+      if (f.isFile) s"${f.getParent}/{${f.getName.replaceAll("([{}\\[\\]*?,\\\\])", "\\\\$1")}}"
+      else dir
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(path)

@@ -31,6 +31,30 @@ class ExtendedOpsSpec extends SparkTestBase {
       ("p1", Some(101L)), ("p2", Some(102L)), ("p3", None)))
   }
 
+  test("asOf: null right timestamps never match (window and merge forms agree)") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (2L, ts("2024-01-01 09:00:00"), "p2"))
+      .toDF("user_id", "ts", "name")
+    // user 2's ONLY right row has a null ts: under ASOF (ts_r <= ts_l) it
+    // can never match — but NULLS FIRST window ordering would sort it
+    // before everything and leak click 200 into p2 if left unfiltered
+    val right = Seq(
+      (1L, Some(ts("2024-01-01 09:30:00")), 100L),
+      (1L, None, 199L),
+      (2L, None, 200L))
+      .toDF("user_id", "ts", "click_id")
+    val payload = Seq("click_id" -> "click_id")
+    val composed = AsOfJoin.asOf(left, right, "user_id", "user_id", "ts", "ts", payload)
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.get(r.fieldIndex("click_id")))))
+    assert(composed.toSeq === Seq(("p1", Some(100L)), ("p2", None)))
+    val merged = AsOfJoin.asOfMerge(left, right, "user_id", "user_id", "ts", "ts", payload)
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.get(r.fieldIndex("click_id")))))
+    assert(merged.toSeq === composed.toSeq)
+  }
+
   test("asOfMerge (custom physical op) semantics match the crafted fixture") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "p1"),
