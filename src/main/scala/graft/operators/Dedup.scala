@@ -210,12 +210,18 @@ object Dedup {
       idCol, numHashes, rowsPerBand)
     val pairs = verifyCandidates(candidatesFromBands(bands, idCol), sh, idCol, minJaccard)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val dropped = Graph.connectedComponents(pairs)
+    val cc = Graph.connectedComponentsResult(pairs)
+    // snapshot only the SMALL drop-set (one id per dropped doc), then free
+    // everything upstream: the shingle cache and the CC label storage +
+    // checkpoint files. The returned frame reads docs + this snapshot; its
+    // blocks are Spark-managed (ContextCleaner reclaims on GC), so nothing
+    // accretes across calls in a long-lived session.
+    val dropped = cc.labels
       .filter(col("component") =!= col("v"))
       .select(col("v").as(idCol))
-    // CC materialized eagerly through the cached shingles; the returned
-    // frame only reads docs + the checkpointed labels, so release now
+      .localCheckpoint()
     sh.unpersist()
+    cc.release()
     docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -61,10 +61,35 @@ object Graph {
     }
   }
 
+  /** Labels plus the storage handle of the FINAL round's snapshot. Without
+    * an explicit [[CcResult.release]] a long-lived session holds one
+    * persisted RDD (until the DataFrame is GC'd and the ContextCleaner
+    * reclaims its blocks) and — when reliable checkpointing is configured —
+    * one checkpoint directory that Spark never deletes on its own. Callers
+    * that materialize something downstream (the keep-list pattern: snapshot
+    * the small derived frame, then release) should always release. */
+  final case class CcResult(labels: DataFrame, rounds: Int,
+                            private val finalRdd: RDD[_]) {
+    /** Unpersist the final snapshot and delete its reliable-checkpoint
+      * files. `labels` must not be consumed afterwards. */
+    def release(): Unit = Graph.release(finalRdd)
+  }
+
   /** Connected components of an undirected edge list (columns src, dst —
     * any integral type). Returns (v, component) where component is the
-    * minimum vertex id in the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * minimum vertex id in the component.
+    *
+    * Convenience form of [[connectedComponentsResult]]: the final round's
+    * snapshot stays persisted until the returned frame is GC'd (blocks are
+    * then reclaimed by the ContextCleaner); reliable-checkpoint files, when
+    * configured, are only deleted via [[CcResult.release]]. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsResult(edges, maxIter).labels
+
+  /** See [[connectedComponents]]; also exposes the round count (scale
+    * evidence: pointer jumping keeps it O(log diameter)) and the release
+    * handle for the final snapshot. */
+  def connectedComponentsResult(edges: DataFrame, maxIter: Int = 20): CcResult = {
     val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
@@ -106,7 +131,7 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
-    labels
+    CcResult(labels, iter, labelsRdd)
   }
 
   /** Component summary: size and representative per component. */

@@ -107,12 +107,15 @@ object Similarity {
       .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= minCosine)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .dropDuplicates("src", "dst")
-    val dropped = Graph.connectedComponents(pairs)
+    val cc = Graph.connectedComponentsResult(pairs)
+    // snapshot only the small drop-set, then free the bucket cache and the
+    // CC label storage + checkpoint files (see Dedup.nearDupKeepList)
+    val dropped = cc.labels
       .filter(col("component") =!= col("v"))
       .select(col("v").as(idCol))
-    // CC materialized eagerly through the cached buckets; the returned
-    // frame only reads emb + the checkpointed labels, so release now
+      .localCheckpoint()
     p.unpersist()
+    cc.release()
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 

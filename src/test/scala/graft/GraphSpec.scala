@@ -70,6 +70,28 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("giant component (1e5 edges): completes, logarithmic rounds, releasable") {
+    // Balanced-binary-tree edges (i, i div 2): one component of 100,001
+    // vertices, depth ~17. Near convergence every vertex labels 0, so the
+    // pointer-jump join key is ONE hot key by construction — the documented
+    // reliance on AQE skew-split, exercised here rather than asserted.
+    val edges = spark.range(1, 100001)
+      .selectExpr("id AS src", "id DIV 2 AS dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val res = Graph.connectedComponentsResult(edges, maxIter = 12)
+    assert(res.labels.count() === 100001L)
+    assert(res.labels.select(countDistinct("component")).head().getLong(0) === 1L)
+    assert(res.labels.agg(max("component")).head().getLong(0) === 0L)
+    // path halving: a depth-17 tree must converge in O(log diameter)
+    // rounds, nowhere near the ~34 of plain neighbor propagation
+    assert(res.rounds <= 10, s"took ${res.rounds} rounds")
+    // release() drops the final snapshot too: storage returns to baseline
+    res.release()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"persisted RDDs grew from $before to $after after release()")
+  }
+
   test("near-dup pairs cluster into transitive dedup groups") {
     val docs = Tables.t(spark, Sf, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
