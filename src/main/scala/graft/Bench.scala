@@ -28,29 +28,46 @@ object Bench {
     if (warmDir.isDirectory && warmDir.toString != sfDir)
       SparkEntry.allQueries.foreach { q =>
         try q.run(spark, warmDir.toString).count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a query that ONLY fails at the warmup SF would otherwise never
+          // surface anywhere — warn, but keep warming (the timed pass below
+          // still decides pass/fail at the bench SF)
+          System.err.println(s"[bench] warmup ${q.name} FAILED: ${e.getMessage}")
+        }
       }
+    // Median of 3 timed runs per query (plus the min for context): a
+    // shared-box scheduling spike in any single run can't fabricate a
+    // round-over-round regression.
+    val Runs = 3
     val results = SparkEntry.allQueries.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).count(); true } catch {
+      val times = (1 to Runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
           case e: Throwable =>
             // visible in the driver log; the JSON marks it failed too so a
             // broken query can't masquerade as a fast one
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            false
+            None
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.size == Runs
+      val median = if (ok) times.sorted.apply(Runs / 2) else -1.0
+      val min = if (ok) times.min else -1.0
+      (q.name, median, min, ok)
     }
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+      .map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qsMin = results
+      .map { case (k, _, min, _) => "\"" + k + "\":" + min }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, med, _, true) => med }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,""" +
+        s""""queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // also durable on disk: the driver's log tail can truncate stdout
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
