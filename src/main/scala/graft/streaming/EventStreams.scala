@@ -105,39 +105,66 @@ object EventStreams {
                         durationMs: Long, n_events: Int)
 
   /** Custom stateful sessionization (KeyValueGroupedDataset +
-    * flatMapGroupsWithState with processing-time timeout). Demonstrates the
-    * arbitrary-state API; the declarative `sessions` above is preferred
-    * where the gap semantics suffice. */
+    * flatMapGroupsWithState). Demonstrates the arbitrary-state API; the
+    * declarative `sessions` above is preferred where the gap semantics
+    * suffice.
+    *
+    * Scale shape: events are merged INCREMENTALLY into a set of session
+    * intervals (ordered map start → (last, n)); each event either joins the
+    * interval it touches, opens a new one, or glues adjacent intervals
+    * together. Memory per key is O(distinct sessions) — which is the size
+    * of the group's OUTPUT — never O(events): a hot key (a bot with 10⁸
+    * events in a handful of sessions) holds a handful of map entries where
+    * the previous implementation buffered and sorted the entire history in
+    * the task. Interval merging is also order-independent, so no per-group
+    * sort is needed at all.
+    *
+    * Streaming: every micro-batch emits the key's current sessions; only
+    * the latest interval stays in state to seed the next batch (matching
+    * the single-open-session semantics of the original formulation). */
   def statefulSessions(spark: SparkSession, events: DataFrame,
                        gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"gapMs=$gapMs must be positive")
     import spark.implicits._
     events.select(col("user_id"), col("ts"), col("event_type")).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // Batch mode: iterate the user's events in time order, emitting a
-          // session whenever the gap is exceeded. Streaming mode keeps the
-          // open session in `state` across micro-batches.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var cur = state.getOption.orNull
-          for (e <- sorted) {
+          // start -> (last, n); intervals are disjoint and > gapMs apart
+          val iv = new java.util.TreeMap[Long, (Long, Int)]()
+          state.getOption.foreach(s => iv.put(s.start, (s.last, s.n)))
+          for (e <- it) {
             val t = e.ts.getTime
-            if (cur == null) cur = SessionState(t, t, 1)
-            else if (t - cur.last >= gapMs) {
-              out += SessionOut(uid, new java.sql.Timestamp(cur.start),
-                cur.last - cur.start, cur.n)
-              cur = SessionState(t, t, 1)
-            } else cur = SessionState(cur.start, t, cur.n + 1)
+            // join the predecessor interval (greatest start <= t) if the
+            // gap from its end is below the threshold, else open a new one
+            val pred = iv.floorEntry(t)
+            val start =
+              if (pred != null && t - pred.getValue._1 < gapMs) {
+                val (last, n) = pred.getValue
+                iv.put(pred.getKey, (math.max(last, t), n + 1))
+                pred.getKey
+              } else { iv.put(t, (t, 1)); t }
+            // glue successors now within reach (t may bridge two intervals)
+            var succ = iv.higherEntry(start)
+            while (succ != null && succ.getKey - iv.get(start)._1 < gapMs) {
+              val (l1, n1) = iv.get(start)
+              val (l2, n2) = succ.getValue
+              iv.put(start, (math.max(l1, l2), n1 + n2))
+              iv.remove(succ.getKey)
+              succ = iv.higherEntry(start)
+            }
           }
-          if (cur != null) {
-            state.update(cur)
-            // In batch mode nothing further arrives: close the open session.
-            out += SessionOut(uid, new java.sql.Timestamp(cur.start),
-              cur.last - cur.start, cur.n)
+          if (!iv.isEmpty) {
+            val latest = iv.lastEntry()
+            state.update(SessionState(latest.getKey,
+              latest.getValue._1, latest.getValue._2))
           }
-          out.iterator
+          import scala.jdk.CollectionConverters._
+          iv.entrySet().iterator().asScala.map { e =>
+            SessionOut(uid, new java.sql.Timestamp(e.getKey),
+              e.getValue._1 - e.getKey, e.getValue._2)
+          }
       }.toDF()
   }
 }

@@ -61,6 +61,54 @@ class StreamingSpec extends SparkTestBase {
     assert(typed === declarative)
   }
 
+  test("typed sessionizer emits exact session values, in any input order") {
+    // user 7: two sessions (events deliberately OUT of time order — interval
+    // merging must not depend on arrival order); user 9: one single-event
+    // session with duration 0
+    val events = Seq(
+      Ev(ts("2024-01-01 00:10:00"), "a", 1.0, 7L),
+      Ev(ts("2024-01-01 00:00:00"), "a", 1.0, 7L),
+      Ev(ts("2024-01-01 00:14:59"), "a", 1.0, 7L),
+      Ev(ts("2024-01-01 00:03:00"), "a", 1.0, 7L),
+      Ev(ts("2024-01-01 00:30:00"), "a", 1.0, 9L))
+    val out = EventStreams.statefulSessions(spark, events.toDF(), 5 * 60 * 1000L)
+      .orderBy("user_id", "start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (7L, "2024-01-01 00:00:00.0", 180000L, 2),   // 00:00 + 00:03
+      (7L, "2024-01-01 00:10:00.0", 299000L, 2),   // 00:10 + 00:14:59
+      (9L, "2024-01-01 00:30:00.0", 0L, 1)))
+    // agreement with the declarative session_window on the same fixture
+    val declarative = EventStreams.sessions(events.toDF(), "5 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+    assert(declarative.toSeq === out.toSeq.map(t => (t._1, t._2, t._4.toLong)))
+  }
+
+  test("typed sessionizer survives a hot key: 1e6 events, O(sessions) state") {
+    // One bot user with 10^6 events: 1000 sessions of 1000 events each
+    // (1 s cadence inside a session, 1 h jump between sessions). The
+    // previous implementation buffered + sorted the full million-event
+    // history per task; interval merging holds ~#sessions map entries.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val events = spark.range(1000000).selectExpr(
+      s"timestamp_millis($base + (id % 1000) * 1000 + (id DIV 1000) * 3600000) AS ts",
+      "'bot' AS event_type", "CAST(42 AS LONG) AS user_id")
+    val out = EventStreams.statefulSessions(spark, events, 30 * 60 * 1000L)
+    assert(out.count() === 1000L)
+    val agg = out.agg(
+      min("start").cast("long").as("first_start"),
+      countDistinct("durationMs").as("n_durations"),
+      sum("n_events").as("total"),
+      max("n_events").as("max_n")).head()
+    assert(agg.getAs[Long]("first_start") === base / 1000)
+    assert(agg.getAs[Long]("n_durations") === 1L) // all sessions span 999 s
+    assert(agg.getAs[Long]("total") === 1000000L)
+    assert(agg.getAs[Int]("max_n") === 1000)
+    assert(out.select(first("durationMs")).head().getLong(0) === 999000L)
+  }
+
   test("OSM cleaning pipeline runs unchanged over a CSV stream (SURVEY §2.11)") {
     // The stateless shape/clean transforms are streaming-safe as-is: stream
     // raw tag rows and apply the same expression chain used in batch.
