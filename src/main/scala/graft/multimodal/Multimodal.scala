@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded / feature-extracted partition-wise.
   *
   * The Spark-side plumbing is real — schema, partitioning, batch iteration —
-  * while the actual media decode is a STUB (no image/audio libs in this
-  * container): `stubDecodeFeatures` derives a deterministic fake feature
-  * vector from the payload bytes. Swap `decodeOne` for a real codec (e.g.
-  * via JNI or an sidecar process pool) without touching the dataflow.
+  * and so is the IMAGE decode: PNG/BMP payloads (probed by magic bytes) go
+  * through `javax.imageio` (in the JDK) to exact integer image statistics.
+  * Other modalities (audio/video codecs don't ship in this container) keep
+  * a deterministic byte-derived fallback vector; swap that arm of
+  * `decodeOne` for a real codec (e.g. via JNI or a sidecar process pool)
+  * without touching the dataflow.
   *
   * Scale notes: payloads stay columnar in Parquet (binary column, never
   * driver-collected); decode runs inside mapPartitions so each task
@@ -43,14 +45,61 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decode: deterministic fake features from payload bytes (first 8
-    * bytes, scaled). Replace with a real codec for non-text media. */
+  /** PNG / BMP magic-byte probe — decode is content-driven, so a lying
+    * `format` tag can't route garbage into the codec or images around it. */
+  private def looksRaster(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte) ||
+        (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+
+  /** Decode one media record. Raster payloads (PNG/BMP by magic bytes) go
+    * through a REAL decoder — `javax.imageio` ships in the JDK, so no new
+    * dependency — producing exact integer image statistics:
+    * [width, height, bands, meanR, meanG, meanB, minLum, maxLum]
+    * (means are integer-division sums, lum = (r+g+b)/3 — all integer math,
+    * so the features are engine-reproducible and oracle-checkable).
+    * Non-raster payloads (e.g. the text modality) and undecodable bytes
+    * keep the deterministic byte-derived fallback vector. */
   private def decodeOne(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
-    val feats = Array.tabulate(8)(i =>
-      if (i < bytes.length) (bytes(i) & 0xff).toFloat / 255f else 0f)
     val checksum = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
+    val decoded: Option[Array[Float]] =
+      if (!looksRaster(bytes)) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val bands = img.getRaster.getNumBands
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var minL = 256L; var maxL = -1L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff
+                val cb = rgb & 0xff
+                sr += cr; sg += cg; sb += cb
+                val lum = (cr + cg + cb) / 3L
+                if (lum < minL) minL = lum
+                if (lum > maxL) maxL = lum
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Array(w.toFloat, h.toFloat, bands.toFloat,
+              (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+              minL.toFloat, maxL.toFloat)
+          }
+      } catch { case _: java.io.IOException => None }
+    val feats = decoded.getOrElse(
+      Array.tabulate(8)(i =>
+        if (bytes != null && i < bytes.length) (bytes(i) & 0xff).toFloat / 255f
+        else 0f))
     MediaFeatures(r.media_id, r.format, r.n_bytes, checksum, feats)
   }
 
@@ -69,6 +118,36 @@ object Multimodal {
     import spark.implicits._
     val media = withPayload(docs, "doc_id", "text").as[MediaRecord]
     decodeFeatures(media).toDF()
+  }
+
+  /** Deterministic solid-color PNG — the synthetic image modality (no image
+    * fixtures ship in the warehouse, so gated queries derive pixels from
+    * ids). Solid color makes every decoded statistic exact arithmetic over
+    * the generator parameters, which is what lets DuckDB oracle-check a
+    * REAL ImageIO decode without being able to decode PNGs itself. */
+  def syntheticPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Id-keyed synthetic image record; the parameter formulas are mirrored
+    * verbatim by the q98 oracle (MultimodalOps). */
+  def syntheticImageRecord(id: Long): MediaRecord = {
+    val payload = syntheticPng(
+      8 + (id % 8).toInt, 8 + (id % 5).toInt,
+      (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+    MediaRecord(id, "png", payload, payload.length.toLong)
   }
 
   /** One sampled frame of a media payload. */

@@ -50,6 +50,37 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
 
+    // ---- REAL image decode (javax.imageio, in the JDK): synthesize one
+    //      solid-color PNG per doc id, round-trip it through the actual
+    //      decoder partition-wise, and emit exact integer image stats. The
+    //      oracle can't decode PNGs — it replays the generator arithmetic,
+    //      so any decoder deviation (wrong dims, channel order, lossy
+    //      round-trip) breaks the hash. ----
+    Q("q98_image_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_bands,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b,
+        |  CAST((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) // 3
+        |    AS INTEGER) AS min_lum,
+        |  CAST((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) // 3
+        |    AS INTEGER) AS max_lum
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticImageRecord))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id") +:
+          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
+            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
+            element_at(col("features"), i + 1).cast("int").as(n)
+          }: _*)
+        .orderBy("media_id")
+    },
+
     // ---- frame sampling (video-modality shape): payload as 256-byte
     //      pseudo-frames, every 3rd kept, max 5. Frame PAYLOADS are
     //      spec-checked (MultimodalSpec); the per-media sample METADATA is

@@ -83,4 +83,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.rdd.getNumPartitions === 4)
     assert(feats.count() === docs.count())
   }
+
+  test("real PNG decode: dimensions, bands, and exact channel stats") {
+    val png = Multimodal.syntheticPng(12, 9, 200, 30, 77)
+    val media = Seq(Multimodal.MediaRecord(1L, "png", png, png.length.toLong))
+      .toDS()
+    val f = Multimodal.decodeFeatures(media).head().features.map(_.toInt)
+    // [w, h, bands, meanR, meanG, meanB, minLum, maxLum]
+    assert(f.toSeq === Seq(12, 9, 3, 200, 30, 77, (200 + 30 + 77) / 3,
+      (200 + 30 + 77) / 3))
+  }
+
+  test("real BMP decode via the magic-byte probe (format tag says otherwise)") {
+    // encode a BMP but tag it "bin": the probe must route on content
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    val media = Seq(Multimodal.MediaRecord(2L, "bin", bmp, bmp.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head().features.map(_.toInt)
+    assert(f.toSeq === Seq(5, 4, 3, 10, 20, 30, 20, 20))
+  }
+
+  test("corrupt raster payload falls back to the deterministic byte stub") {
+    // valid PNG magic, garbage body: ImageIO returns null / throws -> stub
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val media = Seq(Multimodal.MediaRecord(3L, "png", junk, junk.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.features.length === 8)
+    assert(f.features(0) === (junk(0) & 0xff).toFloat / 255f) // stub shape
+  }
 }
