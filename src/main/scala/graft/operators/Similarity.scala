@@ -52,12 +52,16 @@ object Similarity {
   /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
     * corpus so expected bucket occupancy stays near `targetBucket` at any
     * scale — a fixed plane count that is right at 10^3 vectors is
-    * catastrophically coarse at 10^9. Deterministic given n (oracle-safe:
-    * the same n yields the same plane count in any engine). */
+    * catastrophically coarse at 10^9. Pure integer arithmetic — the
+    * smallest p with targetBucket·2^p >= n, clamped to [2, 24] — i.e.
+    * ceil(log2(n/targetBucket)) without libm, so ANY engine (the DuckDB
+    * oracle mirrors this CTE-side) computes the identical count; a
+    * float log could round a power-of-two boundary differently. */
   def adaptivePlanes(n: Long, targetBucket: Int = 32): Int = {
-    val raw = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    math.min(24, math.max(2, raw))
+    require(targetBucket > 0, s"targetBucket=$targetBucket must be positive")
+    var p = 0
+    while (p < 24 && (targetBucket.toLong << p) < n) p += 1
+    math.max(2, p)
   }
 
   /** Multi-probe set for a bucket: the bucket itself plus every hamming-1
@@ -118,6 +122,18 @@ object Similarity {
     cc.release()
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** [[nearDupKeepList]] with occupancy-scaled bucketing: the plane count
+    * comes from [[adaptivePlanes]] over the corpus size, so bucket
+    * occupancy (and with it candidate-join cost AND recall) stays in the
+    * designed band at any scale instead of being pinned to whatever corpus
+    * the constant was tuned on. Costs one eager count() — parquet/metadata
+    * -backed sources answer it without a scan. */
+  def nearDupKeepListAdaptive(emb: DataFrame, idCol: String, vecCol: String,
+                              minCosine: Double, dim: Int,
+                              targetBucket: Int = 32): DataFrame =
+    nearDupKeepList(emb, idCol, vecCol, minCosine,
+      adaptivePlanes(emb.count(), targetBucket), dim)
 
   /** Exhaustive-verification variant of [[nearDupKeepList]]: exact cosine
     * over ALL pairs (n² nested loop — small-N only). */

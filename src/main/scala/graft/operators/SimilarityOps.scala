@@ -14,12 +14,16 @@ object SimilarityOps {
   private val MpPlanes = 6
 
   /** DuckDB replica of VectorFunctions.lshBucketExpr over a quantized list
-    * column named `q` — all-integer math, identical in both engines. */
-  private def bucketSqlDuck(planes: Int): String =
-    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+    * column named `q` — all-integer math, identical in both engines.
+    * `planesExpr` may be a literal or a column from a cross-joined CTE
+    * (the occupancy-scaled q83 path). */
+  private def bucketSqlDuckDyn(planesExpr: String): String =
+    s"""CAST(list_sum(list_transform(range(0, $planesExpr), p ->
        |    CASE WHEN list_sum(list_transform(range(0, $Dim), d ->
        |      q[CAST(d + 1 AS INTEGER)] * ((p * 73856093 + d * 19349663) % 2001 - 1000))) >= 0
        |    THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private def bucketSqlDuck(planes: Int): String = bucketSqlDuckDyn(planes.toString)
 
   /** DuckDB side of VectorFunctions.quantize + exact norms: integer-valued
     * doubles, so list_dot_product sums are exact in any order. */
@@ -125,24 +129,32 @@ object SimilarityOps {
     //      exact cosine verify → connected components → keep-list. The
     //      oracle replays the identical deterministic pipeline (integer
     //      buckets, exact integer dots, 3-round min-label propagation —
-    //      fixture pair graph has diameter 1; Spark iterates to fixpoint). ----
+    //      fixture pair graph has diameter 1; Spark iterates to fixpoint).
+    //      The plane count is OCCUPANCY-SCALED on both sides: Spark calls
+    //      adaptivePlanes(count); the oracle's pl CTE replays the same
+    //      integer formula (smallest p with 32·2^p >= n, clamped [2,24]),
+    //      so the gate stays in sync at ANY scale factor instead of
+    //      pinning the tuned-for-sf0.01 constant. ----
     Q("q83_embedding_keeplist", {
-      val KlPlanes = 4
-      val probes = "bucket" +:
-        (0 until KlPlanes).map(p => s"xor(bucket, ${1L << p})")
-      s"""WITH e AS (
+      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+         |pl AS (SELECT GREATEST(2, COALESCE(
+         |  (SELECT min(p) FROM range(0, 25) t(p), cnt
+         |   WHERE (CAST(32 AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
+         |e AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |b AS (SELECT vec_id, q, ${bucketSqlDuck(KlPlanes)} AS bucket FROM e),
+         |b AS (SELECT vec_id, q, ${bucketSqlDuckDyn("planes")} AS bucket FROM e, pl),
          |c AS (
          |  SELECT vec_id, bucket, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd,
          |    list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
          |                     list_transform(q, x -> CAST(x AS DOUBLE))) AS nsq
          |  FROM b),
          |pr AS (
-         |  SELECT vec_id, qd, nsq, unnest([${probes.mkString(", ")}]) AS probe
-         |  FROM c),
+         |  SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
+         |    list_transform(range(0, planes),
+         |      p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
+         |  FROM c, pl),
          |cand AS (
          |  SELECT DISTINCT pr.vec_id AS i, c2.vec_id AS j,
          |    list_dot_product(pr.qd, c2.qd) / sqrt(pr.nsq * c2.nsq) AS cos
@@ -159,13 +171,10 @@ object SimilarityOps {
          |       GROUP BY l2.v, l2.l)
          |SELECT v AS vec_id FROM l3 WHERE l = v ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      // planes pinned to 4 = adaptivePlanes(500 @ sf0.01) because the
-      // oracle SQL is static text — a data-dependent plane count would
-      // desync the gate at any other SF (and cost an eager count() per
-      // run). Library callers at scale pass adaptivePlanes(n) instead
-      // (spec-tested in VectorSpec).
-      Similarity.nearDupKeepList(Tables.t(s, d, "embeddings"),
-          "vec_id", "embedding", 0.45, 4, Dim)
+      // occupancy-scaled planes on both sides: adaptivePlanes(count) here,
+      // the pl CTE in the oracle — same integer formula, any SF
+      Similarity.nearDupKeepListAdaptive(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", 0.45, Dim)
         .orderBy("vec_id")
     }
   )

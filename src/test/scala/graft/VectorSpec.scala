@@ -160,8 +160,8 @@ class VectorSpec extends SparkTestBase {
     assert(shortArr.getLong(0) === shortArr.getLong(1))
   }
 
-  test("adaptivePlanes tracks corpus size; sf0.01 pins the q83 oracle at 4") {
-    assert(Similarity.adaptivePlanes(500) === 4) // MUST match q83's oracle SQL
+  test("adaptivePlanes tracks corpus size (q83's oracle replays the formula)") {
+    assert(Similarity.adaptivePlanes(500) === 4) // = q83's pl CTE at sf0.01
     assert(Similarity.adaptivePlanes(32) === 2) // clamped floor
     assert(Similarity.adaptivePlanes(2000) === 6)
     assert(Similarity.adaptivePlanes(1000000000L) === 24) // clamped ceiling
