@@ -97,9 +97,18 @@ object Graph {
     var (labels, labelsRdd) = snapshot(
       sym.select(col("a").as("v"), col("b"))
         .groupBy("v").agg(least(min(col("b")), col("v")).as("component")))
-    var changed = 1L
+    // Convergence via the exact label sum: per-vertex labels only ever
+    // DECREASE under min-propagation, so the sum is strictly monotone until
+    // the fixpoint — equal consecutive sums iff no vertex changed. One
+    // aggregate per round (which also materializes the snapshot), replacing
+    // a labels⋈labels join + count that cost two extra shuffles per round.
+    // decimal(38,0): exact at any vertex-id scale, no Long wraparound.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // neighbor labels: for each edge (a,b), a can adopt b's label
       val neighborLabels = sym
         .join(labels.withColumnRenamed("v", "b2"), col("b") === col("b2"))
@@ -123,8 +132,9 @@ object Graph {
           .union(jumped)
           .groupBy("v").agg(min("component").as("component")))
       // materializes nextRdd (and the reliable checkpoint, when configured)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "v")
-        .filter(col("component") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       release(labelsRdd)
       labels = next
       labelsRdd = nextRdd

@@ -71,6 +71,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q39: shingle self-join is a shuffled hash join, not a broadcast") {
+    // other suites may have cached the documents table in the shared
+    // session; these two gates assert the engine's OWN plan has no cache
+    spark.sharedState.cacheManager.clearCache()
     val p = planOf(q("q39_ngram_jaccard"))
     assert(p.contains("ShuffledHashJoin"), p)
     // the two sides are the identical shingle subtree: the heavy shuffle
@@ -81,6 +84,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q40: band self-join reuses the signature exchange instead of caching") {
+    spark.sharedState.cacheManager.clearCache()
     val p = planOf(q("q40_minhash_lsh"))
     assert(p.contains("ReusedExchange"), p)
     assert(!p.contains("InMemoryRelation"), p)
