@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - sums/averages over DOUBLE go through DECIMAL(18,4) (exact; no double
   *    is exactly on a decimal midpoint, so the cast is unambiguous in both
   *    engines), final result cast back to DOUBLE (correctly-rounded in both);
+  *  - a decimal whose integer significand can exceed 2^53 (e.g. a SUM of
+  *    scale-8 products) is renormalized to DECIMAL(18,4) BEFORE the double
+  *    cast: DuckDB converts wide decimals hugeint-first and double-rounds,
+  *    while an int64-significand decimal divides exactly once in both
+  *    engines (found as a real 1-ulp mismatch on q03 at sf0.1);
   *  - every query is totally ordered (explicit tie-breakers);
   *  - only correctly-rounded IEEE ops (+,-,*,/,sqrt) on identical inputs in
   *    per-row float math — no libm transcendentals;

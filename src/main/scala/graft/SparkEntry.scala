@@ -53,7 +53,7 @@ object SparkEntry {
       .agg(
         sum(col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1) - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"),
+          .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("r_name"))
   }

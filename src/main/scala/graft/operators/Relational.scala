@@ -54,7 +54,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -64,9 +64,15 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base"),
+          // product sums renormalize to scale 4 BEFORE the double cast
+          // (exact: both factors carry <= 2 fractional digits, so the
+          // scale-8 sum ends in 0000): a scale-8 decimal's integer
+          // significand passes 2^53 around 9e7 and DuckDB's
+          // decimal->double conversion double-rounds there, while scale-4
+          // stays int64-exact and division-rounded in both engines
           sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1) - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("sum_disc"),
+            .cast("decimal(18,4)").cast("double").as("sum_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -119,7 +125,7 @@ object Relational {
     // ---- fact-fact equi join (shuffle join; AQE handles skew at scale) ----
     Q("q08_join_fact",
       """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
@@ -127,9 +133,10 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
+          // scale-4 renormalization before the double cast — see q03
           sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1) - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("revenue"))
+            .cast("decimal(18,4)").cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     },
 

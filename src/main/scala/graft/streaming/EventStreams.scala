@@ -46,15 +46,16 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // events fixtures carry TIMESTAMP(NANOS) — see Tables.t
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
     // FileStreamSource requires a directory or glob; a single-file fixture
     // path is wrapped in a {name} glob so its parent becomes the basePath.
     // Glob metacharacters in the file name are escaped, otherwise a name
-    // like part-[0].parquet silently matches nothing (or the wrong files).
+    // like part-[0].parquet silently matches nothing (or the wrong files)
+    // — and the batch schema probe below globs the path the same way.
     val f = new java.io.File(dir)
     val path =
       if (f.isFile) s"${f.getParent}/{${f.getName.replaceAll("([{}\\[\\]*?,\\\\])", "\\\\$1")}}"
       else dir
+    val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(path)

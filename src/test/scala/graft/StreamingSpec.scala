@@ -162,4 +162,22 @@ class StreamingSpec extends SparkTestBase {
     val n = spark.table("stream_count").head().getLong(0)
     assert(n === Tables.t(spark, Sf, "events").count())
   }
+
+  test("single-file stream path with glob metacharacters in the name") {
+    // the {name} glob wrapper must escape [, ], { etc. — unescaped, this
+    // file name is a character-class glob that matches nothing
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamglob")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("part-[0]{a}.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"), f)
+    val stream = EventStreams.readEventStream(spark, f.toString)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("stream_glob_count")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("stream_glob_count").head().getLong(0)
+    assert(n === Tables.t(spark, Sf, "events").count())
+  }
 }
