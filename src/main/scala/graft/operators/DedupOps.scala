@@ -14,11 +14,15 @@ object DedupOps {
   private val NumHashes = 16
   private val RowsPerBand = 4
   private val SimhashBits = 16
-  // df cap for the gated skew-path query: high enough that planted dup
-  // pairs (whose shingles have df ~ 2) survive with jac >= 0.8, low enough
-  // that template shingles are actually pruned at sf0.01 (151 shingles
-  // there have df > 4, max df 7 — the cap branch genuinely executes)
-  private val JaccardCapDf = 4
+  // Corpus-relative df cap for the gated skew-path query: max(4, n/300) —
+  // high enough that planted dup pairs (shingles at df ~ 2) survive with
+  // jac >= 0.8, low enough that template shingles are genuinely pruned at
+  // every SF (sf0.01: cap 4 prunes 151 shingles, 20 of 25 pairs survive;
+  // sf0.1: cap 16 prunes the df 17..25 tail, 178 of 256 survive). A FIXED
+  // cap can't do both: 4 empties the result at sf0.1, anything >= 8 prunes
+  // nothing at sf0.01. Integer arithmetic on both sides, any engine.
+  private def jaccardCapDf(nDocs: Long): Int = math.max(4L, nDocs / 300L).toInt
+  private val JaccardCapSql = "GREATEST(4, count(*) // 300)"
 
   /** DuckDB 3-gram shingle CTE (1-based list indexing; matches
     * TextFunctions.wordShingles(n=3) incl. the <3-token empty case). */
@@ -108,9 +112,10 @@ object DedupOps {
     //      rows with df <= cap, totals from the uncapped shingle set. ----
     Q("q97_ngram_jaccard_capped",
       s"""WITH $ShingleCte,
+         |cap AS (SELECT $JaccardCapSql AS c FROM documents),
          |shc AS (SELECT doc_id, s FROM (
          |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
-         |  WHERE df <= $JaccardCapDf),
+         |  WHERE df <= (SELECT c FROM cap)),
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -121,8 +126,9 @@ object DedupOps {
          |FROM pairs JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), "doc_id", "text",
-          3, 0.8, maxShingleDf = Some(JaccardCapDf))
+      val docs = Tables.t(s, d, "documents")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          3, 0.8, maxShingleDf = Some(jaccardCapDf(docs.count())))
         .orderBy("id_a", "id_b")
     },
 
