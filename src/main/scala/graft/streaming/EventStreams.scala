@@ -138,17 +138,21 @@ object EventStreams {
           for (e <- it) {
             val t = e.ts.getTime
             // join the predecessor interval (greatest start <= t) if the
-            // gap from its end is below the threshold, else open a new one
+            // gap from its end is within the threshold, else open a new
+            // one. INCLUSIVE comparison: session_window merges touching
+            // windows ([a, b+gap) then an event at exactly b+gap joins),
+            // and the typed form must agree with the declarative one —
+            // asserted on random boundary-heavy data in StreamingSpec.
             val pred = iv.floorEntry(t)
             val start =
-              if (pred != null && t - pred.getValue._1 < gapMs) {
+              if (pred != null && t - pred.getValue._1 <= gapMs) {
                 val (last, n) = pred.getValue
                 iv.put(pred.getKey, (math.max(last, t), n + 1))
                 pred.getKey
               } else { iv.put(t, (t, 1)); t }
             // glue successors now within reach (t may bridge two intervals)
             var succ = iv.higherEntry(start)
-            while (succ != null && succ.getKey - iv.get(start)._1 < gapMs) {
+            while (succ != null && succ.getKey - iv.get(start)._1 <= gapMs) {
               val (l1, n1) = iv.get(start)
               val (l2, n2) = succ.getValue
               iv.put(start, (math.max(l1, l2), n1 + n2))

@@ -92,6 +92,37 @@ class GraphSpec extends SparkTestBase {
       s"persisted RDDs grew from $before to $after after release()")
   }
 
+  test("reliable checkpointing: per-round files cleaned, release() drops the last") {
+    // the long-job path (checkpoint dir configured -> snapshots survive
+    // executor loss): every superseded round's files are deleted during
+    // the loop, and release() must delete the final round's too
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    dir.toFile.deleteOnExit()
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir.toString)
+    def ckptFiles: Long = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally s.close()
+    }
+    try {
+      val edges = (1 until 50).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+      val res = Graph.connectedComponentsResult(edges)
+      assert(res.labels.count() === 50)
+      assert(res.labels.select(countDistinct("component")).head().getLong(0) === 1L)
+      // only the final round's snapshot may still have checkpoint files
+      val before = ckptFiles
+      assert(before > 0, "expected the final snapshot to be reliably checkpointed")
+      res.release()
+      assert(ckptFiles === 0, "release() must delete the final checkpoint files")
+    } finally {
+      // restore the no-checkpoint-dir default for the shared session (the
+      // var is private[spark]; the generated setter is the only way back)
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq").get
+        .invoke(sc, None)
+    }
+  }
+
   test("near-dup pairs cluster into transitive dedup groups") {
     val docs = Tables.t(spark, Sf, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

@@ -86,6 +86,28 @@ class StreamingSpec extends SparkTestBase {
     assert(declarative.toSeq === out.toSeq.map(t => (t._1, t._2, t._4.toLong)))
   }
 
+  test("typed sessionizer equals declarative session windows on random data") {
+    // property check of the interval-merge algorithm: on seeded random
+    // event times (with duplicate timestamps and unordered input) the
+    // typed sessions must match session_window exactly — same starts,
+    // same event counts, and duration = (window end - gap) - start
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(13)
+    val events = Seq.fill(400)(Ev(
+      new Timestamp(base + rnd.nextInt(7200) * 1000L), "x", 1.0,
+      rnd.nextInt(5).toLong)).toDF()
+    val gapMs = 5 * 60 * 1000L
+    val typed = EventStreams.statefulSessions(spark, events, gapMs)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getInt(3).toLong)).toSet
+    val declarative = EventStreams.sessions(events, "5 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - gapMs - r.getTimestamp(1).getTime,
+        r.getLong(3))).toSet
+    assert(typed === declarative)
+    assert(typed.size > 10) // the fixture actually produced many sessions
+  }
+
   test("typed sessionizer survives a hot key: 1e6 events, O(sessions) state") {
     // One bot user with 10^6 events: 1000 sessions of 1000 events each
     // (1 s cadence inside a session, 1 h jump between sessions). The
