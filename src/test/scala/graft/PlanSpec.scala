@@ -90,6 +90,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("InMemoryRelation"), p)
   }
 
+  test("q97: capped path rides one window over the join's own partitioning") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = planOf(q("q97_ngram_jaccard_capped"))
+    // df filter is a Window over hashpartitioning(s) — no extra groupBy +
+    // anti-join pass — and the self-join still shuffles + reuses, cache-free
+    assert(p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("InMemoryRelation"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q59: TF-IDF document-frequency join never broadcasts the vocabulary") {
     val p = planOf(q("q59_tfidf"))
     // term-keyed join must be a shuffle join (df table is vocabulary-sized);
