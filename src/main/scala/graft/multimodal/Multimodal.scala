@@ -53,20 +53,66 @@ object Multimodal {
         b(3) == 'G'.toByte) ||
         (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
 
+  /** RIFF/WAVE magic-byte probe. */
+  private def looksWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+      b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** Real WAV decode via `javax.sound.sampled` (in the JDK): header-derived
+    * format fields plus exact integer sample statistics. Only 16-bit
+    * signed little-endian PCM is claimed; anything else falls back to the
+    * byte stub rather than guessing. Features:
+    * [sampleRate, channels, bits, frames, minSample, maxSample, sampleSum,
+    * firstSample] — all integers, exact in Float at these magnitudes. */
+  private def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = try {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val ok = fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1
+    if (!ok) None
+    else {
+      val pcm = ais.readAllBytes()
+      val frames = pcm.length / 2
+      var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L; var s0 = 0
+      var i = 0
+      while (i < frames) {
+        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        if (i == 0) s0 = s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        sum += s
+        i += 1
+      }
+      if (frames == 0) None
+      else Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, 16f,
+        frames.toFloat, mn.toFloat, mx.toFloat, sum.toFloat, s0.toFloat))
+    }
+  } catch {
+    case _: java.io.IOException => None
+    case _: javax.sound.sampled.UnsupportedAudioFileException => None
+  }
+
   /** Decode one media record. Raster payloads (PNG/BMP by magic bytes) go
     * through a REAL decoder — `javax.imageio` ships in the JDK, so no new
     * dependency — producing exact integer image statistics:
     * [width, height, bands, meanR, meanG, meanB, minLum, maxLum]
     * (means are integer-division sums, lum = (r+g+b)/3 — all integer math,
     * so the features are engine-reproducible and oracle-checkable).
-    * Non-raster payloads (e.g. the text modality) and undecodable bytes
-    * keep the deterministic byte-derived fallback vector. */
+    * WAV payloads decode through `javax.sound.sampled` the same way
+    * ([[decodeWav]]). Non-media payloads (e.g. the text modality) and
+    * undecodable bytes keep the deterministic byte-derived fallback. */
   private def decodeOne(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val checksum = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
     val decoded: Option[Array[Float]] =
-      if (!looksRaster(bytes)) None
+      if (looksWav(bytes)) decodeWav(bytes)
+      else if (!looksRaster(bytes)) None
       else try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
           .map { img =>
@@ -148,6 +194,39 @@ object Multimodal {
       8 + (id % 8).toInt, 8 + (id % 5).toInt,
       (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
     MediaRecord(id, "png", payload, payload.length.toLong)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV — the synthetic audio modality.
+    * The RIFF header is hand-rolled (canonical 44-byte PCM layout), so the
+    * generator shares no code with the `javax.sound` decoder under test.
+    * Sample i is the integer pseudo-sequence `(i*37 + id) % 2001 - 1000`,
+    * which a SQL oracle replays with pure list arithmetic. */
+  def syntheticWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val frames = 64 + 2 * (id % 32).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (((i.toLong * 37 + id) % 2001) - 1000).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                      // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)    // byte rate
+      .putShort(2).putShort(16)                     // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** Id-keyed synthetic audio record; formulas mirrored by the q99 oracle. */
+  def syntheticWavRecord(id: Long): MediaRecord = {
+    val payload = syntheticWav(id)
+    MediaRecord(id, "wav", payload, payload.length.toLong)
   }
 
   /** One sampled frame of a media payload. */

@@ -81,6 +81,42 @@ object MultimodalOps {
         .orderBy("media_id")
     },
 
+    // ---- REAL audio decode (javax.sound.sampled, in the JDK): synthesize
+    //      one 16-bit mono PCM WAV per doc id, decode it through the
+    //      actual audio stack, and emit header fields + exact integer
+    //      sample stats. The oracle replays the generator's sample formula
+    //      with list arithmetic — header misreads, byte-order or
+    //      sign-extension bugs in the decode path break the hash. ----
+    Q("q99_audio_decode",
+      """WITH f AS (
+        |  SELECT doc_id, 64 + 2 * (doc_id % 32) AS frames FROM documents),
+        |s AS (
+        |  SELECT doc_id, frames,
+        |    list_transform(range(frames), i -> (i * 37 + doc_id) % 2001 - 1000) AS xs
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(frames AS INTEGER) AS frames,
+        |  CAST(list_min(xs) AS INTEGER) AS min_s,
+        |  CAST(list_max(xs) AS INTEGER) AS max_s,
+        |  CAST(list_sum(xs) AS BIGINT) AS sum_s,
+        |  CAST(xs[1] AS INTEGER) AS first_s
+        |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticWavRecord))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id") +:
+          (Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
+            "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
+            "sum_s" -> "bigint", "first_s" -> "int").zipWithIndex.map {
+            case ((n, t), i) => element_at(col("features"), i + 1).cast(t).as(n)
+          }): _*)
+        .orderBy("media_id")
+    },
+
     // ---- frame sampling (video-modality shape): payload as 256-byte
     //      pseudo-frames, every 3rd kept, max 5. Frame PAYLOADS are
     //      spec-checked (MultimodalSpec); the per-media sample METADATA is

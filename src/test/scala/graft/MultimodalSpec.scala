@@ -107,6 +107,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.toSeq === Seq(5, 4, 3, 10, 20, 30, 20, 20))
   }
 
+  test("real WAV decode: header fields and exact sample stats") {
+    val wav = Multimodal.syntheticWav(5L) // frames = 64 + 2*5 = 74
+    val media = Seq(Multimodal.MediaRecord(5L, "wav", wav, wav.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head().features
+    val samples = (0 until 74).map(i => ((i * 37 + 5) % 2001) - 1000)
+    assert(f.map(_.toLong).toSeq === Seq[Long](8000, 1, 16, 74,
+      samples.min, samples.max, samples.sum, samples.head))
+  }
+
+  test("truncated WAV payload falls back to the deterministic byte stub") {
+    val junk = Multimodal.syntheticWav(5L).take(20) // valid magic, cut short
+    val media = Seq(Multimodal.MediaRecord(6L, "wav", junk, junk.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.features.length === 8)
+    assert(f.features(0) === ('R'.toInt & 0xff).toFloat / 255f) // stub shape
+  }
+
   test("corrupt raster payload falls back to the deterministic byte stub") {
     // valid PNG magic, garbage body: ImageIO returns null / throws -> stub
     val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
