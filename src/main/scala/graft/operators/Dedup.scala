@@ -210,7 +210,10 @@ object Dedup {
       idCol, numHashes, rowsPerBand)
     val pairs = verifyCandidates(candidatesFromBands(bands, idCol), sh, idCol, minJaccard)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val cc = Graph.connectedComponentsResult(pairs)
+    // verifyCandidates ends in a groupBy keyed by (id_a, id_b) with
+    // id_a < id_b, so the edge list is distinct ordered pairs — CC can
+    // skip its symmetrize-dedup exchange
+    val cc = Graph.connectedComponentsResult(pairs, edgesAreDistinctPairs = true)
     // snapshot only the SMALL drop-set (one id per dropped doc), then free
     // everything upstream: the shingle cache and the CC label storage +
     // checkpoint files. The returned frame reads docs + this snapshot; its

@@ -88,12 +88,20 @@ object Graph {
 
   /** See [[connectedComponents]]; also exposes the round count (scale
     * evidence: pointer jumping keeps it O(log diameter)) and the release
-    * handle for the final snapshot. */
-  def connectedComponentsResult(edges: DataFrame, maxIter: Int = 20): CcResult = {
-    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    * handle for the final snapshot.
+    *
+    * @param edgesAreDistinctPairs caller guarantees the edge list is
+    *   duplicate-free with src < dst (the keep-list pipelines' shape —
+    *   their pair stages end in groupBy/dropDuplicates). Then the
+    *   symmetrized union is disjoint by construction and the dedup
+    *   shuffle is skipped — on a corpus-scale pair table that is a full
+    *   exchange of the edge set saved. Duplicate edges would not corrupt
+    *   results (min is idempotent), only inflate join work. */
+  def connectedComponentsResult(edges: DataFrame, maxIter: Int = 20,
+                                edgesAreDistinctPairs: Boolean = false): CcResult = {
+    val sym0 = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
-      .distinct()
-      .persist()
+    val sym = (if (edgesAreDistinctPairs) sym0 else sym0.distinct()).persist()
     var (labels, labelsRdd) = snapshot(
       sym.select(col("a").as("v"), col("b"))
         .groupBy("v").agg(least(min(col("b")), col("v")).as("component")))

@@ -111,7 +111,9 @@ object Similarity {
       .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= minCosine)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .dropDuplicates("src", "dst")
-    val cc = Graph.connectedComponentsResult(pairs)
+    // pairs is dropDuplicates("src","dst") with id_a < id_b — distinct
+    // ordered pairs, so CC skips its symmetrize-dedup exchange
+    val cc = Graph.connectedComponentsResult(pairs, edgesAreDistinctPairs = true)
     // snapshot only the small drop-set, then free the bucket cache and the
     // CC label storage + checkpoint files (see Dedup.nearDupKeepList)
     val dropped = cc.labels
