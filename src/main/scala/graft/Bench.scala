@@ -35,22 +35,41 @@ object Bench {
           System.err.println(s"[bench] warmup ${q.name} FAILED: ${e.getMessage}")
         }
       }
-    // Median of 3 timed runs per query (plus the min for context): a
-    // shared-box scheduling spike in any single run can't fabricate a
-    // round-over-round regression.
+    // Median of 3 timed runs per query (plus the min for context), with the
+    // passes run ROUND-ROBIN across the whole suite (pass 1 of every query,
+    // then pass 2, then pass 3) instead of back-to-back per query: a
+    // multi-minute external load spike on a shared box then lands on at
+    // most one of a query's three runs, so the median defends against it —
+    // back-to-back runs all fit inside one spike and the median is
+    // fabricated (this is exactly what contaminated BENCH_r03).
     val Runs = 3
-    val results = SparkEntry.allQueries.sortBy(_.name).map { q =>
-      val times = (1 to Runs).flatMap { _ =>
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3)
+        .mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadBefore = loadavg()
+    val tStart = System.currentTimeMillis()
+    val ordered = SparkEntry.allQueries.sortBy(_.name)
+    val timed: Seq[Seq[Option[Double]]] = {
+      val acc = Array.fill(ordered.size)(Vector.empty[Option[Double]])
+      for (pass <- 1 to Runs; (q, qi) <- ordered.zipWithIndex) {
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val t = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             // visible in the driver log; the JSON marks it failed too so a
             // broken query can't masquerade as a fast one
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            System.err.println(s"[bench] ${q.name} FAILED (pass $pass): ${e.getMessage}")
             None
         }
+        acc(qi) :+= t
       }
+      acc.toSeq
+    }
+    val loadAfter = loadavg()
+    val tEnd = System.currentTimeMillis()
+    val results = ordered.zip(timed).map { case (q, runs) =>
+      val times = runs.flatten
       val ok = times.size == Runs
       val median = if (ok) times.sorted.apply(Runs / 2) else -1.0
       val min = if (ok) times.min else -1.0
@@ -67,6 +86,8 @@ object Bench {
     val total = results.collect { case (_, med, _, true) => med }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,""" +
+        s""""pass_order":"round_robin","loadavg_before":$loadBefore,""" +
+        s""""loadavg_after":$loadAfter,"wall_start_ms":$tStart,"wall_end_ms":$tEnd,""" +
         s""""queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // also durable on disk: the driver's log tail can truncate stdout
