@@ -1,8 +1,19 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+/** A near-dup keep-list plus the storage handle of its drop-set snapshot.
+  * The keep frame reads the source table anti-joined against the snapshot;
+  * [[release]] frees the snapshot's blocks and (when reliable checkpointing
+  * is configured) deletes its files — after that `keep` must not be
+  * consumed. Shared by the text ([[Dedup.nearDupKeepListResult]]) and
+  * embedding ([[Similarity.nearDupKeepListResult]]) pipelines. */
+final case class KeepList(keep: DataFrame,
+                          private val dropRdd: org.apache.spark.rdd.RDD[_]) {
+  def release(): Unit = Graph.release(dropRdd)
+}
 
 /** Deduplication library: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -67,6 +78,37 @@ object Dedup {
     // side and is also the only shape that survives at corpus scale.
     a.join(b.hint("shuffle_hash"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jac")
+  }
+
+  /** Exact n-gram Jaccard partners of a BOUNDED probe set — the small-N
+    * exact verifier (the q43 brute-force-kNN precedent): for each probe doc
+    * (rows of `docs` matching `probePred`), every other doc sharing >= 1
+    * shingle is scored exactly; pairs with jaccard >= minJaccard survive.
+    * Output: (id_a = probe id, id_b = partner id, inter, jac) — BOTH
+    * directions appear when both endpoints are probes.
+    *
+    * Scale shape: the probe side is a fixed small set, so its shingle rows
+    * BROADCAST and the corpus side is a narrow scan — no shuffle of the
+    * corpus, no self-join. A shingle shared by m docs contributes
+    * |probes ∩ holders| × m join rows spread across the corpus side's
+    * partitions (linear in m, the brute-scan bound), never the m² single
+    * hot key of an uncapped shingle self-join. */
+  def ngramJaccardProbePairs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, minJaccard: Double,
+                             probePred: Column): DataFrame = {
+    val compact = shingleRows(docs, idCol, textCol, n)
+    val a = compact.filter(probePred)
+      .select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
+    val b = compact.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
+    broadcast(a).join(b, Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jac",
@@ -204,7 +246,18 @@ object Dedup {
     * data volume for a fixed near-dup rate. */
   def nearDupKeepList(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, minJaccard: Double,
-                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    nearDupKeepListResult(docs, idCol, textCol, n, minJaccard,
+      numHashes, rowsPerBand).keep
+
+  /** [[nearDupKeepList]] with an explicit release handle for the drop-set
+    * snapshot — the form long-lived sessions should call ([[KeepList]]).
+    * The convenience form's snapshot blocks are reclaimed by the
+    * ContextCleaner when the frame is GC'd, but reliable-checkpoint files
+    * (when a dir is configured) are only deleted via [[KeepList.release]]. */
+  def nearDupKeepListResult(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minJaccard: Double,
+                            numHashes: Int = 16, rowsPerBand: Int = 4): KeepList = {
     val sh = shingleRows(docs, idCol, textCol, n).cache()
     val bands = lshBands(signaturesFromShingles(sh, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
@@ -216,16 +269,20 @@ object Dedup {
     val cc = Graph.connectedComponentsResult(pairs, edgesAreDistinctPairs = true)
     // snapshot only the SMALL drop-set (one id per dropped doc), then free
     // everything upstream: the shingle cache and the CC label storage +
-    // checkpoint files. The returned frame reads docs + this snapshot; its
-    // blocks are Spark-managed (ContextCleaner reclaims on GC), so nothing
-    // accretes across calls in a long-lived session.
-    val dropped = cc.labels
-      .filter(col("component") =!= col("v"))
-      .select(col("v").as(idCol))
-      .localCheckpoint()
+    // checkpoint files. Graph.snapshot upgrades to RELIABLE checkpointing
+    // when the context has a checkpoint dir (same policy as CC's own
+    // per-round snapshots — executor loss on a long 100 TB job must not
+    // force a recompute of a released pipeline); the count() materializes
+    // it BEFORE cc.release() frees the labels it derives from.
+    val (dropped, droppedRdd) = Graph.snapshot(
+      cc.labels
+        .filter(col("component") =!= col("v"))
+        .select(col("v").as(idCol)))
+    dropped.count()
     sh.unpersist()
     cc.release()
-    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+    KeepList(docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
+      droppedRdd)
   }
 
   /** SimHash banded near-dup pairs: split each `bits`-bit signature into

@@ -86,20 +86,28 @@ object DedupOps {
           countDistinct(fingerprint(normalized(col("text")))).as("n_unique_norm"))
     },
 
-    // ---- exact n-gram Jaccard over shingle-sharing pairs ----
+    // ---- exact n-gram Jaccard, PROBE-SCOPED (the small-N exact verifier,
+    //      q43 precedent): partners of the bounded probe set doc_id < 50,
+    //      scored exactly against the WHOLE corpus. The probe shingles
+    //      broadcast, so the corpus is one narrow scan — no shingle
+    //      self-join anywhere in a gated plan; the uncapped all-pairs form
+    //      stays spec-tested (DedupSpec) and its skew-capped production
+    //      sibling is gated as q97. ----
     Q("q39_ngram_jaccard",
       s"""WITH $ShingleCte,
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 50
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter,
          |  CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) AS jac
          |FROM pairs JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+      Dedup.ngramJaccardProbePairs(Tables.t(s, d, "documents"), "doc_id", "text",
+          3, 0.8, probePred = col("doc_id") < 50)
         .orderBy("id_a", "id_b")
     },
 

@@ -36,7 +36,7 @@ object Graph {
     * Stays at the InternalRow layer end to end (graftbridge) — no external
     * Row encoding per round. The map(_.copy()) is required before
     * persisting: the scan reuses UnsafeRow buffers. */
-  private def snapshot(df: DataFrame): (DataFrame, RDD[_]) = {
+  private[operators] def snapshot(df: DataFrame): (DataFrame, RDD[_]) = {
     import org.apache.spark.sql.graftbridge.InternalRowBridge
     val rdd = InternalRowBridge.toRdd(df).map(_.copy())
     if (rdd.context.getCheckpointDir.isDefined) {
@@ -51,7 +51,7 @@ object Graph {
   /** Release a superseded snapshot: unpersist its blocks AND delete its
     * reliable-checkpoint files (Spark never cleans those by default —
     * without this a long job leaks one checkpoint dir per round). */
-  private def release(rdd: RDD[_]): Unit = {
+  private[operators] def release(rdd: RDD[_]): Unit = {
     rdd.unpersist()
     rdd.getCheckpointFile.foreach { path =>
       try {
@@ -74,6 +74,22 @@ object Graph {
       * files. `labels` must not be consumed afterwards. */
     def release(): Unit = Graph.release(finalRdd)
   }
+
+  /** Both directions of each (src, dst) edge as (a, b) rows, produced in
+    * ONE upstream pass: each edge explodes into two structs, instead of
+    * union-ing two selects over `edges` — the union's branches are distinct
+    * plans, so the first materialization would execute the whole
+    * (potentially expensive — candidate-generation + verification in the
+    * keep-list pipelines) edge subtree TWICE before CC's persist catches
+    * it. The explode is a narrow map over a single scan of that subtree
+    * (PlanSpec gates the single-scan shape). */
+  def symmetrized(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col("src").cast("long").as("a"), col("dst").cast("long").as("b")),
+        struct(col("dst").cast("long").as("a"), col("src").cast("long").as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
 
   /** Connected components of an undirected edge list (columns src, dst —
     * any integral type). Returns (v, component) where component is the
@@ -99,8 +115,7 @@ object Graph {
     *   results (min is idempotent), only inflate join work. */
   def connectedComponentsResult(edges: DataFrame, maxIter: Int = 20,
                                 edgesAreDistinctPairs: Boolean = false): CcResult = {
-    val sym0 = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+    val sym0 = symmetrized(edges)
     val sym = (if (edgesAreDistinctPairs) sym0 else sym0.distinct()).persist()
     var (labels, labelsRdd) = snapshot(
       sym.select(col("a").as("v"), col("b"))

@@ -94,7 +94,13 @@ object Similarity {
     * recall; every emitted drop is still exact-verified. Use
     * [[nearDupKeepListExact]] as the small-N exhaustive verifier. */
   def nearDupKeepList(emb: DataFrame, idCol: String, vecCol: String,
-                      minCosine: Double, planes: Int, dim: Int): DataFrame = {
+                      minCosine: Double, planes: Int, dim: Int): DataFrame =
+    nearDupKeepListResult(emb, idCol, vecCol, minCosine, planes, dim).keep
+
+  /** [[nearDupKeepList]] with an explicit release handle for the drop-set
+    * snapshot (see [[KeepList]] / [[Dedup.nearDupKeepListResult]]). */
+  def nearDupKeepListResult(emb: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, planes: Int, dim: Int): KeepList = {
     val p = prepared(emb, idCol, vecCol)
       .withColumn("bucket", lshBucketExpr("q", planes, dim)).cache()
     val probes = p.select(
@@ -114,15 +120,19 @@ object Similarity {
     // pairs is dropDuplicates("src","dst") with id_a < id_b — distinct
     // ordered pairs, so CC skips its symmetrize-dedup exchange
     val cc = Graph.connectedComponentsResult(pairs, edgesAreDistinctPairs = true)
-    // snapshot only the small drop-set, then free the bucket cache and the
-    // CC label storage + checkpoint files (see Dedup.nearDupKeepList)
-    val dropped = cc.labels
-      .filter(col("component") =!= col("v"))
-      .select(col("v").as(idCol))
-      .localCheckpoint()
+    // snapshot only the small drop-set (reliable when a checkpoint dir is
+    // configured — same policy as CC's rounds), materialize it, then free
+    // the bucket cache and the CC label storage + checkpoint files (see
+    // Dedup.nearDupKeepListResult)
+    val (dropped, droppedRdd) = Graph.snapshot(
+      cc.labels
+        .filter(col("component") =!= col("v"))
+        .select(col("v").as(idCol)))
+    dropped.count()
     p.unpersist()
     cc.release()
-    emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+    KeepList(emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
+      droppedRdd)
   }
 
   /** [[nearDupKeepList]] with occupancy-scaled bucketing: the plane count

@@ -18,6 +18,21 @@ class DedupSpec extends SparkTestBase {
     assert(truePairs.forall { case (a, b) => a < b })
   }
 
+  test("probe-scoped jaccard equals the uncapped all-pairs form on the probe set") {
+    // the gated q39 shape: partners of doc_id < 50, exact against the whole
+    // corpus. Must equal the (spec-tested) uncapped all-pairs result
+    // restricted to pairs touching the probe set, oriented probe-first —
+    // with BOTH directions when both endpoints are probes.
+    val probe = Dedup.ngramJaccardProbePairs(docs, "doc_id", "text", 3, 0.8,
+        probePred = col("doc_id") < 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = truePairs.flatMap { case (a, b) =>
+      (if (a < 50) Seq((a, b)) else Nil) ++ (if (b < 50) Seq((b, a)) else Nil)
+    }
+    assert(probe === expected)
+    assert(probe.nonEmpty, "probe window must cover planted pairs at this SF")
+  }
+
   test("MinHash-LSH candidates achieve full recall on 0.98-Jaccard pairs") {
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 16, 4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -123,6 +123,37 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("keep-list drop-set upgrades to reliable checkpointing, release() cleans it") {
+    // same policy as CC's per-round snapshots: with a checkpoint dir
+    // configured, the drop-set snapshot must survive executor loss (files
+    // on disk while the keep frame is in use) and release() must delete
+    // them — a long-lived session calling keep-lists per-corpus must not
+    // accrete checkpoint dirs
+    val dir = java.nio.file.Files.createTempDirectory("graft-keeplist-ckpt")
+    dir.toFile.deleteOnExit()
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir.toString)
+    def ckptFiles: Long = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally s.close()
+    }
+    try {
+      val docs = Tables.t(spark, Sf, "documents")
+      val res = Dedup.nearDupKeepListResult(docs, "doc_id", "text", 3, 0.8)
+      // CC's own round snapshots were already released inside the call;
+      // the files still on disk are the drop-set's
+      assert(ckptFiles > 0, "expected the drop-set snapshot to be reliably checkpointed")
+      val kept = res.keep.count()
+      assert(kept > 0 && kept < docs.count())
+      res.release()
+      assert(ckptFiles === 0, "release() must delete the drop-set checkpoint files")
+    } finally {
+      sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq").get
+        .invoke(sc, None)
+    }
+  }
+
   test("near-dup pairs cluster into transitive dedup groups") {
     val docs = Tables.t(spark, Sf, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

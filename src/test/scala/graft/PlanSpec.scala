@@ -70,17 +70,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q39: shingle self-join is a shuffled hash join, not a broadcast") {
+  test("q39: probe shingles broadcast — no shingle self-join, no corpus shuffle") {
     // other suites may have cached the documents table in the shared
-    // session; these two gates assert the engine's OWN plan has no cache
+    // session; these gates assert the engine's OWN plan has no cache
     spark.sharedState.cacheManager.clearCache()
     val p = planOf(q("q39_ngram_jaccard"))
-    assert(p.contains("ShuffledHashJoin"), p)
-    // the two sides are the identical shingle subtree: the heavy shuffle
-    // must be computed once and reused, with NO resident cache (a cache here
-    // outlives the query and leaks storage for the session lifetime)
-    assert(p.contains("ReusedExchange"), p)
+    // the bounded probe set is the build side of a broadcast join: the
+    // corpus side is a single narrow scan, nothing shuffles on the shingle
+    assert(p.contains("BroadcastHashJoin"), p)
+    // a join keyed by the shingle with shuffled sides is the quadratic
+    // hot-key shape this query was re-scoped to avoid
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("InMemoryRelation"), p)
+  }
+
+  test("CC symmetrization is one-pass: the edge subtree is scanned once") {
+    // an aggregate-shaped edge list (stand-in for the keep-list pipelines'
+    // expensive candidate/verify subtree): the two-branch union form would
+    // scan + aggregate it twice; the explode form must plan ONE scan
+    import graft.operators.Graph
+    val docs = Tables.t(spark, Sf, "documents")
+    val edges = docs.groupBy(col("lang"))
+      .agg(min("doc_id").as("src"), max("doc_id").as("dst"))
+    // AQE's toString renders the plan twice (final + initial) — count scans
+    // in the final plan only
+    val p = planOf(Graph.symmetrized(edges)).split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Generate explode"), p)
   }
 
   test("q40: band self-join reuses the signature exchange instead of caching") {
