@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded / feature-extracted partition-wise.
   *
   * The Spark-side plumbing is real — schema, partitioning, batch iteration —
-  * and so is the IMAGE decode: PNG/BMP payloads (probed by magic bytes) go
-  * through `javax.imageio` (in the JDK) to exact integer image statistics.
-  * Other modalities (audio/video codecs don't ship in this container) keep
-  * a deterministic byte-derived fallback vector; swap that arm of
-  * `decodeOne` for a real codec (e.g. via JNI or a sidecar process pool)
-  * without touching the dataflow.
+  * and so are the decoders, all pure JDK: PNG/BMP/JPEG/GIF payloads (probed
+  * by magic bytes) go through `javax.imageio`; PCM WAV (16-bit LE, 8-bit,
+  * mono/stereo) through `javax.sound.sampled`; MJPEG-in-AVI video through a
+  * RIFF demux ([[demuxAviFrames]]) + the ImageIO arm per frame. Payloads
+  * that match no probe (e.g. the text modality) or no claimed codec shape
+  * keep a deterministic byte-derived fallback; swap in further codecs
+  * (e.g. via JNI or a sidecar process pool) without touching the dataflow.
   *
   * Scale notes: payloads stay columnar in Parquet (binary column, never
   * driver-collected); decode runs inside mapPartitions so each task
@@ -45,13 +46,20 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** PNG / BMP magic-byte probe — decode is content-driven, so a lying
-    * `format` tag can't route garbage into the codec or images around it. */
+  /** Raster magic-byte probe (PNG / BMP / JPEG / GIF — all decodable by
+    * `javax.imageio`) — decode is content-driven, so a lying `format` tag
+    * can't route garbage into the codec or images around it. For the lossy
+    * formats (JPEG) dims and band count are exact while pixel statistics
+    * depend on the codec's IDCT — gated queries project only the exact
+    * fields (q100). */
   private def looksRaster(b: Array[Byte]): Boolean =
     b != null && b.length >= 8 &&
       ((b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
         b(3) == 'G'.toByte) ||
-        (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+        (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+          b(3) == '8'.toByte))
 
   /** RIFF/WAVE magic-byte probe. */
   private def looksWav(b: Array[Byte]): Boolean =
@@ -61,36 +69,56 @@ object Multimodal {
       b(10) == 'V'.toByte && b(11) == 'E'.toByte
 
   /** Real WAV decode via `javax.sound.sampled` (in the JDK): header-derived
-    * format fields plus exact integer sample statistics. Only 16-bit
-    * signed little-endian PCM is claimed; anything else falls back to the
-    * byte stub rather than guessing. Features:
+    * format fields plus exact integer sample statistics. Claimed formats:
+    * 16-bit signed little-endian PCM and 8-bit PCM (unsigned or signed),
+    * mono or stereo; anything else falls back to the byte stub rather than
+    * guessing. Features:
     * [sampleRate, channels, bits, frames, minSample, maxSample, sampleSum,
-    * firstSample] — all integers, exact in Float at these magnitudes. */
+    * firstSample, sumCh0, sumCh1] — min/max/sum range over EVERY channel
+    * sample (interleaved), sumCh0/sumCh1 are the per-channel sums (ch1 sum
+    * is 0 for mono). All integers, exact in Float at these magnitudes. */
   private def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = try {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
-    val ok = fmt.getEncoding ==
+    val enc = fmt.getEncoding
+    val bits = fmt.getSampleSizeInBits
+    val channels = fmt.getChannels
+    val signed16le = enc ==
       javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-      fmt.getChannels == 1
+      bits == 16 && !fmt.isBigEndian
+    val pcm8 = bits == 8 &&
+      (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    val ok = (signed16le || pcm8) && channels >= 1 && channels <= 2
     if (!ok) None
     else {
       val pcm = ais.readAllBytes()
-      val frames = pcm.length / 2
+      val bytesPerSample = bits / 8
+      val nSamples = pcm.length / bytesPerSample
+      val frames = nSamples / channels
+      val unsigned8 =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
       var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L; var s0 = 0
+      val chSum = new Array[Long](2)
       var i = 0
-      while (i < frames) {
-        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      while (i < nSamples) {
+        val s =
+          if (bits == 16)
+            ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          else if (unsigned8) pcm(i) & 0xff
+          else pcm(i).toInt
         if (i == 0) s0 = s
         if (s < mn) mn = s
         if (s > mx) mx = s
         sum += s
+        chSum(i % channels) += s
         i += 1
       }
       if (frames == 0) None
-      else Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, 16f,
-        frames.toFloat, mn.toFloat, mx.toFloat, sum.toFloat, s0.toFloat))
+      else Some(Array(fmt.getSampleRate, channels.toFloat, bits.toFloat,
+        frames.toFloat, mn.toFloat, mx.toFloat, sum.toFloat, s0.toFloat,
+        chSum(0).toFloat, chSum(1).toFloat))
     }
   } catch {
     case _: java.io.IOException => None
@@ -201,24 +229,44 @@ object Multimodal {
     * generator shares no code with the `javax.sound` decoder under test.
     * Sample i is the integer pseudo-sequence `(i*37 + id) % 2001 - 1000`,
     * which a SQL oracle replays with pure list arithmetic. */
-  def syntheticWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+  def syntheticWav(id: Long, sampleRate: Int = 8000): Array[Byte] =
+    syntheticWavEx(id, channels = 1, bits = 16, sampleRate)
+
+  /** [[syntheticWav]] generalized to the other claimed PCM shapes: stereo
+    * and/or 8-bit (8-bit WAV is UNSIGNED per the RIFF spec). Interleaved
+    * sample j (0-based over every channel value) is
+    * `(j*37 + id) % 2001 - 1000` for 16-bit and `(j*37 + id) % 256` for
+    * 8-bit — one flat pseudo-sequence, so per-channel values are the
+    * j % channels == c strides and a SQL oracle replays everything with
+    * list arithmetic. */
+  def syntheticWavEx(id: Long, channels: Int, bits: Int,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels=$channels")
+    require(bits == 8 || bits == 16, s"bits=$bits")
     val frames = 64 + 2 * (id % 32).toInt
-    val data = new Array[Byte](frames * 2)
-    var i = 0
-    while (i < frames) {
-      val s = (((i.toLong * 37 + id) % 2001) - 1000).toInt
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
+    val nSamples = frames * channels
+    val bytesPerSample = bits / 8
+    val data = new Array[Byte](nSamples * bytesPerSample)
+    var j = 0
+    while (j < nSamples) {
+      if (bits == 16) {
+        val s = (((j.toLong * 37 + id) % 2001) - 1000).toInt
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      } else {
+        data(j) = (((j.toLong * 37 + id) % 256) & 0xff).toByte
+      }
+      j += 1
     }
+    val blockAlign = channels * bytesPerSample
     val bb = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1)                      // PCM, mono
-      .putInt(sampleRate).putInt(sampleRate * 2)    // byte rate
-      .putShort(2).putShort(16)                     // block align, bits
+      .putShort(1).putShort(channels.toShort)       // PCM, channel count
+      .putInt(sampleRate).putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
     bb.array()
   }
@@ -229,6 +277,44 @@ object Multimodal {
     MediaRecord(id, "wav", payload, payload.length.toLong)
   }
 
+  /** Id-keyed multi-shape audio record (q101 oracle mirrors the parity
+    * routing): even ids are 16-bit STEREO, odd ids are 8-bit mono. */
+  def syntheticWavExRecord(id: Long): MediaRecord = {
+    val payload =
+      if (id % 2 == 0) syntheticWavEx(id, channels = 2, bits = 16)
+      else syntheticWavEx(id, channels = 1, bits = 8)
+    MediaRecord(id, "wav", payload, payload.length.toLong)
+  }
+
+  /** Deterministic solid-color JPEG — dims and band count survive the lossy
+    * round-trip exactly (the q100 oracle checks only those); pixel values
+    * do not, which is why JPEG never routes through the pixel-stat oracle. */
+  def syntheticJpeg(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Id-keyed synthetic JPEG record; dim formulas mirrored by the q100
+    * oracle (deliberately different from the PNG formulas so a routing bug
+    * between the two arms can't cancel out). */
+  def syntheticJpegRecord(id: Long): MediaRecord = {
+    val payload = syntheticJpeg(
+      16 + (id % 9).toInt, 16 + (id % 7).toInt,
+      (id % 256).toInt, ((id * 11) % 256).toInt, ((id * 17) % 256).toInt)
+    MediaRecord(id, "jpg", payload, payload.length.toLong)
+  }
+
   /** One sampled frame of a media payload. */
   case class FrameRecord(
       media_id: Long,
@@ -236,12 +322,64 @@ object Multimodal {
       frame: Array[Byte],
       frame_bytes: Long)
 
-  /** STUB frame sampling (video modality): treat the payload as a sequence
-    * of fixed-size pseudo-frames, keep every `everyNth` frame up to
-    * `maxFrames`. A real decoder would demux/seek keyframes inside the same
-    * flatMap — the dataflow (typed rows out, one per frame, partition-wise,
-    * nothing driver-side) is the production shape. Deterministic, so the
-    * per-media frame COUNTS are oracle-checkable from n_bytes alone. */
+  /** RIFF/AVI magic-byte probe. */
+  private def looksAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == 'F'.toByte && b(8) == 'A'.toByte && b(9) == 'V'.toByte &&
+      b(10) == 'I'.toByte && b(11) == ' '.toByte
+
+  /** REAL AVI demux, pure JDK: walk the RIFF chunk tree, find the `movi`
+    * LIST, and return the payload of every video-data chunk (`##dc` /
+    * `##db` — compressed / uncompressed frame of stream ##) in stream
+    * order. MJPEG-in-AVI is exactly this container shape with one JPEG per
+    * `dc` chunk, so demux + the q98/q100 ImageIO arm is a complete
+    * pure-JDK video decode path. Returns None for anything malformed —
+    * callers fall back to the byte stub rather than guessing. */
+  private[multimodal] def demuxAviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = try {
+    if (!looksAvi(b)) None
+    else {
+      def le32(off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      def fourcc(off: Int) = new String(b, off, 4, "US-ASCII")
+      val riffEnd = math.min(b.length.toLong, 8L + le32(4)).toInt
+      val frames = Vector.newBuilder[Array[Byte]]
+      def isVideoData(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+      def walkMovi(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(o)
+          val sz = le32(o + 4).toInt
+          if (isVideoData(id) && o + 8 + sz <= end)
+            frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + sz)
+          o += 8 + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+      var off = 12
+      while (off + 8 <= riffEnd) {
+        val id = fourcc(off)
+        val sz = le32(off + 4).toInt
+        if (id == "LIST" && off + 12 <= riffEnd && fourcc(off + 8) == "movi")
+          walkMovi(off + 12, math.min(off + 8 + sz, riffEnd))
+        off += 8 + sz + (sz & 1)
+      }
+      val out = frames.result()
+      if (out.isEmpty) None else Some(out)
+    }
+  } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Frame sampling (video modality): keep every `everyNth` frame up to
+    * `maxFrames`, partition-wise, one typed row out per frame.
+    *
+    * AVI payloads (RIFF magic) go through the REAL demux
+    * ([[demuxAviFrames]]): frames are the container's video-data chunks,
+    * `frame_idx` their index in the original stream. Everything else —
+    * including a malformed AVI — keeps the deterministic byte-stub
+    * (fixed `frameBytes`-sized pseudo-frames), so the per-media frame
+    * COUNTS stay oracle-checkable from n_bytes alone (q94). */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
                    everyNth: Int, maxFrames: Int): Dataset[FrameRecord] = {
     require(frameBytes > 0 && everyNth > 0 && maxFrames > 0,
@@ -249,22 +387,103 @@ object Multimodal {
     implicit val enc = org.apache.spark.sql.Encoders.product[FrameRecord]
     media.flatMap { r =>
       // null payload (e.g. NULL source text) samples nothing — same row the
-      // metadata oracle drops via n_bytes. Long math: byte arrays can reach
-      // 2^31-1, where (len + frameBytes - 1) overflows Int.
+      // metadata oracle drops via n_bytes.
       if (r.payload == null) Iterator.empty
-      else {
-        val nChunks = ((r.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
-        Iterator.range(0, nChunks, everyNth)
-          .take(maxFrames)
-          .map { i =>
-            val from = i * frameBytes
-            val until = math.min(from.toLong + frameBytes, r.payload.length).toInt
-            FrameRecord(r.media_id, i.toLong,
-              java.util.Arrays.copyOfRange(r.payload, from, until),
-              (until - from).toLong)
-          }
+      else demuxAviFrames(r.payload) match {
+        case Some(frames) =>
+          Iterator.range(0, frames.size, everyNth)
+            .take(maxFrames)
+            .map(i => FrameRecord(r.media_id, i.toLong, frames(i),
+              frames(i).length.toLong))
+        case None =>
+          // byte-stub pseudo-frames. Long math: byte arrays can reach
+          // 2^31-1, where (len + frameBytes - 1) overflows Int.
+          val nChunks = ((r.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+          Iterator.range(0, nChunks, everyNth)
+            .take(maxFrames)
+            .map { i =>
+              val from = i * frameBytes
+              val until = math.min(from.toLong + frameBytes, r.payload.length).toInt
+              FrameRecord(r.media_id, i.toLong,
+                java.util.Arrays.copyOfRange(r.payload, from, until),
+                (until - from).toLong)
+            }
       }
     }
+  }
+
+  /** Decoded per-frame raster info (the exact, oracle-checkable fields). */
+  case class FrameInfo(
+      media_id: Long, frame_idx: Long, width: Int, height: Int, n_bands: Int)
+
+  /** Decode each sampled frame's raster header via ImageIO (partition-wise,
+    * same arm as still images); undecodable frames report -1s rather than
+    * dropping — a silent drop would fake a lower frame count. */
+  def frameInfo(frames: Dataset[FrameRecord]): Dataset[FrameInfo] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameInfo]
+    frames.mapPartitions(_.map { f =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame)))
+        catch { case _: java.io.IOException => None }
+      img match {
+        case Some(i) =>
+          FrameInfo(f.media_id, f.frame_idx, i.getWidth, i.getHeight,
+            i.getRaster.getNumBands)
+        case None => FrameInfo(f.media_id, f.frame_idx, -1, -1, -1)
+      }
+    })
+  }
+
+  /** Deterministic MJPEG-in-AVI — the synthetic video modality: an AVI
+    * RIFF container (hdrl with a canonical 56-byte avih + a movi LIST)
+    * holding `2 + id % 4` JPEG frames of `(16 + id % 9) x (16 + id % 7)`
+    * pixels. Hand-rolled writer — shares no code with [[demuxAviFrames]]
+    * under test. Frame count and dims are pure arithmetic over the id,
+    * which is what the q102 oracle replays. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 16 + (id % 9).toInt
+    val h = 16 + (id % 7).toInt
+    val nFrames = 2 + (id % 4).toInt
+    val frames = (0 until nFrames).map { i =>
+      syntheticJpeg(w, h,
+        ((id + i) % 256).toInt, ((id * 11 + i) % 256).toInt,
+        ((id * 17 + i) % 256).toInt)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // hdrl LIST: 'hdrl' + avih chunk (56-byte main header)
+    val avih = new java.io.ByteArrayOutputStream()
+    avih.write(cc("avih")); avih.write(le32(56))
+    val mainHdr = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mainHdr.putInt(40000)            // dwMicroSecPerFrame (25 fps)
+      .putInt(0).putInt(0).putInt(0) // dwMaxBytesPerSec, padding, flags
+      .putInt(nFrames)               // dwTotalFrames
+      .putInt(0).putInt(1)           // dwInitialFrames, dwStreams
+      .putInt(0)                     // dwSuggestedBufferSize
+      .putInt(w).putInt(h)           // dwWidth, dwHeight
+    avih.write(mainHdr.array())
+    val hdrl = cc("LIST") ++ le32(4 + avih.size()) ++ cc("hdrl") ++ avih.toByteArray
+    // movi LIST: one '00dc' chunk per JPEG frame, even-padded
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(cc("movi"))
+    frames.foreach { f =>
+      movi.write(cc("00dc")); movi.write(le32(f.length)); movi.write(f)
+      if ((f.length & 1) == 1) movi.write(0)
+    }
+    val moviChunk = cc("LIST") ++ le32(movi.size()) ++ movi.toByteArray
+    val body = cc("AVI ") ++ hdrl ++ moviChunk
+    bos.write(cc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Id-keyed synthetic video record; formulas mirrored by the q102 oracle. */
+  def syntheticAviRecord(id: Long): MediaRecord = {
+    val payload = syntheticAvi(id)
+    MediaRecord(id, "avi", payload, payload.length.toLong)
   }
 
   /** STUB resize (image modality): normalize every payload to exactly

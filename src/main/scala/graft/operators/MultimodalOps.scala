@@ -117,6 +117,97 @@ object MultimodalOps {
         .orderBy("media_id")
     },
 
+    // ---- REAL JPEG decode: same ImageIO arm as q98, lossy format — dims
+    //      and band count survive the round-trip exactly (the oracle
+    //      replays the generator's dim formulas); pixel stats are
+    //      codec-dependent and deliberately NOT projected. A decode
+    //      failure would fall back to the byte stub and break the hash. ----
+    Q("q100_jpeg_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 7 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_bands
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticJpegRecord))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("int").as("n_bands"))
+        .orderBy("media_id")
+    },
+
+    // ---- REAL multi-shape audio decode: even ids are 16-bit STEREO, odd
+    //      ids 8-bit mono (unsigned, per the RIFF spec) — the two claimed
+    //      PCM shapes beyond q99's 16-bit mono. One flat interleaved
+    //      pseudo-sequence per doc makes per-channel sums the stride
+    //      slices, all replayable with list arithmetic. Sign-extension,
+    //      channel-interleave, or 8-bit-unsigned bugs break the hash. ----
+    Q("q101_audio_formats",
+      """WITH f AS (
+        |  SELECT doc_id, 64 + 2 * (doc_id % 32) AS frames FROM documents),
+        |s AS (
+        |  SELECT doc_id, frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS channels,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN list_transform(range(frames * 2), j -> (j * 37 + doc_id) % 2001 - 1000)
+        |      ELSE list_transform(range(frames), j -> (j * 37 + doc_id) % 256)
+        |    END AS xs
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(bits AS INTEGER) AS bits,
+        |  CAST(frames AS INTEGER) AS frames,
+        |  CAST(list_min(xs) AS INTEGER) AS min_s,
+        |  CAST(list_max(xs) AS INTEGER) AS max_s,
+        |  CAST(list_sum(xs) AS BIGINT) AS sum_s,
+        |  CAST(xs[1] AS INTEGER) AS first_s,
+        |  CAST(list_sum(list_transform(range(len(xs) // channels),
+        |    i -> xs[i * channels + 1])) AS BIGINT) AS sum_ch0,
+        |  CAST(CASE WHEN channels = 2 THEN list_sum(list_transform(
+        |    range(len(xs) // 2), i -> xs[i * 2 + 2])) ELSE 0 END AS BIGINT) AS sum_ch1
+        |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticWavExRecord))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id") +:
+          (Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
+            "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
+            "sum_s" -> "bigint", "first_s" -> "int",
+            "sum_ch0" -> "bigint", "sum_ch1" -> "bigint").zipWithIndex.map {
+            case ((n, t), i) => element_at(col("features"), i + 1).cast(t).as(n)
+          }): _*)
+        .orderBy("media_id")
+    },
+
+    // ---- REAL video decode (MJPEG-in-AVI, pure JDK): a RIFF demux walks
+    //      the container to the movi LIST and emits one row per video-data
+    //      chunk, then each frame decodes through the ImageIO arm. The
+    //      oracle replays the generator's frame-count and dim formulas —
+    //      a chunk-walk bug (padding, nested LIST, frame order) or a
+    //      frame-decode failure (-1 dims) breaks the hash. ----
+    Q("q102_video_frames",
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(16 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 7 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_bands
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticAviRecord))
+      graft.multimodal.Multimodal.frameInfo(
+          graft.multimodal.Multimodal.sampleFrames(media, 256, 1, 10)).toDF()
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- frame sampling (video-modality shape): payload as 256-byte
     //      pseudo-frames, every 3rd kept, max 5. Frame PAYLOADS are
     //      spec-checked (MultimodalSpec); the per-media sample METADATA is

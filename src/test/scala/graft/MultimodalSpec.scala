@@ -112,8 +112,69 @@ class MultimodalSpec extends SparkTestBase {
     val media = Seq(Multimodal.MediaRecord(5L, "wav", wav, wav.length.toLong)).toDS()
     val f = Multimodal.decodeFeatures(media).head().features
     val samples = (0 until 74).map(i => ((i * 37 + 5) % 2001) - 1000)
+    // mono: the whole sum lands in ch0, ch1 sum is 0
     assert(f.map(_.toLong).toSeq === Seq[Long](8000, 1, 16, 74,
-      samples.min, samples.max, samples.sum, samples.head))
+      samples.min, samples.max, samples.sum, samples.head, samples.sum, 0))
+  }
+
+  test("real stereo WAV decode: interleave and per-channel sums") {
+    val wav = Multimodal.syntheticWavEx(4L, channels = 2, bits = 16)
+    val media = Seq(Multimodal.MediaRecord(4L, "wav", wav, wav.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head().features
+    val frames = 64 + 2 * 4
+    val xs = (0 until frames * 2).map(j => ((j * 37 + 4) % 2001) - 1000)
+    val ch0 = xs.grouped(2).map(_.head).sum.toLong
+    val ch1 = xs.grouped(2).map(_.last).sum.toLong
+    assert(f.map(_.toLong).toSeq === Seq[Long](8000, 2, 16, frames,
+      xs.min, xs.max, xs.sum, xs.head, ch0, ch1))
+  }
+
+  test("real 8-bit WAV decode: unsigned samples") {
+    val wav = Multimodal.syntheticWavEx(7L, channels = 1, bits = 8)
+    val media = Seq(Multimodal.MediaRecord(7L, "wav", wav, wav.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head().features
+    val frames = 64 + 2 * 7
+    val xs = (0 until frames).map(j => (j * 37 + 7) % 256) // unsigned 0..255
+    assert(f.map(_.toLong).toSeq === Seq[Long](8000, 1, 8, frames,
+      xs.min, xs.max, xs.sum, xs.head, xs.sum, 0))
+    assert(xs.max > 127, "fixture must cover the sign-extension trap")
+  }
+
+  test("real JPEG decode via the magic-byte probe: exact dims and bands") {
+    val jpg = Multimodal.syntheticJpeg(19, 11, 120, 60, 30)
+    assert((jpg(0) & 0xff) === 0xFF && (jpg(1) & 0xff) === 0xD8) // JFIF magic
+    val media = Seq(Multimodal.MediaRecord(8L, "bin", jpg, jpg.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(media).head().features.map(_.toInt)
+    assert(f.take(3).toSeq === Seq(19, 11, 3)) // dims+bands exact; stats lossy
+  }
+
+  test("AVI demux: real frames out, stride and cap respected, JPEG-decodable") {
+    val id = 6L // nFrames = 2 + 6%4 = 4, dims 22x13... (16+6%9, 16+6%7)
+    val avi = Multimodal.syntheticAvi(id)
+    val media = Seq(Multimodal.MediaRecord(id, "avi", avi, avi.length.toLong)).toDS()
+    val all = Multimodal.sampleFrames(media, 256, 1, 10).collect().sortBy(_.frame_idx)
+    assert(all.length === 4)
+    assert(all.map(_.frame_idx).toSeq === Seq(0L, 1L, 2L, 3L))
+    all.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame))
+      assert(img !== null, "every demuxed frame must be a decodable JPEG")
+      assert(img.getWidth === 16 + (id % 9).toInt)
+      assert(img.getHeight === 16 + (id % 7).toInt)
+    }
+    // stride + cap apply to the REAL frame sequence
+    val sampled = Multimodal.sampleFrames(media, 256, 2, 2).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0L, 2L))
+  }
+
+  test("malformed AVI falls back to the byte-stub pseudo-frames") {
+    // valid RIFF/AVI magic but no movi LIST -> demux yields no frames
+    val junk = "RIFF    AVI LIST".getBytes("US-ASCII") ++
+      Array.fill[Byte](600)(42)
+    val media = Seq(Multimodal.MediaRecord(9L, "avi", junk, junk.length.toLong)).toDS()
+    val frames = Multimodal.sampleFrames(media, 256, 1, 10).collect()
+    // stub shape: ceil(len/256) fixed-size chunks
+    assert(frames.length === (junk.length + 255) / 256)
+    assert(frames.map(_.frame_bytes).sum === junk.length.toLong)
   }
 
   test("truncated WAV payload falls back to the deterministic byte stub") {
