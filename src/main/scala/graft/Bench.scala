@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the suite has ~100 queries x several codegen stages; the default
+      // 100-entry generated-class cache thrashes under ROUND-ROBIN pass
+      // order (every run would pay Janino compilation again, ~+30% total),
+      // defeating the warmup pass. Static conf - must be set here.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
