@@ -486,11 +486,12 @@ object Multimodal {
     MediaRecord(id, "avi", payload, payload.length.toLong)
   }
 
-  /** STUB resize (image modality): normalize every payload to exactly
-    * `targetBytes` (truncate or zero-pad) — the fixed-resolution analog; a
-    * real implementation decodes, scales, re-encodes in the same
-    * partition-wise map. Output schema/metadata stay consistent with
-    * [[MediaRecord]] so downstream ops are unchanged. */
+  /** Byte-normalize resize (non-raster modality): normalize every payload
+    * to exactly `targetBytes` (truncate or zero-pad) — the fixed-resolution
+    * analog for payloads with no raster decoder. Raster payloads should use
+    * [[resizedImages]], the REAL decode-scale-re-encode path. Output
+    * schema/metadata stay consistent with [[MediaRecord]] so downstream
+    * ops are unchanged. */
   def resized(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
@@ -503,5 +504,98 @@ object Multimodal {
           n_bytes = targetBytes.toLong)
       }
     }
+  }
+
+  /** REAL image resize (raster modality, pure JDK): ImageIO decode →
+    * integer nearest-neighbor resample — source pixel of target (x, y) is
+    * `(x*srcW/targetW, y*srcH/targetH)`, floor division, so the mapping is
+    * engine-exact and a SQL oracle replays it (q103) — → LOSSLESS PNG
+    * re-encode, partition-wise. Nearest-neighbor over bilinear because
+    * determinism is a pipeline requirement here: no rounding-mode or
+    * gamma ambiguity, byte-identical output on any JVM.
+    *
+    * Non-raster / undecodable payloads take the [[resized]] byte stub at
+    * the fixed-resolution byte size (targetW·targetH·3) so the output
+    * stays uniformly shaped. */
+  def resizedImages(media: Dataset[MediaRecord], targetW: Int,
+                    targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.payload == null || !looksRaster(r.payload)) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(src) =>
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val (sw, sh) = (src.getWidth, src.getHeight)
+            var y = 0
+            while (y < targetH) {
+              var x = 0
+              while (x < targetW) {
+                out.setRGB(x, y, src.getRGB(x * sw / targetW, y * sh / targetH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            r.copy(format = "png", payload = bytes, n_bytes = bytes.length.toLong)
+          case None =>
+            if (r.payload == null) r
+            else {
+              val tb = targetW * targetH * 3
+              r.copy(payload = java.util.Arrays.copyOf(r.payload, tb),
+                n_bytes = tb.toLong)
+            }
+        }
+      }
+    }
+  }
+
+  /** Deterministic vertically-split two-color PNG: columns
+    * `x < (width+1)/2` are (rl, gl, bl), the rest (rr, gr, br). Color is a
+    * function of x ONLY, so the nearest-neighbor resample of any target
+    * column is decided by one integer comparison — which is what lets the
+    * q103 oracle check the RESAMPLING math (not just dims) with list
+    * arithmetic: a half-pixel offset, a rounding-mode difference, or a
+    * bilinear implementation all move the boundary column and break the
+    * hash. */
+  def syntheticSplitPng(width: Int, height: Int,
+                        rl: Int, gl: Int, bl: Int,
+                        rr: Int, gr: Int, br: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val left = ((rl & 0xff) << 16) | ((gl & 0xff) << 8) | (bl & 0xff)
+    val right = ((rr & 0xff) << 16) | ((gr & 0xff) << 8) | (br & 0xff)
+    val split = (width + 1) / 2
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, if (x < split) left else right)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Id-keyed split-PNG record; the color/dim formulas are mirrored by the
+    * q103 oracle. */
+  def syntheticSplitPngRecord(id: Long): MediaRecord = {
+    val payload = syntheticSplitPng(
+      8 + (id % 8).toInt, 8 + (id % 5).toInt,
+      (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt,
+      ((id * 23) % 256).toInt, ((id * 29) % 256).toInt, ((id * 31) % 256).toInt)
+    MediaRecord(id, "png", payload, payload.length.toLong)
   }
 }

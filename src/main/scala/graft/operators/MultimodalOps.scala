@@ -208,6 +208,45 @@ object MultimodalOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    // ---- REAL image resize: decode -> integer nearest-neighbor -> PNG
+    //      re-encode -> decode again. The fixture is a two-color split
+    //      image, so the oracle's list arithmetic checks the RESAMPLING
+    //      mapping itself (the boundary column position), not just dims:
+    //      a half-pixel offset, rounding-mode change, or bilinear kernel
+    //      breaks the hash. ----
+    Q("q103_image_resize",
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w,
+        |    doc_id % 256 AS rl, (doc_id * 7) % 256 AS gl, (doc_id * 13) % 256 AS bl,
+        |    (doc_id * 23) % 256 AS rr, (doc_id * 29) % 256 AS gr, (doc_id * 31) % 256 AS br
+        |  FROM documents),
+        |n AS (
+        |  SELECT *, len(list_filter(range(10),
+        |    x -> (x * w) // 10 < (w + 1) // 2)) AS nl
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CAST(10 AS INTEGER) AS width,
+        |  CAST(6 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_bands,
+        |  CAST((nl * rl + (10 - nl) * rr) // 10 AS INTEGER) AS mean_r,
+        |  CAST((nl * gl + (10 - nl) * gr) // 10 AS INTEGER) AS mean_g,
+        |  CAST((nl * bl + (10 - nl) * br) // 10 AS INTEGER) AS mean_b,
+        |  CAST(least((rl + gl + bl) // 3, (rr + gr + br) // 3) AS INTEGER) AS min_lum,
+        |  CAST(greatest((rl + gl + bl) // 3, (rr + gr + br) // 3) AS INTEGER) AS max_lum
+        |FROM n ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticSplitPngRecord))
+      val resized = graft.multimodal.Multimodal.resizedImages(media, 10, 6)
+      graft.multimodal.Multimodal.decodeFeatures(resized).toDF()
+        .select(col("media_id") +:
+          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
+            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
+            element_at(col("features"), i + 1).cast("int").as(n)
+          }: _*)
+        .orderBy("media_id")
+    },
+
     // ---- frame sampling (video-modality shape): payload as 256-byte
     //      pseudo-frames, every 3rd kept, max 5. Frame PAYLOADS are
     //      spec-checked (MultimodalSpec); the per-media sample METADATA is

@@ -76,6 +76,34 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real image resize: nearest-neighbor mapping exact, up and down") {
+    // 4x2 source, left 2 columns red, right 2 green
+    val png = Multimodal.syntheticSplitPng(4, 2, 250, 0, 0, 0, 250, 0)
+    val media = Seq(Multimodal.MediaRecord(1L, "png", png, png.length.toLong)).toDS()
+    // downscale to 2x1: target x=0 -> src 0 (red), x=1 -> src 2 (green)
+    val down = Multimodal.resizedImages(media, 2, 1).collect().head
+    val dImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down.payload))
+    assert((dImg.getWidth, dImg.getHeight) === (2, 1))
+    assert((dImg.getRGB(0, 0) & 0xffffff) === (250 << 16))
+    assert((dImg.getRGB(1, 0) & 0xffffff) === (250 << 8))
+    // upscale to 8x4: target x -> src x*4/8 = x/2; boundary at x=4 (src 2)
+    val up = Multimodal.resizedImages(media, 8, 4).collect().head
+    val uImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up.payload))
+    assert((uImg.getWidth, uImg.getHeight) === (8, 4))
+    assert((0 until 8).map(x => (uImg.getRGB(x, 3) & 0xffffff) === (250 << 16))
+      .toSeq === Seq(true, true, true, true, false, false, false, false))
+    assert(up.format === "png")
+  }
+
+  test("non-raster payload takes the byte-stub resize arm") {
+    val junk = Array.tabulate[Byte](50)(_.toByte)
+    val media = Seq(Multimodal.MediaRecord(2L, "bin", junk, 50L)).toDS()
+    val out = Multimodal.resizedImages(media, 4, 3).collect().head
+    assert(out.payload.length === 4 * 3 * 3) // targetW*targetH*3 byte stub
+    assert(out.payload.take(36).toSeq === junk.take(36).toSeq)
+    assert(out.format === "bin") // stub arm never claims a raster format
+  }
+
   test("decode runs partition-wise (one task per partition, no collect)") {
     val media = Multimodal.withPayload(docs, "doc_id", "text")
       .repartition(4).as[Multimodal.MediaRecord]
