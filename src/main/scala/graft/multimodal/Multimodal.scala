@@ -315,6 +315,35 @@ object Multimodal {
     MediaRecord(id, "jpg", payload, payload.length.toLong)
   }
 
+  /** Deterministic solid-color GIF: palette-indexed, but a single color
+    * round-trips losslessly (one exact palette entry), so — unlike JPEG —
+    * the pixel statistics stay oracle-checkable. The decoded raster is
+    * 1-band (palette indices); `decodeOne` reads colors via getRGB, so
+    * stats are the true colors while n_bands exposes the palette layout. */
+  def syntheticGif(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** Id-keyed synthetic GIF record; formulas mirrored by the q104 oracle. */
+  def syntheticGifRecord(id: Long): MediaRecord = {
+    val payload = syntheticGif(
+      12 + (id % 6).toInt, 12 + (id % 4).toInt,
+      ((id * 3) % 256).toInt, ((id * 5) % 256).toInt, ((id * 19) % 256).toInt)
+    MediaRecord(id, "gif", payload, payload.length.toLong)
+  }
+
   /** One sampled frame of a media payload. */
   case class FrameRecord(
       media_id: Long,

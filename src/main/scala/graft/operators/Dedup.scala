@@ -285,6 +285,42 @@ object Dedup {
       droppedRdd)
   }
 
+  /** Train/eval decontamination — the standard pre-training hygiene check:
+    * for each EVAL document, count its distinct word n-gram shingles that
+    * also appear in ANY train document; emit contaminated eval docs with
+    * the shared-shingle count and the contaminated fraction of the doc's
+    * total shingles. Long shingles (n ~ 8+) are the industry-standard
+    * overlap unit: rare enough that a match means real leakage.
+    *
+    * Scale shape: ONE shuffle keyed by shingle does everything — the df
+    * cap rides a window over that partitioning (q97 pattern), the train
+    * side's distinct and the train⋈eval join reuse it. `maxShingleDf`
+    * bounds any bucket at cap² (boilerplate shared by both splits is not
+    * leakage evidence anyway); per-doc totals keep the FULL count, so
+    * `frac` is a lower bound — every reported doc is genuinely
+    * contaminated.
+    *
+    * @param split column labeling each row 'train' / 'eval' — must derive
+    *   from columns of `docs` (e.g. [[Sampling.splitLabel]] of the id). */
+  def crossSplitContamination(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int, split: Column,
+                              maxShingleDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val capped = shingleRows(docs, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxShingleDf).drop("df")
+      .withColumn("split", split)
+    val train = capped.filter(col("split") === "train")
+      .select("s").dropDuplicates("s")
+    val ev = capped.filter(col("split") === "eval")
+      .select(col(idCol), col("ns"), col("s"))
+    ev.join(train.hint("shuffle_hash"), Seq("s"))
+      .groupBy(col(idCol), col("ns"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), col("n_shared"), col("ns").cast("long").as("ns"),
+        (col("n_shared").cast("double") / col("ns").cast("double")).as("frac"))
+  }
+
   /** SimHash banded near-dup pairs: split each `bits`-bit signature into
     * `bands` equal slices; docs sharing ANY slice are candidates, then
     * exact hamming distance is verified on candidates only. Pigeonhole

@@ -24,14 +24,21 @@ object DedupOps {
   private def jaccardCapDf(nDocs: Long): Int = math.max(4L, nDocs / 300L).toInt
   private val JaccardCapSql = "GREATEST(4, count(*) // 300)"
 
-  /** DuckDB 3-gram shingle CTE (1-based list indexing; matches
-    * TextFunctions.wordShingles(n=3) incl. the <3-token empty case). */
-  private val ShingleCte =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(sp) - 1),
-      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS s
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t) u)""".stripMargin
+  /** DuckDB n-gram shingle CTE (1-based list indexing; matches
+    * TextFunctions.wordShingles(n) incl. the <n-token empty case: the
+    * range is empty when len(sp) < n). */
+  private def shingleCteN(n: Int): String = {
+    val terms = (0 until n).map(k => if (k == 0) "sp[i]" else s"sp[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(sp) - ${n - 2}),
+       |      i -> $terms)) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t) u)""".stripMargin
+  }
+
+  /** The 3-gram instance used by most dedup oracles. */
+  private val ShingleCte = shingleCteN(3)
 
   private val minhashSigSql = {
     val mins = (0 until NumHashes)
@@ -138,6 +145,38 @@ object DedupOps {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           3, 0.8, maxShingleDf = Some(jaccardCapDf(docs.count())))
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- train/eval decontamination: eval docs sharing >= 1 five-gram
+    //      shingle with any train doc (split = the q85 md5 90/10 split).
+    //      The planted near-dup pairs guarantee cross-split leakage at
+    //      every SF. One shuffle keyed by shingle carries the df cap
+    //      window, the train-side distinct, and the train-eval join; the
+    //      cap bounds hot shingles (frac stays a lower bound over the
+    //      UNCAPPED per-doc totals, q97 semantics). ----
+    Q("q105_contamination",
+      s"""WITH ${shingleCteN(5)},
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |cap AS (SELECT $JaccardCapSql AS c FROM documents),
+         |shc AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+         |  WHERE df <= (SELECT c FROM cap)),
+         |sp AS (SELECT doc_id, s,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+         |       THEN 'train' ELSE 'eval' END AS split FROM shc),
+         |tr AS (SELECT DISTINCT s FROM sp WHERE split = 'train'),
+         |ev AS (SELECT doc_id, s FROM sp WHERE split = 'eval'),
+         |hit AS (SELECT ev.doc_id, count(*) AS n_shared
+         |        FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1)
+         |SELECT hit.doc_id AS doc_id, n_shared, CAST(n.ns AS BIGINT) AS ns,
+         |  CAST(n_shared AS DOUBLE) / CAST(n.ns AS DOUBLE) AS frac
+         |FROM hit JOIN n ON n.doc_id = hit.doc_id
+         |ORDER BY hit.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      Dedup.crossSplitContamination(docs, "doc_id", "text", 5,
+          Sampling.splitLabel(col("doc_id"), 1),
+          maxShingleDf = jaccardCapDf(docs.count()))
+        .orderBy("doc_id")
     },
 
     // ---- MinHash + LSH banding candidates ----

@@ -139,6 +139,35 @@ object MultimodalOps {
         .orderBy("media_id")
     },
 
+    // ---- REAL GIF decode: palette-indexed raster (n_bands = 1), but a
+    //      solid color round-trips losslessly through the palette, so the
+    //      pixel stats stay exact — gating both the GIF probe arm and the
+    //      palette-to-RGB color resolution. ----
+    Q("q104_gif_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(12 + doc_id % 6 AS INTEGER) AS width,
+        |  CAST(12 + doc_id % 4 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_bands,
+        |  CAST((doc_id * 3) % 256 AS INTEGER) AS mean_r,
+        |  CAST((doc_id * 5) % 256 AS INTEGER) AS mean_g,
+        |  CAST((doc_id * 19) % 256 AS INTEGER) AS mean_b,
+        |  CAST(((doc_id * 3) % 256 + (doc_id * 5) % 256 + (doc_id * 19) % 256) // 3
+        |    AS INTEGER) AS min_lum,
+        |  CAST(((doc_id * 3) % 256 + (doc_id * 5) % 256 + (doc_id * 19) % 256) // 3
+        |    AS INTEGER) AS max_lum
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticGifRecord))
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id") +:
+          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
+            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
+            element_at(col("features"), i + 1).cast("int").as(n)
+          }: _*)
+        .orderBy("media_id")
+    },
+
     // ---- REAL multi-shape audio decode: even ids are 16-bit STEREO, odd
     //      ids 8-bit mono (unsigned, per the RIFF spec) — the two claimed
     //      PCM shapes beyond q99's 16-bit mono. One flat interleaved

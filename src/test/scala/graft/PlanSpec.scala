@@ -119,6 +119,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q105: contamination rides one shingle partitioning, join never broadcasts") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = planOf(q("q105_contamination"))
+    // df cap is a Window over the shingle hash-partitioning; the
+    // train-distinct and the train⋈eval join reuse that keying — the train
+    // shingle set is vocabulary-sized and must never collect to the driver
+    assert(p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("InMemoryRelation"), p)
+  }
+
   test("q59: TF-IDF document-frequency join never broadcasts the vocabulary") {
     val p = planOf(q("q59_tfidf"))
     // term-keyed join must be a shuffle join (df table is vocabulary-sized);
