@@ -154,6 +154,38 @@ object TextOps {
         .limit(20)
     },
 
+    // ---- per-doc repetition ratio (Gopher-style quality signal): the
+    //      fraction of a document's bigrams that are repeats, plus the
+    //      hottest bigram's count. Two two-phase hash aggs — (doc, bigram)
+    //      then doc — both map-side combined; the generator emits bigram
+    //      OCCURRENCES (distinct = false), unlike the dedup pipelines. ----
+    Q("q106_repetition_ratio",
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(sp)),
+        |    i -> sp[i] || ' ' || sp[i+1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS max_rep,
+        |  CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.shingleRows(col("text"), 2, distinct = false)
+            .as(Seq("bg", "nbg")))
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+          max("cnt").as("max_rep"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("max_rep"),
+          ((col("n_bigrams") - col("n_distinct")).cast("double") /
+            col("n_bigrams").cast("double")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- regex (BPE-ish pre-tokenization) token stats: tokensRe splits on
     //      non-letter/number runs; the oracle uses the extract-all identity
     //      (tokens == matches of the complement class), RE2 and Java agree
