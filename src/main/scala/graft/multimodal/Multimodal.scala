@@ -384,6 +384,10 @@ object Multimodal {
           val sz = le32(o + 4).toInt
           if (isVideoData(id) && o + 8 + sz <= end)
             frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + sz)
+          else if (id == "LIST" && o + 12 <= end)
+            // interleaved AVIs group each frame bundle in a 'rec ' LIST —
+            // recurse so wrapped video chunks are still found in order
+            walkMovi(o + 12, math.min(o + 8 + sz, end))
           o += 8 + sz + (sz & 1) // chunks pad to even offsets
         }
       }

@@ -194,6 +194,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled.map(_.frame_idx).toSeq === Seq(0L, 2L))
   }
 
+  test("AVI demux: frames wrapped in 'rec ' LISTs are still found in order") {
+    // interleaved-AVI shape: each frame chunk nested in its own rec LIST
+    val jpgA = Multimodal.syntheticJpeg(6, 5, 10, 20, 30)
+    val jpgB = Multimodal.syntheticJpeg(6, 5, 40, 50, 60)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(f: Array[Byte]) = {
+      val c = cc("00dc") ++ le32(f.length) ++ f
+      if ((f.length & 1) == 1) c :+ 0.toByte else c
+    }
+    def rec(f: Array[Byte]) = {
+      val inner = cc("rec ") ++ chunk(f)
+      cc("LIST") ++ le32(inner.length) ++ inner
+    }
+    val movi = cc("movi") ++ rec(jpgA) ++ rec(jpgB)
+    val body = cc("AVI ") ++ cc("LIST") ++ le32(movi.length) ++ movi
+    val avi = cc("RIFF") ++ le32(body.length) ++ body
+    val media = Seq(Multimodal.MediaRecord(10L, "avi", avi, avi.length.toLong)).toDS()
+    val frames = Multimodal.sampleFrames(media, 256, 1, 10).collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    assert(frames(0).frame.toSeq === jpgA.toSeq)
+    assert(frames(1).frame.toSeq === jpgB.toSeq)
+  }
+
   test("malformed AVI falls back to the byte-stub pseudo-frames") {
     // valid RIFF/AVI magic but no movi LIST -> demux yields no frames
     val junk = "RIFF    AVI LIST".getBytes("US-ASCII") ++
