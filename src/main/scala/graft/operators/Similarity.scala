@@ -160,6 +160,38 @@ object Similarity {
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** K-means E-step over quantized embeddings: assign every vector to its
+    * nearest of `k` centroids by exact squared L2 distance
+    * (nsq_v + nsq_c − 2·dot, all integer math — engine-reproducible).
+    * Centroids are the k smallest-id vectors (deterministic seeding, the
+    * standard first-k init). Output: (id, cid, dist_sq), one row per
+    * vector. Iterating E/M steps reuses this assignment unchanged.
+    *
+    * Scale shape: the k centroids BROADCAST (k is small by definition), so
+    * the n×k scoring is a narrow map over one corpus scan; the argmin
+    * never shuffles n×k rows — it packs (dist, cid) into one long
+    * (`dist_sq·2^ceil(log2 k) + cid`, exact because dist_sq is bounded by
+    * 4·dim·scale² ≪ 2^53/k) and takes a two-phase MIN, so the shuffle
+    * carries ONE row per vector. A window/row_number formulation would
+    * shuffle the full n×k cross product. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 4096, s"k=$k out of range")
+    var shift = 1L
+    while (shift < k) shift <<= 1
+    val p = prepared(emb, idCol, vecCol)
+    val c = p.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col("q").as("cq"),
+        col("nsq").as("cnsq"))
+    p.crossJoin(broadcast(c))
+      .select(col(idCol),
+        ((col("nsq") + col("cnsq") - lit(2L) * dot(col("q"), col("cq")))
+          * shift + col("cid")).as("key"))
+      .groupBy(col(idCol))
+      .agg(min(col("key")).as("key"))
+      .select(col(idCol), (col("key") % shift).as("cid"),
+        (col("key") - col("key") % shift).divide(shift).cast("long").as("dist_sq"))
+  }
+
   /** Approximate top-k via multi-probe LSH — the IVF-style scale path.
     *
     * Each corpus vector lands in one bucket (inverted list); each query

@@ -125,6 +125,28 @@ object SimilarityOps {
         .orderBy("qid", "rank")
     },
 
+    // ---- k-means E-step: nearest of 8 first-k centroids by exact integer
+    //      squared L2. The argmin is a packed-key MIN (dist·8 + cid), so
+    //      the shuffle carries one row per vector, never the n×k cross
+    //      product; centroids broadcast. The oracle replays the identical
+    //      packing — distance formula, tie-break on cid, and the exact
+    //      integer arithmetic are all hash-gated. ----
+    Q("q107_kmeans_assign",
+      s"""WITH $PreparedCte,
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
+         |SELECT vec_id, CAST(key % 8 AS BIGINT) AS cid,
+         |  CAST(key // 8 AS BIGINT) AS dist_sq
+         |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.kmeansAssign(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("vec_id")
+    },
+
     // ---- end-to-end embedding dedup, LSH-routed: multi-probe candidates →
     //      exact cosine verify → connected components → keep-list. The
     //      oracle replays the identical deterministic pipeline (integer

@@ -166,6 +166,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_lsh_bucket"), p) // codegen'd bucketing in the scan stage
   }
 
+  test("q107: k-means centroids broadcast, argmin is a two-phase agg") {
+    val p = planOf(q("q107_kmeans_assign"))
+    // k centroids broadcast (n×k scoring is a narrow map over one scan);
+    // the packed-key argmin must partial-aggregate map-side so the shuffle
+    // carries one row per vector — a Window formulation would shuffle n×k
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q84: SimHash band join is an equi-join, never a nested loop") {
     val p = planOf(q("q84_simhash_bands"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
