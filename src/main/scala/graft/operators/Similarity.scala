@@ -192,6 +192,37 @@ object Similarity {
         (col("key") - col("key") % shift).divide(shift).cast("long").as("dist_sq"))
   }
 
+  /** K-means M-step summary: per-cluster member count plus two exact
+    * integer aggregates that pin every component of the centroid update —
+    * `nsq_total` (Σ members' squared norms) and `wsum_total`
+    * (Σ members' index-weighted component sums, Σ_d (d+1)·q_d — a
+    * checksum over the full component-sum vector, so a wrong component in
+    * ANY dimension shifts it). Assignment is [[kmeansAssign]]'s packed
+    * argmin with the per-vector stats carried through the same groupBy
+    * (they are constant per vector, so min() is exact), then one tiny
+    * k-key aggregation — two shuffles total, the second k rows wide. */
+  def kmeansUpdate(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 4096, s"k=$k out of range")
+    var shift = 1L
+    while (shift < k) shift <<= 1
+    val p = prepared(emb, idCol, vecCol)
+      .withColumn("wsum", expr(
+        "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> x * CAST(i AS BIGINT)), 0L, (a, b) -> a + b)"))
+    val c = p.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col("q").as("cq"),
+        col("nsq").as("cnsq"))
+    p.crossJoin(broadcast(c))
+      .select(col(idCol), col("wsum"), col("nsq"),
+        ((col("nsq") + col("cnsq") - lit(2L) * dot(col("q"), col("cq")))
+          * shift + col("cid")).as("key"))
+      .groupBy(col(idCol))
+      .agg(min(col("key")).as("key"), min(col("wsum")).as("wsum"),
+        min(col("nsq")).as("nsq"))
+      .groupBy((col("key") % shift).as("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("wsum")).as("wsum_total"),
+        sum(col("nsq")).as("nsq_total"))
+  }
+
   /** Approximate top-k via multi-probe LSH — the IVF-style scale path.
     *
     * Each corpus vector lands in one bucket (inverted list); each query

@@ -147,6 +147,31 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // ---- k-means M-step: per-cluster counts + exact integer centroid-
+    //      update aggregates (nsq sum + index-weighted component checksum —
+    //      a wrong component in ANY of the 64 dims shifts wsum_total).
+    //      Two shuffles: per-vector argmin, then a k-row aggregation. ----
+    Q("q108_kmeans_update",
+      s"""WITH $PreparedCte,
+         |w AS (SELECT vec_id, nsq,
+         |  list_dot_product(qd, list_transform(range(1, $Dim + 1),
+         |    i -> CAST(i AS DOUBLE))) AS wsum FROM n),
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
+         |SELECT CAST(key % 8 AS BIGINT) AS cid, count(*) AS n_members,
+         |  CAST(sum(w.wsum) AS BIGINT) AS wsum_total,
+         |  CAST(sum(w.nsq) AS BIGINT) AS nsq_total
+         |FROM m JOIN w ON w.vec_id = m.vec_id
+         |GROUP BY 1 ORDER BY cid""".stripMargin) { (s, d) =>
+      Similarity.kmeansUpdate(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("cid")
+    },
+
     // ---- end-to-end embedding dedup, LSH-routed: multi-probe candidates →
     //      exact cosine verify → connected components → keep-list. The
     //      oracle replays the identical deterministic pipeline (integer
