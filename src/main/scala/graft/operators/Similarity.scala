@@ -223,6 +223,54 @@ object Similarity {
         sum(col("nsq")).as("nsq_total"))
   }
 
+  /** True IVF top-k: k-means coarse quantizer + inverted lists + nprobe
+    * probing + exact rerank — the second ANN scale path next to
+    * [[multiProbeKnn]]'s LSH route, and the one production vector stores
+    * actually ship.
+    *
+    * Corpus vectors are assigned to their nearest of `nlist` centroids by
+    * [[kmeansAssign]] (packed-argmin, one shuffle row per vector — the
+    * inverted-list build is linear); each query probes its `nprobe`
+    * nearest centroids and exact-reranks only those lists. All integer
+    * math (squared-L2 for routing, quantized cosine for rerank), so the
+    * result is engine-reproducible.
+    *
+    * Scale shape: the candidate join is an equi-join on the list id; rows
+    * out per query = nprobe·(n/nlist) on average — at a billion vectors
+    * you size nlist ~ √n so each probe reads ~√n candidates. Each corpus
+    * vector lives in exactly ONE list, so no dedup stage is needed
+    * (unlike multi-probe LSH). */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe > 0 && nprobe <= nlist, s"nprobe=$nprobe must be in 1..$nlist")
+    val asg = kmeansAssign(corpus, idCol, vecCol, nlist)
+      .select(col(idCol), col("cid"))
+    val cp = prepared(corpus, idCol, vecCol).join(asg, Seq(idCol))
+      .select(col(idCol).as("nid"), col("q").as("nq"),
+        col("nsq").as("nnsq"), col("cid"))
+    val cent = prepared(corpus, idCol, vecCol).filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("ccid"), col("q").as("cq"),
+        col("nsq").as("cnsq"))
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+    // query routing: rank ALL nlist centroids per query, keep nprobe.
+    // The query side is the small side; nq×nlist rows through one window.
+    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
+    val probes = qp.crossJoin(broadcast(cent))
+      .withColumn("cdist",
+        col("qnsq") + col("cnsq") - lit(2L) * dot(col("qq"), col("cq")))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qq"), col("qnsq"), col("ccid").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probes.join(cp, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qq"), col("nq")), col("qnsq"), col("nnsq")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
   /** Approximate top-k via multi-probe LSH — the IVF-style scale path.
     *
     * Each corpus vector lands in one bucket (inverted list); each query

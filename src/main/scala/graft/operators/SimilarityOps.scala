@@ -172,6 +172,45 @@ object SimilarityOps {
         .orderBy("cid")
     },
 
+    // ---- true IVF k-NN: k-means coarse quantizer (8 inverted lists,
+    //      packed-argmin assignment) + 2-probe routing + exact cosine
+    //      rerank on the probed lists only. The oracle replays the whole
+    //      route: assignment packing, probe ranking with its tie-break,
+    //      and the rerank — so routing AND scoring bugs break the hash. ----
+    Q("q109_knn_ivf",
+      s"""WITH $PreparedCte,
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
+         |        FROM d GROUP BY vec_id),
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |cand AS (
+         |  SELECT pr.qid, a.vec_id AS nid
+         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    list_dot_product(qn.qd, nn.qd) / sqrt(qn.nsq * nn.nsq) AS cos
+         |  FROM cand JOIN n qn ON qn.vec_id = qid JOIN n nn ON nn.vec_id = nid)
+         |SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+
     // ---- end-to-end embedding dedup, LSH-routed: multi-probe candidates →
     //      exact cosine verify → connected components → keep-list. The
     //      oracle replays the identical deterministic pipeline (integer

@@ -177,6 +177,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q109: IVF candidates come from the list equi-join, assignment stays packed") {
+    val p = planOf(q("q109_knn_ivf")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly TWO nested-loop joins, both with a k-bounded broadcast build
+    // side: corpus×centroids (assignment scoring) and queries×centroids
+    // (probe routing). The corpus is never joined against itself — rerank
+    // candidates come only from the cid equi-join over the inverted lists.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("q84: SimHash band join is an equi-join, never a nested loop") {
     val p = planOf(q("q84_simhash_bands"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
