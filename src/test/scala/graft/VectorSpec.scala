@@ -102,6 +102,22 @@ class VectorSpec extends SparkTestBase {
     assert(knn.head.getAs[Long]("nid") === best)
   }
 
+  test("IVF k-NN recall vs brute force (routing can be deterministic-but-wrong)") {
+    // the q109 oracle gates determinism; this gates QUALITY — a routing
+    // bug (wrong list assignment, wrong probe ranking) that is still
+    // deterministic would pass the hash gate but crater recall.
+    // Measured 0.86 @ nlist=8, nprobe=2 on this fixture; floor leaves slack.
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfKnn(queries, emb, "vec_id", "embedding", 5, 8, 2)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 collapsed: $recall")
+  }
+
   test("embedding near-dup keep-list drops one vector per over-threshold pair") {
     val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
       .filter(col("cos") >= 0.45)
