@@ -321,6 +321,39 @@ object Dedup {
         (col("n_shared").cast("double") / col("ns").cast("double")).as("frac"))
   }
 
+  /** The STATIC asset for ingest-time decontamination: the distinct
+    * n-gram shingles of the train corpus, with hot shingles (df over the
+    * TRAIN rows > maxDf) dropped — boilerplate shared across many train
+    * docs is not leakage evidence, and the cap bounds the set. Built
+    * batch-side once; [[contaminationAgainst]] then checks any batch OR
+    * stream of documents against it. */
+  def trainShingleSet(trainDocs: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    shingleRows(trainDocs, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select("s").dropDuplicates("s")
+  }
+
+  /** Ingest-time contamination check of `docs` against a precomputed
+    * [[trainShingleSet]]: per incoming doc, the count of its distinct
+    * shingles present in the train set, plus the contaminated fraction.
+    *
+    * Written on plain DataFrames, so the SAME function runs in batch
+    * (oracle-gated, q110) and behind `readStream`: the shingle explode is
+    * stateless, the train-set join is a stream-static join, and the only
+    * stateful op is the per-doc aggregation — the Structured Streaming
+    * shape for guarding a training pipe's front door. */
+  def contaminationAgainst(docs: DataFrame, trainSet: DataFrame,
+                           idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .join(trainSet, Seq("s"))
+      .groupBy(col(idCol), col("ns"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col(idCol), col("n_shared"), col("ns").cast("long").as("ns"),
+        (col("n_shared").cast("double") / col("ns").cast("double")).as("frac"))
+
   /** SimHash banded near-dup pairs: split each `bits`-bit signature into
     * `bands` equal slices; docs sharing ANY slice are candidates, then
     * exact hamming distance is verified on candidates only. Pigeonhole

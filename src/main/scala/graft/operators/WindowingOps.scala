@@ -63,6 +63,50 @@ object WindowingOps {
         .orderBy("event_id")
     },
 
+    // ---- streaming ingest-time contamination guard, hash-gated: the
+    //      documents file feeds a REAL file-source stream; incoming eval
+    //      docs explode shingles statelessly, stream-static join against
+    //      the batch-precomputed capped train-shingle set, per-doc agg in
+    //      complete mode. Differs from q105 by design: the static asset is
+    //      self-contained (df cap over TRAIN rows only) and the incoming
+    //      side is uncapped — the shape a training pipe's front door runs,
+    //      where corpus-wide eval df is unknowable at ingest. ----
+    Q("q110_stream_contamination",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(sp) - 3),
+         |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' || sp[i+4])) AS s
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t) u),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |lbl AS (SELECT doc_id, s,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+         |       THEN 'train' ELSE 'eval' END AS split FROM sh),
+         |cap AS (SELECT GREATEST(4, count(*) // 300) AS c FROM documents),
+         |tr AS (SELECT DISTINCT s FROM (
+         |  SELECT s, count(*) OVER (PARTITION BY s) AS df FROM lbl
+         |  WHERE split = 'train') t WHERE df <= (SELECT c FROM cap)),
+         |ev AS (SELECT doc_id, s FROM lbl WHERE split = 'eval'),
+         |hit AS (SELECT ev.doc_id, count(*) AS n_shared
+         |        FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1)
+         |SELECT hit.doc_id AS doc_id, n_shared, CAST(n.ns AS BIGINT) AS ns,
+         |  CAST(n_shared AS DOUBLE) / CAST(n.ns AS DOUBLE) AS frac
+         |FROM hit JOIN n ON n.doc_id = hit.doc_id
+         |ORDER BY hit.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val trainSet = Dedup.trainShingleSet(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train"),
+        "doc_id", "text", 5,
+        maxDf = math.max(4L, docs.count() / 300L).toInt)
+      val stream = EventStreams.readParquetStream(s, s"$d/documents.parquet")
+        .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
+      val guarded = Dedup.contaminationAgainst(stream, trainSet, "doc_id", "text", 5)
+      val name = s"q110_stream_sink_${sinkId.incrementAndGet()}"
+      val query = guarded.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).orderBy("doc_id")
+    },
+
     // ---- interval join (the stream-stream shape, batch-checked): each
     //      purchase joined to the same user's clicks in the preceding 30
     //      minutes. The SAME function runs behind readStream with both

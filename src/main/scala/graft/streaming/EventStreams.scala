@@ -41,9 +41,9 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
-  /** File-source stream of event parquet (same schema as the batch table).
+  /** File-source stream over any parquet table (schema probed batch-side).
     * `maxFilesPerTrigger` bounds per-micro-batch work at scale. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readParquetStream(spark: SparkSession, dir: String): DataFrame = {
     // events fixtures carry TIMESTAMP(NANOS) — see Tables.t
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory or glob; a single-file fixture
@@ -56,12 +56,17 @@ object EventStreams {
       if (f.isFile) s"${f.getParent}/{${f.getName.replaceAll("([{}\\[\\]*?,\\\\])", "\\\\$1")}}"
       else dir
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(path)
+  }
+
+  /** File-source stream of event parquet (same schema as the batch table). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readParquetStream(spark, dir)
     // same micros conversion Tables.t applies to the batch table, so
     // watermarks / event-time windows see a real TimestampType column
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
