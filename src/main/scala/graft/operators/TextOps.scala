@@ -186,6 +186,68 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- vocabulary induction (tokenizer prep): rank tokens by corpus
+    //      frequency, keep the top 200 with rank ids + the cumulative
+    //      coverage fraction each prefix of the vocab buys. Two-phase
+    //      count agg, then a top-k ordering and one running-sum window
+    //      over the TINY ranked set (the only full-order op touches 200
+    //      rows, never the corpus). ----
+    Q("q111_vocab_induction",
+      """WITH c AS (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok),
+        |tot AS (SELECT sum(freq) AS n FROM c),
+        |r AS (SELECT tok, freq,
+        |        row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |      FROM c ORDER BY rank LIMIT 200)
+        |SELECT CAST(rank AS INTEGER) AS rank, tok, freq,
+        |  CAST(CAST(sum(freq) OVER (ORDER BY rank) AS DOUBLE)
+        |    / CAST((SELECT n FROM tot) AS DOUBLE) AS DOUBLE) AS coverage
+        |FROM r ORDER BY rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, d, "documents")
+      val counts = docs
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = counts.agg(sum("freq")).head.getLong(0)
+      val top = counts
+        .orderBy(col("freq").desc, col("tok")).limit(200)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      top.withColumn("coverage",
+          (sum("freq").over(Window.orderBy("rank")).cast("double") /
+            lit(total).cast("double")))
+        .select(col("rank"), col("tok"), col("freq"), col("coverage"))
+        .orderBy("rank")
+    },
+
+    // ---- per-language corpus rollup (stratified quality summary): doc
+    //      and token counts, exact mean token count (DECIMAL path), and
+    //      the dup-marked share per lang — ordinary two-phase agg over a
+    //      handful of group keys. ----
+    Q("q112_lang_rollup",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(sum(CASE WHEN text LIKE '%dup%' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_marked
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text")))).cast("long").as("total_tokens"),
+          // double division of two EXACT integers — correctly rounded and
+          // identical in both engines (decimal division would round at
+          // engine-specific result scales first)
+          (sum(size(tokens(col("text")))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"),
+          sum(when(col("text").contains("dup"), 1).otherwise(0)).cast("long")
+            .as("n_dup_marked"))
+        .orderBy("lang")
+    },
+
     // ---- regex (BPE-ish pre-tokenization) token stats: tokensRe splits on
     //      non-letter/number runs; the oracle uses the extract-all identity
     //      (tokens == matches of the complement class), RE2 and Java agree
