@@ -15,6 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    cast: DuckDB converts wide decimals hugeint-first and double-rounds,
   *    while an int64-significand decimal divides exactly once in both
   *    engines (found as a real 1-ulp mismatch on q03 at sf0.1);
+  *  - ratios of exact integers use DOUBLE division directly (correctly
+  *    rounded, identical in both engines); decimal division is NOT safe
+  *    cross-engine — each engine rounds at its own result scale first;
   *  - every query is totally ordered (explicit tie-breakers);
   *  - only correctly-rounded IEEE ops (+,-,*,/,sqrt) on identical inputs in
   *    per-row float math — no libm transcendentals;
