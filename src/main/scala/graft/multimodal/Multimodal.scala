@@ -377,11 +377,19 @@ object Multimodal {
       def isVideoData(id: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+      // a corrupt size with the top bit set goes negative through .toInt
+      // and can zero the walk step (sz = -8) — an infinite loop on a
+      // malformed payload. Treat any negative size as malformed.
+      def sz32(off: Int): Int = {
+        val v = le32(off)
+        if (v > Int.MaxValue) throw new IndexOutOfBoundsException(s"chunk size $v")
+        v.toInt
+      }
       def walkMovi(start: Int, end: Int): Unit = {
         var o = start
         while (o + 8 <= end) {
           val id = fourcc(o)
-          val sz = le32(o + 4).toInt
+          val sz = sz32(o + 4)
           if (isVideoData(id) && o + 8 + sz <= end)
             frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + sz)
           else if (id == "LIST" && o + 12 <= end)
@@ -394,7 +402,7 @@ object Multimodal {
       var off = 12
       while (off + 8 <= riffEnd) {
         val id = fourcc(off)
-        val sz = le32(off + 4).toInt
+        val sz = sz32(off + 4)
         if (id == "LIST" && off + 12 <= riffEnd && fourcc(off + 8) == "movi")
           walkMovi(off + 12, math.min(off + 8 + sz, riffEnd))
         off += 8 + sz + (sz & 1)

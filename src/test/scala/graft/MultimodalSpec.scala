@@ -219,6 +219,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(1).frame.toSeq === jpgB.toSeq)
   }
 
+  test("AVI chunk size with the top bit set terminates (no infinite walk)") {
+    // sz bytes FF FF FF F8 -> -8 via .toInt: the naive step 8 + sz + (sz&1)
+    // is ZERO, hanging the walk. Must be treated as malformed -> byte stub.
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val movi = cc("movi") ++ cc("00dc") ++
+      Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](40)(7)
+    val body = cc("AVI ") ++ cc("LIST") ++ le32(movi.length) ++ movi
+    val avi = cc("RIFF") ++ le32(body.length) ++ body
+    val media = Seq(Multimodal.MediaRecord(11L, "avi", avi, avi.length.toLong)).toDS()
+    val frames = Multimodal.sampleFrames(media, 256, 1, 10).collect() // must return
+    assert(frames.length === (avi.length + 255) / 256) // stub fallback
+  }
+
   test("malformed AVI falls back to the byte-stub pseudo-frames") {
     // valid RIFF/AVI magic but no movi LIST -> demux yields no frames
     val junk = "RIFF    AVI LIST".getBytes("US-ASCII") ++
