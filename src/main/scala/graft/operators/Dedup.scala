@@ -321,6 +321,37 @@ object Dedup {
         (col("n_shared").cast("double") / col("ns").cast("double")).as("frac"))
   }
 
+  /** Near-dup cluster labels for EVERY document (LSH-routed, same pipeline
+    * as [[nearDupKeepList]]): paired docs carry their connected-component
+    * label, unpaired docs label themselves. The full labeling is what
+    * cluster-level corpus analytics (size histograms, per-cluster
+    * representatives, dedup-rate reporting) consume — the keep-list is
+    * just its `component = id` slice. Storage hygiene matches the
+    * keep-list: the label snapshot is materialized, then the shingle
+    * cache and CC storage are freed. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minJaccard: Double,
+                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).cache()
+    val bands = lshBands(signaturesFromShingles(sh, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val pairs = verifyCandidates(candidatesFromBands(bands, idCol), sh, idCol, minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = Graph.connectedComponentsResult(pairs, edgesAreDistinctPairs = true)
+    val (labels, labelsRdd) = Graph.snapshot(
+      docs.select(col(idCol))
+        .join(cc.labels.withColumnRenamed("v", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("component"), col(idCol).cast("long")).as("component")))
+    labels.count()
+    sh.unpersist()
+    cc.release()
+    // the snapshot is Spark-managed (ContextCleaner reclaims on GC); a
+    // long-lived session wanting deterministic release should mirror
+    // KeepList — callers here consume the labels immediately
+    labels
+  }
+
   /** The STATIC asset for ingest-time decontamination: the distinct
     * n-gram shingles of the train corpus, with hot shingles (df over the
     * TRAIN rows > maxDf) dropped — boilerplate shared across many train

@@ -227,6 +227,50 @@ object DedupOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- dedup-cluster size histogram: the corpus-audit view of the same
+    //      LSH-routed cluster pipeline (gates Graph.componentSizes + the
+    //      full labeling incl. singletons). Oracle = the q74 propagation
+    //      without the keep filter, aggregated twice. ----
+    Q("q113_cluster_histogram",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT cand.i, cand.j, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.i
+         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i, j FROM p
+         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
+         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+         |       GROUP BY l2.v, l2.l),
+         |sizes AS (SELECT l, count(*) AS n_vertices FROM l3 GROUP BY l)
+         |SELECT n_vertices AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val labels = Dedup.nearDupClusters(Tables.t(s, d, "documents"),
+        "doc_id", "text", 3, 0.8)
+      Graph.componentSizes(labels)
+        .groupBy(col("n_vertices").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // ---- end-to-end dedup: LSH candidates -> exact verify -> clusters ->
     //      keep-list. The oracle replays the SAME deterministic pipeline
     //      (md5 minhash family, banded candidates, Jaccard on candidates
