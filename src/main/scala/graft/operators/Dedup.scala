@@ -438,4 +438,70 @@ object Dedup {
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     sig.select(col(idCol), packed.as("simhash"))
   }
+
+  /** One md5 per fixed-length character window at the given stride —
+    * the exact-substring-dedup shape of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): a duplicated passage
+    * shows up as a shared window hash even when the enclosing documents
+    * differ. Docs shorter than the window emit no rows (the sequence bound
+    * would be invalid, and a partial window is not a window).
+    *
+    * Scale: the explode fan-out is len/stride per document and stays
+    * partition-local; everything downstream keys on the md5 hash, which is
+    * uniform by construction — no skew regardless of corpus repetition. */
+  def charWindowRows(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int, stride: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(windowLen > 0 && stride > 0, s"windowLen=$windowLen stride=$stride")
+    val t = col(textCol)
+    docs.filter(length(t) >= windowLen)
+      .select((col(idCol) +: carryCols.map(col)) :+
+        explode(transform(
+          sequence(lit(1), length(t) - (windowLen - 1), lit(stride)),
+          p => md5(t.substr(p, lit(windowLen))))).as("h"): _*)
+  }
+
+  /** Per-document duplicated-substring stats: of the doc's windows, how
+    * many hash-collide with a window of ANOTHER document. Output
+    * (id, n_windows, n_dup_windows, dup_ratio), one row per doc of
+    * >= windowLen chars.
+    *
+    * Two shuffles, both keyed by the uniform window hash: the
+    * count-distinct-docs aggregate, and the join of windows against the
+    * duplicated-hash set (the dup set is corpus-sized at 100 TB, so it is
+    * NOT broadcast — AQE may still choose to at toy SFs). */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int, stride: Int): DataFrame = {
+    val w = charWindowRows(docs, idCol, textCol, windowLen, stride)
+    val dup = w.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    w.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("is_dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+  }
+
+  /** Cross-source substring leakage: per source, how many DISTINCT window
+    * hashes it contains that also occur in at least one other source — the
+    * "is snapshot B contaminated with snapshot A's text?" audit. Output
+    * (src, n_shared_hashes), sources with zero shared hashes omitted.
+    *
+    * The distinct is keyed (source, h) and the share count by h — both
+    * uniform md5 keys, two-phase aggregates. */
+  def crossSourceWindowLeakage(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, windowLen: Int, stride: Int): DataFrame = {
+    val w = charWindowRows(docs, idCol, textCol, windowLen, stride,
+      carryCols = Seq(srcCol))
+      .select(col(srcCol), col("h")).distinct()
+    val shared = w.groupBy(col("h"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+      .select("h")
+    w.join(shared, Seq("h"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_shared_hashes"))
+  }
 }

@@ -309,6 +309,43 @@ object DedupOps {
          |SELECT v AS doc_id FROM l3 WHERE l = v ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.nearDupKeepList(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
         .orderBy("doc_id")
+    },
+
+    // ---- exact substring dedup (Lee et al. 2022 shape): 40-char windows
+    //      at stride 10, md5'd; a window shared by >= 2 docs is duplicated
+    //      text. Per-doc duplicated-window counts + ratio. All md5/integer
+    //      math, so the oracle replays it exactly. ----
+    Q("q114_substring_dedup",
+      """WITH w AS (
+        |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS p) s
+        |  WHERE length(text) >= 40),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        |  count(d.h) AS n_dup_windows,
+        |  CAST(count(d.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+        |FROM w LEFT JOIN dup d ON w.h = d.h
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      Dedup.substringDupStats(Tables.t(s, d, "documents"), "doc_id", "text",
+          windowLen = 40, stride = 10)
+        .orderBy("doc_id")
+    },
+
+    // ---- cross-source substring leakage: distinct window hashes per
+    //      source that also occur in another source (the cross-snapshot
+    //      contamination audit). ----
+    Q("q117_cross_source_leakage",
+      """WITH w AS (
+        |  SELECT DISTINCT source, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS p) s
+        |  WHERE length(text) >= 40),
+        |x AS (SELECT h, count(*) AS ns FROM w GROUP BY h)
+        |SELECT w.source, count(*) AS n_shared_hashes
+        |FROM w JOIN x ON w.h = x.h AND x.ns >= 2
+        |GROUP BY w.source ORDER BY w.source""".stripMargin) { (s, d) =>
+      Dedup.crossSourceWindowLeakage(Tables.t(s, d, "documents"), "doc_id",
+          "text", "source", windowLen = 40, stride = 10)
+        .orderBy("source")
     }
   )
 }

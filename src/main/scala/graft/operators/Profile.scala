@@ -85,6 +85,29 @@ object Profile {
 
   /** Referential integrity: count of child rows whose key has no parent
     * (anti join), plus totals. */
+  /** Exact per-group percentiles of an integer column by rank formula:
+    * the value at row_number ceil(p·n/100) when ordered by (value, tie) —
+    * pure integer math (`(p*n + 99) div 100`), so any engine replays it
+    * bit-for-bit; no approx-percentile sketch semantics to reconcile.
+    *
+    * One shuffle keyed by the group column (both window functions share
+    * the partitioning), then a two-phase agg picks the ranked rows. Exact
+    * rank needs the per-group sort; at 100 TB you'd reach for the q96-style
+    * sketch when groups are huge, but the exact form is the oracle. */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
+    val ranked = df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val picks = percents.map(p =>
+      max(when(col("rn") === expr(s"($p * n + 99) div 100"), col(valueCol)))
+        .cast("long").as(s"p$p"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).cast("long").as("n_rows"), picks: _*)
+  }
+
   def fkViolations(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String): DataFrame = {
     val orphans = child

@@ -51,6 +51,25 @@ object ProfileOps {
       Profile.fkViolations(
         Tables.t(s, d, "lineitem"), "l_orderkey",
         Tables.t(s, d, "orders"), "o_orderkey")
+    },
+
+    // ---- exact rank-formula percentiles of doc length per source: the
+    //      integer rank math ((p*n+99) div 100) replays identically in
+    //      DuckDB, unlike approx/interpolating quantile sketches ----
+    Q("q115_length_percentiles",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Profile.exactPercentiles(Tables.t(s, d, "documents"),
+          "source", "n_chars", "doc_id", Seq(50, 90, 99))
+        .orderBy("source")
     }
   )
 }

@@ -43,6 +43,55 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok").cast("long")).as("total_tokens"))
         .orderBy("split")
+    },
+
+    // ---- quality-weighted subsampling (the DCLM/FineWeb resample shape):
+    //      keep probability per quality band — good 100%, ok 50%, short
+    //      10% — decided by the doc's md5 bucket against an integer
+    //      threshold, so the "random" draw is reproducible in any engine
+    //      and under any partitioning. Narrow map + one 3-row agg. ----
+    Q("q118_weighted_sample",
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS ntok,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'the' OR w = 'a')) AS INTEGER) AS nstop
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ntok,
+        |    CASE WHEN ntok >= 50 AND CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) < 0.1
+        |         THEN 'good'
+        |         WHEN ntok >= 20 THEN 'ok' ELSE 'short' END AS band,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
+        |  FROM q),
+        |k AS (
+        |  SELECT band, ntok,
+        |    CASE WHEN u < CASE band WHEN 'good' THEN 1000 WHEN 'ok' THEN 500 ELSE 100 END
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM b)
+        |SELECT band, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept = 1 THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val toks = tokens(col("text"))
+      val ntok = size(toks)
+      val nstop = size(filter(toks, w => w === "the" || w === "a"))
+      val band = when(col("ntok") >= 50 &&
+          col("nstop").cast("double") / col("ntok").cast("double") < 0.1, "good")
+        .when(col("ntok") >= 20, "ok").otherwise("short")
+      val threshold = when(col("band") === "good", 1000)
+        .when(col("band") === "ok", 500).otherwise(100)
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), ntok.as("ntok"), nstop.as("nstop"))
+        .withColumn("band", band)
+        .withColumn("kept",
+          when(hashBucket(col("doc_id"), 1000) < threshold, 1).otherwise(0))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          sum(when(col("kept") === 1, col("ntok")).otherwise(0))
+            .cast("long").as("kept_tokens"))
+        .orderBy("band")
     }
   )
 }

@@ -262,6 +262,28 @@ object SimilarityOps {
       Similarity.nearDupKeepListAdaptive(Tables.t(s, d, "embeddings"),
           "vec_id", "embedding", 0.45, Dim)
         .orderBy("vec_id")
+    },
+
+    // ---- embedding outliers: the 20 vectors farthest from their assigned
+    //      k-means centroid (exact integer squared L2) — the anomaly /
+    //      junk-embedding audit of a vector corpus. Same packed-argmin
+    //      assignment as q107; the top-k lands in a TakeOrderedAndProject,
+    //      never a full sort. ----
+    Q("q119_kmeans_outliers",
+      s"""WITH $PreparedCte,
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
+         |SELECT vec_id, CAST(key % 8 AS BIGINT) AS cid,
+         |  CAST(key // 8 AS BIGINT) AS dist_sq
+         |FROM m ORDER BY dist_sq DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.kmeansAssign(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy(col("dist_sq").desc, col("vec_id"))
+        .limit(20)
     }
   )
 }

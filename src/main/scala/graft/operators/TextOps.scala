@@ -322,6 +322,42 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
         .orderBy("doc_id")
+    },
+
+    // ---- character-diversity quality signals: distinct-char count and
+    //      top-char frequency ratio (catches the "aaaa…" / single-char
+    //      spam a token-level filter misses). Entirely per-row array math
+    //      — zero shuffle; O(len · distinct_chars) per document. Integer
+    //      counts + one exact integer ratio, so engine-exact. ----
+    Q("q116_char_diversity",
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS text_len,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> substr(text, CAST(i AS INTEGER), 1)) AS chars
+        |  FROM documents),
+        |d AS (SELECT doc_id, text_len, chars, list_distinct(chars) AS dchars FROM c),
+        |t AS (
+        |  SELECT doc_id, CAST(text_len AS INTEGER) AS text_len,
+        |    CAST(len(dchars) AS INTEGER) AS n_distinct_chars,
+        |    CAST(list_max(list_transform(dchars,
+        |      ch -> len(list_filter(chars, x -> x = ch)))) AS INTEGER) AS top_char_count
+        |  FROM d)
+        |SELECT doc_id, text_len, n_distinct_chars, top_char_count,
+        |  CAST(top_char_count AS DOUBLE) / CAST(text_len AS DOUBLE) AS top_char_ratio
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val chars = transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          chars.as("chars"))
+        .withColumn("dchars", array_distinct(col("chars")))
+        .select(col("doc_id"), col("text_len"),
+          size(col("dchars")).as("n_distinct_chars"),
+          array_max(transform(col("dchars"),
+            c => size(filter(col("chars"), x => x === c)))).as("top_char_count"))
+        .withColumn("top_char_ratio",
+          col("top_char_count").cast("double") / col("text_len").cast("double"))
+        .orderBy("doc_id")
     }
   )
 }
