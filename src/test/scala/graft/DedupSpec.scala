@@ -98,4 +98,43 @@ class DedupSpec extends SparkTestBase {
       .filter(col("jac") > 1.0 || col("inter") <= 0)
     assert(withCounts.count() === 0)
   }
+
+  test("charWindowRows: window count follows the stride formula; short docs emit nothing") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "x" * 39),            // shorter than the window: zero rows
+      (2L, "y" * 40),            // exactly one window
+      (3L, "z" * 100)            // floor((100-40)/10)+1 = 7 windows
+    ).toDF("doc_id", "text")
+    val counts = Dedup.charWindowRows(fixture, "doc_id", "text", 40, 10)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(2L -> 1L, 3L -> 7L))
+  }
+
+  test("substringDupStats: a planted shared passage is caught, unique text is not") {
+    import spark.implicits._
+    val passage = ("shared passage " * 5).trim // 74 chars, spans windows
+    // windows start at stride multiples, so two docs only share a window
+    // string when the passage sits at offsets congruent mod the stride —
+    // pad doc 2's prefix to restore that alignment
+    val pre1 = "alpha unique prefix one "
+    val pre2raw = "beta different start here "
+    val pad = ((pre1.length - pre2raw.length) % 10 + 10) % 10
+    val pre2 = pre2raw + ("#" * pad)
+    val fixture = Seq(
+      (1L, pre1 + passage),
+      (2L, pre2 + passage),
+      (3L, "gamma " + ("unique filler text with no repeats " * 3))
+    ).toDF("doc_id", "text")
+    val stats = Dedup.substringDupStats(fixture, "doc_id", "text", 40, 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_windows"))).toMap
+    // both passage carriers share the aligned fully-inside-passage windows;
+    // doc 3's intra-doc repeats do NOT count (dup = >= 2 distinct docs)
+    assert(stats(1L)._1 >= 1, stats)
+    assert(stats(2L)._1 >= 1, stats)
+    assert(stats(3L)._1 === 0, stats)
+    assert(stats.values.forall { case (d, n) => d <= n }, stats)
+  }
 }

@@ -218,6 +218,34 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() === 5)
   }
 
+  test("q116: char-diversity is per-row — no exchange before the final sort") {
+    val p = planOf(q("q116_char_diversity")).split("== Initial Plan ==").head
+    // the only exchange allowed is the rangepartitioning of the ORDER BY;
+    // the quality math itself must stay narrow
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q119: outlier top-k is TakeOrderedAndProject, never a full sort") {
+    val p = planOf(q("q119_kmeans_outliers")).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("q115: both window functions and the final agg ride ONE source partitioning") {
+    val p = planOf(q("q115_length_percentiles")).split("== Initial Plan ==").head
+    // rank + count windows and the groupBy all key on `source`: one hash
+    // exchange total (plus the tiny ORDER BY range partitioning)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q114: substring dedup joins on the uniform window hash — no cartesian") {
+    val p = planOf(q("q114_substring_dedup")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // per-doc rollup is two-phase
+    assert(p.contains("partial_count"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
