@@ -104,6 +104,60 @@ object CleanerOps {
         .select(col("c_custkey"), raw.as("pc_raw"))
         .withColumn("pc_norm", Cleaners.nlPostcode(col("pc_raw")))
         .orderBy("c_custkey")
+    },
+
+    // ---- PII scrub: detect + redact emails and IPv4s before training.
+    //      The documents fixture carries no PII, so the query plants a
+    //      deterministic address pair per doc (both engines rebuild the
+    //      identical augmented text — the q29/q30 convention) and the
+    //      gate hashes the REDACTED text: a regex that over- or
+    //      under-matches, or a replace that misses an occurrence, breaks
+    //      the md5. Patterns avoid Java-only syntax (no possessive
+    //      quantifiers, no backrefs) so RE2 and java.util.regex agree.
+    //      Narrow per-row map, zero shuffle at any corpus size. ----
+    Q("q122_pii_redact",
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '.example.com or 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |  CAST((doc_id // 256) % 256 AS VARCHAR) || '.' ||
+        |  CAST(doc_id % 250 AS VARCHAR) || ' end' AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |r2 AS (SELECT doc_id, n_email,
+        |  len(regexp_extract_all(t1,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |  regexp_replace(t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+        |    '<IP>', 'g') AS t2
+        |  FROM r1)
+        |SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+        |  CAST(n_ip AS INTEGER) AS n_ip, md5(t2) AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com or 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (expr("doc_id DIV 256") % 256).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"), lit(" end"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_replace(col("t"), emailRe, "<EMAIL>").as("t1"))
+        .select(col("doc_id"), col("n_email"),
+          regexp_count(col("t1"), lit(ipRe)).as("n_ip"),
+          regexp_replace(col("t1"), ipRe, "<IP>").as("t2"))
+        .select(col("doc_id"), col("n_email"), col("n_ip"),
+          md5(col("t2")).as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 }

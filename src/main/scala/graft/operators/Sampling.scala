@@ -92,6 +92,38 @@ object Sampling {
           sum(when(col("kept") === 1, col("ntok")).otherwise(0))
             .cast("long").as("kept_tokens"))
         .orderBy("band")
+    },
+
+    // ---- stratified EXACT-count sample: per language keep the lowest
+    //      20% of docs by md5 rank — an exact-quota stratified draw
+    //      (row_number over the md5 order), unlike q118's per-row
+    //      Bernoulli whose per-group count only concentrates around the
+    //      rate. The quota test is pure integer arithmetic (rn*5 <= n):
+    //      a DOUBLE `n * 0.2` would round differently from DuckDB's
+    //      DECIMAL literal. Both window functions share one hash
+    //      partitioning on lang; at 100 TB the per-group sort is bounded
+    //      by the largest stratum, and strata are languages — tens of
+    //      them, each itself hash-partitionable if a single lang
+    //      dominates (the same salting remedy as any skewed window). ----
+    Q("q121_stratified_sample",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn, CAST(n AS BIGINT) AS n_lang
+        |FROM r WHERE rn * 5 <= n ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy(col("lang"))
+      val ranked = byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(ranked).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(col("rn") * 5 <= col("n_lang"))
+        .select(col("lang"), col("doc_id"), col("rn"), col("n_lang"))
+        .orderBy("lang", "doc_id")
     }
   )
 }

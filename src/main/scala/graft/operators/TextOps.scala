@@ -358,6 +358,40 @@ object TextOps {
         .withColumn("top_char_ratio",
           col("top_char_count").cast("double") / col("text_len").cast("double"))
         .orderBy("doc_id")
+    },
+
+    // ---- unigram-commonness score: a unigram-LM perplexity proxy that
+    //      stays engine-exact. Each doc scores the mean corpus frequency
+    //      of its tokens (with multiplicity): docs built from rare
+    //      vocabulary score low — the shape of an LM-based quality
+    //      filter, with integer-exact sums (Q.scala ratio rule) instead
+    //      of float log-prob accumulation (whose addition order is not
+    //      reproducible across engines). Corpus-frequency table grows
+    //      with the VOCABULARY, so it is never broadcast: shuffle
+    //      equi-join on the token, both sides pre-hashed by the same key
+    //      from their aggregations (the q59 TF-IDF shape). Bottom-50 is
+    //      TakeOrderedAndProject, not a full sort. ----
+    Q("q120_unigram_commonness",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |sc AS (SELECT t.doc_id, count(*) AS ntok,
+        |         CAST(sum(cf.c) AS BIGINT) AS sum_cf
+        |       FROM tok t JOIN cf ON t.w = cf.w GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS ntok, sum_cf,
+        |  CAST(sum_cf AS DOUBLE) / CAST(ntok AS DOUBLE) AS mean_cf
+        |FROM sc ORDER BY mean_cf ASC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val tok = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val cf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      tok.join(cf.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ntok"), sum(col("c")).cast("long").as("sum_cf"))
+        .select(col("doc_id"), col("ntok"), col("sum_cf"),
+          (col("sum_cf").cast("double") / col("ntok").cast("double"))
+            .as("mean_cf"))
+        .orderBy(col("mean_cf").asc, col("doc_id"))
+        .limit(50)
     }
   )
 }

@@ -246,6 +246,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q120: vocab frequency table is shuffle-joined, never broadcast; bottom-k is top-k") {
+    val p = planOf(q("q120_unigram_commonness")).split("== Initial Plan ==").head
+    // the corpus-frequency side grows with the vocabulary — a broadcast
+    // here OOMs the driver at corpus scale
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q121: both windows and the quota filter ride ONE lang partitioning") {
+    val p = planOf(q("q121_stratified_sample")).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q122: PII redaction is a narrow map — zero hash exchange") {
+    val p = planOf(q("q122_pii_redact")).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
