@@ -504,4 +504,34 @@ object Dedup {
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_shared_hashes"))
   }
+
+  /** Incremental (cross-snapshot) substring dedup: probe a NEW crawl
+    * against the window-hash set of the EXISTING corpus — the shape of
+    * deduplicating snapshot N+1 against snapshot N without re-pairing the
+    * old corpus with itself (old×old and new×new pairs are never formed).
+    * `oldPred` splits the corpus on `srcCol`. Output one row per NEW
+    * source: (src, n_new_docs, n_carryover_docs) where a carryover doc
+    * shares >= 1 windowLen-char window hash with the old snapshot.
+    *
+    * Scale: the old side collapses to DISTINCT hashes (corpus-sized — NOT
+    * broadcast; the probe is a shuffle equi-join on the uniform md5 key,
+    * both sides pre-partitioned by it), then per-doc hits collapse via a
+    * (src, doc) distinct before the per-source count. */
+  def crossSnapshotCarryover(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, oldPred: Column, windowLen: Int, stride: Int): DataFrame = {
+    val w = charWindowRows(docs, idCol, textCol, windowLen, stride,
+      carryCols = Seq(srcCol))
+    val old = w.filter(oldPred).select(col("h")).distinct()
+    val hits = w.filter(!oldPred)
+      .join(old.hint("shuffle_hash"), Seq("h"))
+      .select(col(srcCol), col(idCol)).distinct()
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_carryover_docs"))
+    docs.filter(!oldPred)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_new_docs"))
+      .join(hits, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_new_docs"),
+        coalesce(col("n_carryover_docs"), lit(0L)).as("n_carryover_docs"))
+  }
 }

@@ -346,6 +346,34 @@ object DedupOps {
       Dedup.crossSourceWindowLeakage(Tables.t(s, d, "documents"), "doc_id",
           "text", "source", windowLen = 40, stride = 10)
         .orderBy("source")
+    },
+
+    // ---- incremental (cross-snapshot) dedup: probe the NEW crawl
+    //      (src10-src19) against the EXISTING corpus's (src0-src9)
+    //      window-hash set — old×old and new×new pairs are never formed,
+    //      the crawl-N+1-vs-crawl-N production shape. ----
+    Q("q125_incremental_dedup",
+      """WITH w AS (
+        |  SELECT doc_id, source, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS p) s
+        |  WHERE length(text) >= 40),
+        |old AS (SELECT DISTINCT h FROM w WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+        |hits AS (
+        |  SELECT w.source, w.doc_id FROM w JOIN old USING (h)
+        |  WHERE CAST(substr(w.source, 4) AS INTEGER) >= 10
+        |  GROUP BY w.source, w.doc_id),
+        |hc AS (SELECT source, count(*) AS n_carry FROM hits GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n_new_docs FROM documents
+        |        WHERE CAST(substr(source, 4) AS INTEGER) >= 10 GROUP BY source)
+        |SELECT tot.source, CAST(tot.n_new_docs AS BIGINT) AS n_new_docs,
+        |  CAST(coalesce(hc.n_carry, 0) AS BIGINT) AS n_carryover_docs
+        |FROM tot LEFT JOIN hc ON tot.source = hc.source
+        |ORDER BY tot.source""".stripMargin) { (s, d) =>
+      Dedup.crossSnapshotCarryover(Tables.t(s, d, "documents"), "doc_id",
+          "text", "source",
+          oldPred = substring(col("source"), 4, 8).cast("int") < 10,
+          windowLen = 40, stride = 10)
+        .orderBy("source")
     }
   )
 }

@@ -223,6 +223,38 @@ object Similarity {
         sum(col("nsq")).as("nsq_total"))
   }
 
+  /** SemDeDup-shaped semantic dedup: pair vectors only WITHIN their
+    * k-means cluster and report per-cluster near-dup stats — (cid,
+    * n_members, n_pairs, n_dup at cosine >= tau, max_cos; -2 sentinel for
+    * pairless clusters). Abbas et al. 2023's observation: semantic
+    * duplicates land in the same cluster, so the n² search collapses to
+    * Σ cluster_size² with k chosen so clusters stay bounded (k grows with
+    * the corpus — the [[adaptivePlanes]] occupancy argument, applied to
+    * centroid count). The pair join is a cid equi-join — candidates never
+    * cross clusters, and cid is also the natural partition key at scale.
+    * Assignment reuses [[kmeansAssign]]'s packed argmin; joining it back
+    * to [[prepared]] re-derives the quantized vectors (two scans of the
+    * embedding column — at corpus scale persist `prepared` instead). */
+  def clusterNearDupStats(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame = {
+    val asg = kmeansAssign(emb, idCol, vecCol, k).select(col(idCol), col("cid"))
+    val m = prepared(emb, idCol, vecCol).join(asg, idCol)
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col("a.cid").as("cid"),
+        cosine(dot(col("a.q"), col("b.q")), col("a.nsq"), col("b.nsq")).as("cos"))
+    val ps = pairs.groupBy("cid").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("cos") >= tau, 1).otherwise(0)).cast("long").as("n_dup"),
+      max(col("cos")).as("max_cos"))
+    asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(ps, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_cos"), lit(-2.0)).as("max_cos"))
+  }
+
   /** True IVF top-k: k-means coarse quantizer + inverted lists + nprobe
     * probing + exact rerank — the second ANN scale path next to
     * [[multiProbeKnn]]'s LSH route, and the one production vector stores

@@ -284,6 +284,41 @@ object SimilarityOps {
       Similarity.kmeansAssign(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
         .orderBy(col("dist_sq").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- SemDeDup-shaped semantic dedup: near-dup pairs are searched
+    //      only WITHIN each k-means cluster (cid equi-join — candidates
+    //      never cross clusters, so the n² search collapses to
+    //      Σ cluster_size²). The oracle replays assignment packing AND
+    //      the within-cluster exact cosine, so routing, pairing, and the
+    //      threshold all break the hash. ----
+    Q("q123_semantic_dedup",
+      s"""WITH $PreparedCte,
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
+         |        FROM d GROUP BY vec_id),
+         |m AS (SELECT n.vec_id, n.qd, n.nsq, asg.cid
+         |      FROM n JOIN asg USING (vec_id)),
+         |pr AS (
+         |  SELECT a.cid, list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) AS cos
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |ps AS (SELECT cid, count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       max(cos) AS max_cos FROM pr GROUP BY cid),
+         |mc AS (SELECT cid, count(*) AS n_members FROM asg GROUP BY cid)
+         |SELECT mc.cid, CAST(mc.n_members AS BIGINT) AS n_members,
+         |  CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(ps.n_dup, 0) AS BIGINT) AS n_dup,
+         |  coalesce(ps.max_cos, CAST(-2 AS DOUBLE)) AS max_cos
+         |FROM mc LEFT JOIN ps ON mc.cid = ps.cid ORDER BY mc.cid""".stripMargin) { (s, d) =>
+      Similarity.clusterNearDupStats(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, tau = 0.35)
+        .orderBy("cid")
     }
   )
 }

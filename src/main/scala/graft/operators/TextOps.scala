@@ -392,6 +392,61 @@ object TextOps {
             .as("mean_cf"))
         .orderBy(col("mean_cf").asc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---- Gopher-style composite quality filter as a funnel report:
+    //      four rules (length, stopword presence, distinct-token
+    //      repetition, mean word length) evaluated per doc, per-source
+    //      pass count + per-rule failure counts (non-exclusive). Every
+    //      rule is an INTEGER comparison (ndist*2 >= ntok, 3·ntok <=
+    //      lensum <= 10·ntok) — no ratio rounding to reconcile across
+    //      engines. One narrow map + one two-phase agg; the funnel shows
+    //      which rule bites before any doc is dropped. ----
+    Q("q124_quality_funnel",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT source,
+        |   CAST(len(toks) AS BIGINT) AS ntok,
+        |   CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS nstop,
+        |   CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+        |   CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS lensum
+        | FROM t),
+        |v AS (SELECT source,
+        |   CASE WHEN ntok >= 20 THEN 1 ELSE 0 END AS ok_len,
+        |   CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+        |   CASE WHEN ndist * 2 >= ntok THEN 1 ELSE 0 END AS ok_rep,
+        |   CASE WHEN lensum >= 3 * ntok AND lensum <= 10 * ntok THEN 1 ELSE 0 END AS ok_wlen
+        | FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ok_len * ok_stop * ok_rep * ok_wlen) AS BIGINT) AS n_pass,
+        |  CAST(sum(1 - ok_len) AS BIGINT) AS n_fail_len,
+        |  CAST(sum(1 - ok_stop) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(1 - ok_rep) AS BIGINT) AS n_fail_rep,
+        |  CAST(sum(1 - ok_wlen) AS BIGINT) AS n_fail_wordlen
+        |FROM v GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val df = Tables.t(s, d, "documents")
+        .select(col("source"),
+          size(toks).cast("long").as("ntok"),
+          size(filter(toks, w => w === "the" || w === "a")).cast("long").as("nstop"),
+          size(array_distinct(toks)).cast("long").as("ndist"),
+          aggregate(transform(toks, w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("lensum"))
+      val okLen = when(col("ntok") >= 20, 1).otherwise(0)
+      val okStop = when(col("nstop") >= 2, 1).otherwise(0)
+      val okRep = when(col("ndist") * 2 >= col("ntok"), 1).otherwise(0)
+      val okWlen = when(col("lensum") >= col("ntok") * 3 &&
+        col("lensum") <= col("ntok") * 10, 1).otherwise(0)
+      df.select(col("source"), okLen.as("ok_len"), okStop.as("ok_stop"),
+          okRep.as("ok_rep"), okWlen.as("ok_wlen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ok_len") * col("ok_stop") * col("ok_rep") * col("ok_wlen"))
+            .cast("long").as("n_pass"),
+          sum(lit(1) - col("ok_len")).cast("long").as("n_fail_len"),
+          sum(lit(1) - col("ok_stop")).cast("long").as("n_fail_stop"),
+          sum(lit(1) - col("ok_rep")).cast("long").as("n_fail_rep"),
+          sum(lit(1) - col("ok_wlen")).cast("long").as("n_fail_wordlen"))
+        .orderBy("source")
     }
   )
 }

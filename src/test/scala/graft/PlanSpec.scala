@@ -265,6 +265,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q123: semantic-dedup pairs come only from the cid equi-join") {
+    val p = planOf(q("q123_semantic_dedup")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the k-bounded corpus×centroids
+    // assignment scoring (the subtree appears once per side of the pair
+    // join); the pair search itself must be a within-cluster EQUI-join,
+    // so the corpus is never cross-paired
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q124: quality funnel is one narrow map + one source aggregation") {
+    val p = planOf(q("q124_quality_funnel")).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q125: old-snapshot hash set is shuffle-probed, never broadcast") {
+    val p = planOf(q("q125_incremental_dedup")).split("== Initial Plan ==").head
+    // the old corpus's distinct window-hash set is corpus-sized at scale
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
