@@ -112,6 +112,31 @@ object ChunkingOps {
           (col("tf").cast("double") *
             (col("n_docs").cast("double") / col("df").cast("double"))).as("score"))
         .orderBy("doc_id", "term")
+    },
+
+    // ---- padding-efficiency audit for length-bucketed batching: each doc
+    //      pads to the next multiple of 32 tokens; per pad-target bucket
+    //      report doc count, real tokens, and padding waste. The batch-prep
+    //      question "how much compute burns on pad tokens at this bucket
+    //      width" answered with pure integers — narrow map + one two-phase
+    //      agg, no shuffle beyond the k-bucket aggregation. ----
+    Q("q127_padding_efficiency",
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |p AS (SELECT ntok, ((ntok + 31) // 32) * 32 AS pad_to FROM t)
+        |SELECT pad_to, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(pad_to - ntok) AS BIGINT) AS pad_waste
+        |FROM p GROUP BY pad_to ORDER BY pad_to""".stripMargin) { (s, d) =>
+      val ntok = size(TextFunctions.tokens(col("text"))).cast("long")
+      Tables.t(s, d, "documents")
+        .select(ntok.as("ntok"))
+        .withColumn("pad_to", expr("(ntok + 31) DIV 32") * 32)
+        .groupBy("pad_to")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("sum_tokens"),
+          sum(col("pad_to") - col("ntok")).cast("long").as("pad_waste"))
+        .orderBy("pad_to")
     }
   )
 }

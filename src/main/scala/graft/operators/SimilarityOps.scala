@@ -319,6 +319,53 @@ object SimilarityOps {
       Similarity.clusterNearDupStats(Tables.t(s, d, "embeddings"),
           "vec_id", "embedding", k = 8, tau = 0.35)
         .orderBy("cid")
+    },
+
+    // ---- retrieval end-to-end (the RAG read path): IVF-routed top-3
+    //      neighbors for each probe query, then the neighbor ids join
+    //      BACK to the documents table for the payload. The tiny
+    //      (queries × k) result is the BUILD side against the
+    //      corpus-sized documents scan — at 100 TB the text store is
+    //      never shuffled, each match is a broadcast-hash lookup. ----
+    Q("q126_rag_retrieve",
+      s"""WITH $PreparedCte,
+         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT n.vec_id,
+         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
+         |      + c.cid AS key
+         |  FROM n, c),
+         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
+         |        FROM d2 GROUP BY vec_id),
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 5),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |cand AS (
+         |  SELECT pr.qid, a.vec_id AS nid
+         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    list_dot_product(qn.qd, nn.qd) / sqrt(qn.nsq * nn.nsq) AS cos
+         |  FROM cand JOIN n qn ON qn.vec_id = qid JOIN n nn ON nn.vec_id = nid),
+         |topk AS (SELECT qid, nid, cos, rank FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) t WHERE rank <= 3)
+         |SELECT t.qid, CAST(t.rank AS INTEGER) AS rank, t.nid, t.cos,
+         |  doc.lang, doc.source, md5(doc.text) AS text_md5
+         |FROM topk t JOIN documents doc ON doc.doc_id = t.nid
+         |ORDER BY t.qid, t.rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val topk = Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+      Tables.t(s, d, "documents")
+        .join(broadcast(topk), col("doc_id") === col("nid"))
+        .select(col("qid"), col("rank"), col("nid"), col("cos"),
+          col("lang"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -137,4 +137,23 @@ class DedupSpec extends SparkTestBase {
     assert(stats(3L)._1 === 0, stats)
     assert(stats.values.forall { case (d, n) => d <= n }, stats)
   }
+
+  test("crossSnapshotCarryover: only new docs carrying old-snapshot text are flagged") {
+    import spark.implicits._
+    val passage = "0123456789" * 8 // 80 chars, window-aligned at any offset mod 10
+    val fixture = Seq(
+      // 40-char prefix (≡ 0 mod stride) so old and new sample the
+      // passage at the same internal offsets
+      (1L, "old", s"ancient filler text before the body abc $passage"),
+      (2L, "old", "other old content with nothing shared anywhere here at all"),
+      (3L, "new", passage + " plus novel trailing content in the new crawl"),
+      (4L, "new", "entirely fresh text never seen in the previous snapshot ok"),
+      (5L, "new", "short") // < windowLen: counted in totals, never carryover
+    ).toDF("doc_id", "src", "text")
+    val out = Dedup.crossSnapshotCarryover(fixture, "doc_id", "text", "src",
+        oldPred = col("src") === "old", windowLen = 40, stride = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_new_docs"), r.getAs[Long]("n_carryover_docs"))).toMap
+    assert(out === Map("new" -> ((3L, 1L))), out)
+  }
 }

@@ -290,6 +290,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q126: document payload join broadcasts the tiny top-k, text store never shuffles") {
+    val p = planOf(q("q126_rag_retrieve")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the (queries × k) result is the build side; a sort-merge here would
+    // shuffle the whole text corpus for a 15-row lookup
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q127: padding audit is one narrow map + one bucket aggregation") {
+    val p = planOf(q("q127_padding_efficiency")).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()

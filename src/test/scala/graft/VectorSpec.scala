@@ -188,6 +188,26 @@ class VectorSpec extends SparkTestBase {
     }
   }
 
+  test("clusterNearDupStats: planted near-dup pairs in-cluster; singleton cluster gets the sentinel") {
+    import spark.implicits._
+    // v0/v1 are the k=2 centroids; v2 is a near-copy of v0 (cos ≈ 0.99995
+    // after ×1000 quantization) so cluster 0 = {0,2} with one dup pair,
+    // cluster 1 = {1} alone — pairless, so max_cos falls back to -2
+    val fixture = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterNearDupStats(fixture, "vec_id", "embedding",
+        k = 2, tau = 0.99)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_dup"), r.getAs[Double]("max_cos")))).toMap
+    assert(out(0L)._1 === 2 && out(0L)._2 === 1 && out(0L)._3 === 1, out)
+    assert(out(0L)._4 > 0.999, out)
+    assert(out(1L) === ((1L, 0L, 0L, -2.0)), out)
+  }
+
   test("LSH buckets are deterministic across runs") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12, 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
