@@ -70,6 +70,63 @@ object ProfileOps {
       Profile.exactPercentiles(Tables.t(s, d, "documents"),
           "source", "n_chars", "doc_id", Seq(50, 90, 99))
         .orderBy("source")
+    },
+
+    // ---- count-min sketch heavy-hitters: a DETERMINISTIC sketch (md5-
+    //      derived bucket functions, depth 3 × width 64) built as a plain
+    //      two-phase aggregation, then the top-20 true heavy hitters
+    //      estimated from it. The oracle replays the identical sketch, so
+    //      the gate pins bucket math AND the min-over-depth estimate —
+    //      including real collisions (the overestimate property, asserted
+    //      in ProfileSketchSpec, is visible in the fixture: some
+    //      cms_estimate > true_count). At 100 TB the sketch is depth×width
+    //      cells regardless of corpus size — THE broadcast-legal summary;
+    //      the token stream is aggregated once map-side before any cell
+    //      update, so the shuffle carries vocab rows, not token
+    //      occurrences. ----
+    Q("q128_countmin_heavyhitters", {
+      val b = (d: String, w: String) =>
+        s"CAST(('0x' || substr(md5(CAST($d AS VARCHAR) || ':' || $w), 1, 8)) AS BIGINT) % 64"
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |rows_d AS (SELECT unnest(generate_series(0, 2)) AS d),
+         |cells AS (
+         |  SELECT d, ${b("d", "w")} AS b, sum(c) AS cnt
+         |  FROM tf, rows_d GROUP BY 1, 2),
+         |top AS (SELECT w, c FROM tf ORDER BY c DESC, w LIMIT 20),
+         |est AS (
+         |  SELECT top.w, top.c, min(cells.cnt) AS cms
+         |  FROM top CROSS JOIN rows_d
+         |  JOIN cells ON cells.d = rows_d.d
+         |   AND cells.b = ${b("rows_d.d", "top.w")}
+         |  GROUP BY top.w, top.c)
+         |SELECT w AS token, CAST(c AS BIGINT) AS true_count,
+         |  CAST(cms AS BIGINT) AS cms_estimate
+         |FROM est ORDER BY true_count DESC, token""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      def bucket(dep: Column, w: Column): Column =
+        conv(substring(md5(concat(dep.cast("string"), lit(":"), w)), 1, 8),
+          16, 10).cast("long") % 64
+      val tf = Tables.t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val withDepth = tf.select(col("w"), col("c"),
+        explode(sequence(lit(0), lit(2))).as("d"))
+      val cells = withDepth
+        .groupBy(col("d"), bucket(col("d"), col("w")).as("b"))
+        .agg(sum(col("c")).as("cnt"))
+      val top = tf.orderBy(col("c").desc, col("w")).limit(20)
+      top.select(col("w"), col("c"), explode(sequence(lit(0), lit(2))).as("d"))
+        .withColumn("b", bucket(col("d"), col("w")))
+        .join(broadcast(cells), Seq("d", "b"))
+        .groupBy(col("w"), col("c"))
+        .agg(min(col("cnt")).as("cms"))
+        .select(col("w").as("token"), col("c").as("true_count"),
+          col("cms").as("cms_estimate"))
+        .orderBy(col("true_count").desc, col("token"))
     }
   )
 }

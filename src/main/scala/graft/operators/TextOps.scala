@@ -447,6 +447,50 @@ object TextOps {
           sum(lit(1) - col("ok_rep")).cast("long").as("n_fail_rep"),
           sum(lit(1) - col("ok_wlen")).cast("long").as("n_fail_wordlen"))
         .orderBy("source")
+    },
+
+    // ---- per-source signature tokens: top-3 by lift, where lift =
+    //      (tf_src/total_src) / (tf_corpus/total_corpus) rearranged to ONE
+    //      division of two exact integer products (c·ctot)/(tot·cc) — the
+    //      corpus-audit "what is over-represented in this source" report
+    //      (a KL-contribution proxy without logs). Products stay below
+    //      2^53 up to ~10^26 token-occurrence pairs, far past any corpus.
+    //      The vocab-sized corpus-frequency side joins shuffle-hash on the
+    //      token; only the per-source totals (|sources| rows) and the
+    //      1-row corpus total broadcast. ----
+    Q("q129_source_signature",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sf AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS tot FROM sf GROUP BY 1),
+        |cf AS (SELECT w, sum(c) AS cc FROM sf GROUP BY 1),
+        |ct AS (SELECT sum(c) AS ctot FROM sf),
+        |lifted AS (
+        |  SELECT sf.source, sf.w,
+        |    CAST(sf.c * ct.ctot AS DOUBLE) / CAST(st.tot * cf.cc AS DOUBLE) AS lift
+        |  FROM sf JOIN st USING (source) JOIN cf USING (w) CROSS JOIN ct),
+        |r AS (SELECT source, w, lift,
+        |  row_number() OVER (PARTITION BY source ORDER BY lift DESC, w) AS rn
+        |  FROM lifted)
+        |SELECT source, CAST(rn AS INTEGER) AS rn, w AS token, lift
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val sfc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = sfc.groupBy("source").agg(sum("c").as("tot"))
+      val cf = sfc.groupBy("w").agg(sum("c").as("cc"))
+      val ct = sfc.agg(sum("c").as("ctot"))
+      val w = Window.partitionBy("source").orderBy(col("lift").desc, col("w"))
+      sfc.join(broadcast(st), "source")
+        .join(cf.hint("shuffle_hash"), "w")
+        .crossJoin(broadcast(ct))
+        .select(col("source"), col("w"),
+          ((col("c") * col("ctot")).cast("double") /
+            (col("tot") * col("cc")).cast("double")).as("lift"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("w").as("token"), col("lift"))
+        .orderBy("source", "rn")
     }
   )
 }

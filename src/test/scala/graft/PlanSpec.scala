@@ -304,6 +304,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q128: sketch cells broadcast; the token stream aggregates map-side first") {
+    val p = planOf(q("q128_countmin_heavyhitters")).split("== Initial Plan ==").head
+    // the depth×width sketch is constant-size — the ONE broadcast-legal
+    // summary; token occurrences must partial-aggregate before any shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q129: corpus-frequency side is shuffle-joined on the token, totals broadcast") {
+    val p = planOf(q("q129_source_signature")).split("== Initial Plan ==").head
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()

@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch semantics: the estimate is an upper bound for EVERY
+  * key (not just the gated top-20), and collisions genuinely occur at the
+  * gated width — so the q128 gate is exercising the interesting regime,
+  * not a collision-free toy. */
+class ProfileSketchSpec extends SparkTestBase {
+
+  private def bucket(dep: Column, w: Column): Column =
+    conv(substring(md5(concat(dep.cast("string"), lit(":"), w)), 1, 8),
+      16, 10).cast("long") % 64
+
+  test("count-min estimate >= true count for the ENTIRE vocabulary") {
+    val tf = Tables.t(spark, Sf, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val withDepth = tf.select(col("w"), col("c"),
+      explode(sequence(lit(0), lit(2))).as("d"))
+    val cells = withDepth
+      .groupBy(col("d"), bucket(col("d"), col("w")).as("b"))
+      .agg(sum(col("c")).as("cnt"))
+    val est = withDepth.withColumn("b", bucket(col("d"), col("w")))
+      .join(cells, Seq("d", "b"))
+      .groupBy(col("w"), col("c"))
+      .agg(min(col("cnt")).as("cms"))
+    assert(est.filter(col("cms") < col("c")).count() === 0)
+    // at width 64 with a larger vocabulary, some bucket must collide —
+    // the sketch is genuinely lossy, not a disguised exact count
+    assert(est.filter(col("cms") > col("c")).count() > 0)
+  }
+}
