@@ -491,6 +491,59 @@ object TextOps {
         .filter(col("rn") <= 3)
         .select(col("source"), col("rn"), col("w").as("token"), col("lift"))
         .orderBy("source", "rn")
+    },
+
+    // ---- sparse cosine retrieval via the inverted index: top-3 lexical
+    //      neighbors for each probe doc, scored on bag-of-words tf
+    //      vectors. The dot product rides the token-keyed join — only
+    //      docs SHARING a token with a probe are ever scored (the
+    //      all-pairs-similarity shape, probe-scoped like q39/q43) — and
+    //      stays a pure integer sum (Σ tf_q·tf_d, order-independent);
+    //      norms are integer Σ tf², so the only float ops are one
+    //      multiply, one sqrt, one divide per candidate. The bounded
+    //      probe postings broadcast; the corpus posting list is one
+    //      narrow scan + one candidate-keyed aggregation. ----
+    Q("q130_sparse_cosine_retrieve",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nsq AS (SELECT doc_id, sum(c * c) AS n2 FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id AS qid, w, c AS qc FROM tf WHERE doc_id < 30),
+        |dots AS (
+        |  SELECT p.qid, t.doc_id AS nid, CAST(sum(p.qc * t.c) AS BIGINT) AS dp
+        |  FROM probes p JOIN tf t ON t.w = p.w AND t.doc_id <> p.qid
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.nid,
+        |    CAST(d.dp AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+        |  FROM dots d JOIN nsq a ON a.doc_id = d.qid JOIN nsq b ON b.doc_id = d.nid),
+        |r AS (SELECT qid, nid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM scored)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, nid, cos
+        |FROM r WHERE rn <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val nsq = tf.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+      val probes = tf.filter(col("doc_id") < 30)
+        .select(col("doc_id").as("qid"), col("w"), col("c").as("qc"))
+      val dots = tf.join(broadcast(probes), Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("nid"))
+        .agg(sum(col("qc") * col("c")).cast("long").as("dp"))
+      val nsqQ = broadcast(nsq.filter(col("doc_id") < 30)
+        .select(col("doc_id").as("qid"), col("n2").as("qn2")))
+      val rw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      dots.join(nsqQ, Seq("qid"))
+        .join(nsq.withColumnRenamed("doc_id", "nid"), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("dp").cast("double") /
+            sqrt((col("qn2") * col("n2")).cast("double"))).as("cos"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+        .orderBy("qid", "rank")
     }
   )
 }

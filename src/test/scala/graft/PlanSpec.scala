@@ -320,6 +320,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q130: probe postings broadcast onto the inverted index — no corpus self-join") {
+    val p = planOf(q("q130_sparse_cosine_retrieve")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come from the token-keyed broadcast join of the bounded
+    // probe set; the corpus posting list is never joined against itself
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
