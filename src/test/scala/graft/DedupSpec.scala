@@ -156,4 +156,36 @@ class DedupSpec extends SparkTestBase {
         (r.getAs[Long]("n_new_docs"), r.getAs[Long]("n_carryover_docs"))).toMap
     assert(out === Map("new" -> ((3L, 1L))), out)
   }
+
+  test("substringDupStats equals a driver-side reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val (win, stride) = (20, 5)
+    // random lowercase docs; every third PAIR shares a passage planted at
+    // stride-aligned offsets in both docs so detection is guaranteed
+    def s(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passages: IndexedSeq[String] = (0 until 8).map(_ => s(35))
+    val docs = (0 until 24).map { i =>
+      if (i % 3 != 0) { // docs 3k+1 and 3k+2 share the 35-char passage k
+        (i.toLong, s(stride * rnd.nextInt(4)) + passages(i / 3) + s(rnd.nextInt(15)))
+      } else (i.toLong, s(30 + rnd.nextInt(40)))
+    }
+    val got = Dedup.substringDupStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", win, stride)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+    // driver-side reference: identical window extraction + cross-doc dup set
+    val windows: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      id -> (if (t.length < win) Seq.empty[String]
+             else (0 to t.length - win by stride).map(p => t.substring(p, p + win)))
+    }.toMap
+    val dupSet = windows.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    for ((id, ws) <- windows if ws.nonEmpty) {
+      assert(got(id) === ((ws.size.toLong, ws.count(dupSet).toLong)), s"doc $id")
+    }
+    assert(got.keySet === windows.filter(_._2.nonEmpty).keySet)
+    // the planted pairs really produced cross-doc dups somewhere
+    assert(got.values.map(_._2).sum > 0)
+  }
 }
