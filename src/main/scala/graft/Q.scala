@@ -23,6 +23,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    per-row float math — no libm transcendentals;
   *  - vector math is quantized to integers first (order-independent exact
   *    accumulation), see VectorFunctions;
+  *  - iterative centroid updates (k-means Lloyd rounds) round components
+  *    with TRUNCATING integer division (`sum / n` on Longs == DuckDB `//`,
+  *    both toward zero — verified empirically, -7//2 = -3 in both), so
+  *    trained centroids are bit-identical across engines;
   *  - hashing across engines uses md5 (identical in both).
   */
 final case class Q(

@@ -35,7 +35,14 @@ object Multimodal {
       format: String,
       n_bytes: Long,
       checksum: String,
-      features: Array[Float]) // fixed-width feature vector
+      features: Array[Float]) // fixed width FeatureDim for EVERY arm
+
+  /** Width of every decoded feature vector, regardless of modality arm —
+    * the WAV arm defines it (10 fields); the raster and byte-stub arms
+    * zero-pad up to it. A single fixed width is load-bearing: a mixed-
+    * modality corpus must yield rectangular feature arrays so downstream
+    * vector ops (quantize/dot/cosine in Similarity) apply unchanged. */
+  val FeatureDim = 10
 
   /** Attach a binary payload column + metadata struct to a text table —
     * the text modality of the multimodal schema (documents fixture). */
@@ -128,12 +135,17 @@ object Multimodal {
   /** Decode one media record. Raster payloads (PNG/BMP by magic bytes) go
     * through a REAL decoder — `javax.imageio` ships in the JDK, so no new
     * dependency — producing exact integer image statistics:
-    * [width, height, bands, meanR, meanG, meanB, minLum, maxLum]
+    * [width, height, bands, meanR, meanG, meanB, minLum, maxLum, 0, 0]
     * (means are integer-division sums, lum = (r+g+b)/3 — all integer math,
     * so the features are engine-reproducible and oracle-checkable).
     * WAV payloads decode through `javax.sound.sampled` the same way
     * ([[decodeWav]]). Non-media payloads (e.g. the text modality) and
-    * undecodable bytes keep the deterministic byte-derived fallback. */
+    * undecodable bytes keep the deterministic byte-derived fallback.
+    * Every arm emits exactly [[FeatureDim]] floats (shorter arms zero-pad),
+    * so mixed-modality corpora stay rectangular. */
+  private def pad(a: Array[Float]): Array[Float] =
+    if (a.length >= FeatureDim) a else java.util.Arrays.copyOf(a, FeatureDim)
+
   private def decodeOne(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val checksum = java.security.MessageDigest.getInstance("MD5")
@@ -170,10 +182,10 @@ object Multimodal {
               minL.toFloat, maxL.toFloat)
           }
       } catch { case _: java.io.IOException => None }
-    val feats = decoded.getOrElse(
+    val feats = pad(decoded.getOrElse(
       Array.tabulate(8)(i =>
         if (bytes != null && i < bytes.length) (bytes(i) & 0xff).toFloat / 255f
-        else 0f))
+        else 0f)))
     MediaFeatures(r.media_id, r.format, r.n_bytes, checksum, feats)
   }
 

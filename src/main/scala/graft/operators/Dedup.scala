@@ -15,6 +15,18 @@ final case class KeepList(keep: DataFrame,
   def release(): Unit = Graph.release(dropRdd)
 }
 
+/** Full near-dup cluster labeling plus the storage handle of its snapshot
+  * (the cluster-analytics sibling of [[KeepList]]): [[release]] frees the
+  * label snapshot's blocks and, when reliable checkpointing is configured,
+  * deletes its files — Spark never deletes those on its own, so a
+  * long-lived session calling [[Dedup.nearDupClusters]] per crawl would
+  * otherwise leak one checkpoint dir per call. `labels` must not be
+  * consumed after release. */
+final case class ClusterLabels(labels: DataFrame,
+                               private val labelRdd: org.apache.spark.rdd.RDD[_]) {
+  def release(): Unit = Graph.release(labelRdd)
+}
+
 /** Deduplication library: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
   * Scale design (100 TB):
@@ -331,7 +343,19 @@ object Dedup {
     * cache and CC storage are freed. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, minJaccard: Double,
-                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    // convenience form: the snapshot is Spark-managed (ContextCleaner
+    // reclaims blocks on GC) but checkpoint FILES are not — a long-lived
+    // session with a checkpoint dir should use [[nearDupClustersResult]]
+    // and release() after consuming the labels
+    nearDupClustersResult(docs, idCol, textCol, n, minJaccard,
+      numHashes, rowsPerBand).labels
+
+  /** [[nearDupClusters]] with an explicit release handle for the label
+    * snapshot (see [[ClusterLabels]] / the [[KeepList]] pattern). */
+  def nearDupClustersResult(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minJaccard: Double,
+                            numHashes: Int = 16, rowsPerBand: Int = 4): ClusterLabels = {
     val sh = shingleRows(docs, idCol, textCol, n).cache()
     val bands = lshBands(signaturesFromShingles(sh, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
@@ -346,10 +370,7 @@ object Dedup {
     labels.count()
     sh.unpersist()
     cc.release()
-    // the snapshot is Spark-managed (ContextCleaner reclaims on GC); a
-    // long-lived session wanting deterministic release should mirror
-    // KeepList — callers here consume the labels immediately
-    labels
+    ClusterLabels(labels, labelsRdd)
   }
 
   /** The STATIC asset for ingest-time decontamination: the distinct

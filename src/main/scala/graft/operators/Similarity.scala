@@ -160,12 +160,46 @@ object Similarity {
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
-  /** K-means E-step over quantized embeddings: assign every vector to its
-    * nearest of `k` centroids by exact squared L2 distance
+  private def shiftFor(k: Int): Long = {
+    var s = 1L
+    while (s < k) s <<= 1
+    s
+  }
+
+  /** Driver-side centroid table → a tiny broadcastable frame
+    * (cid, cq, cnsq). Centroids are O(k·dim) BY DEFINITION, so holding
+    * them driver-side is the scale-correct move (the MLlib pattern) — the
+    * corpus never ships anywhere for this. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, cq) => (cid, cq, cq.map(x => x * x).sum) }
+      .toDF("cid", "cq", "cnsq")
+  }
+
+  /** Deterministic seed centroids: the k SMALLEST-id vectors — true order
+    * statistics (TakeOrdered), so an offset or non-contiguous id space
+    * still yields exactly min(k, corpus) centroids; the earlier `id < k`
+    * filter silently yielded fewer (possibly ZERO, turning every
+    * downstream assignment into an empty frame) there. Ids are re-labeled
+    * DENSELY 0..k-1 in id order because the packed argmin stores the
+    * centroid id in the key's low bits, which needs cid < 2^ceil(log2 k)
+    * regardless of the corpus id space. On the 0-contiguous fixtures the
+    * dense id equals the vector id, which is what the oracles replay. */
+  private def seedCentroids(p: DataFrame, idCol: String, k: Int): Seq[(Long, Seq[Long])] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.select(col(idCol).cast("long").as("_id"), col("q"))
+      .orderBy(col("_id")).limit(k)
+      .as[(Long, Seq[Long])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, q), i) => (i.toLong, q) }.toSeq
+  }
+
+  /** E-step against an explicit centroid frame (cid, cq, cnsq), cid dense
+    * in [0, k): nearest centroid by exact squared L2
     * (nsq_v + nsq_c − 2·dot, all integer math — engine-reproducible).
-    * Centroids are the k smallest-id vectors (deterministic seeding, the
-    * standard first-k init). Output: (id, cid, dist_sq), one row per
-    * vector. Iterating E/M steps reuses this assignment unchanged.
+    * Output: (id, cid, dist_sq), one row per vector.
     *
     * Scale shape: the k centroids BROADCAST (k is small by definition), so
     * the n×k scoring is a narrow map over one corpus scan; the argmin
@@ -174,15 +208,10 @@ object Similarity {
     * 4·dim·scale² ≪ 2^53/k) and takes a two-phase MIN, so the shuffle
     * carries ONE row per vector. A window/row_number formulation would
     * shuffle the full n×k cross product. */
-  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    require(k > 0 && k <= 4096, s"k=$k out of range")
-    var shift = 1L
-    while (shift < k) shift <<= 1
-    val p = prepared(emb, idCol, vecCol)
-    val c = p.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"), col("q").as("cq"),
-        col("nsq").as("cnsq"))
-    p.crossJoin(broadcast(c))
+  private def assignTo(p: DataFrame, idCol: String, centroids: DataFrame,
+                       k: Int): DataFrame = {
+    val shift = shiftFor(k)
+    p.crossJoin(broadcast(centroids))
       .select(col(idCol),
         ((col("nsq") + col("cnsq") - lit(2L) * dot(col("q"), col("cq")))
           * shift + col("cid")).as("key"))
@@ -192,25 +221,89 @@ object Similarity {
         (col("key") - col("key") % shift).divide(shift).cast("long").as("dist_sq"))
   }
 
+  /** K-means E-step from the deterministic first-k seed (see
+    * [[seedCentroids]]; [[kmeansAssignTrained]] is the Lloyd-iterated
+    * form). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 4096, s"k=$k out of range")
+    val p = prepared(emb, idCol, vecCol)
+    assignTo(p, idCol, centroidFrame(emb.sparkSession, seedCentroids(p, idCol, k)), k)
+  }
+
+  /** Lloyd-trained centroids: `rounds` full E/M iterations from the
+    * [[seedCentroids]] seed, returning the trained centroid frame
+    * (cid, cq, cnsq). Per round: one corpus scan scores against the
+    * broadcast centroids (packed argmin, one shuffle row per vector), the
+    * per-(cid, dim) component sums two-phase-aggregate down to k·dim rows,
+    * and ONLY those k·dim rows come to the driver — the iteration state is
+    * centroid-sized, never corpus-sized.
+    *
+    * ROUNDING RULE (cross-engine exact, the vector-space sibling of
+    * Q.scala's decimal rules): a new centroid component is
+    * `sum_d / n_members` in TRUNCATING integer division — Java/Scala Long
+    * division and DuckDB's `//` both truncate toward zero, so the oracle
+    * replays the update bit-for-bit. Component sums are exact (integer-
+    * valued, |sum| ≪ 2^53 at any corpus size ≪ 2^43). A cluster left empty
+    * by a round keeps its previous centroid. */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    require(k > 0 && k <= 4096, s"k=$k out of range")
+    require(rounds >= 0 && rounds <= 64, s"rounds=$rounds out of range")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, idCol, vecCol).persist()
+    var cents = seedCentroids(p, idCol, k)
+    var r = 0
+    while (r < rounds) {
+      val asg = assignTo(p, idCol, centroidFrame(spark, cents), k)
+        .select(col(idCol), col("cid"))
+      val sums = asg.join(p, Seq(idCol))
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+      val byCid = sums.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = old.toArray
+            rows.foreach { case (_, d, s, n) => arr(d) = s / n }
+            (cid, arr.toSeq)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+      r += 1
+    }
+    p.unpersist()
+    centroidFrame(spark, cents)
+  }
+
+  /** E-step against [[kmeansTrain]]'s Lloyd-iterated centroids — the
+    * production assignment (trained cells stay ~n/k even on skewed
+    * corpora, where seeded cells can degenerate toward one giant cell and
+    * drag every Σ size² bound with them). */
+  def kmeansAssignTrained(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, rounds: Int): DataFrame = {
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    assignTo(prepared(emb, idCol, vecCol), idCol, cent, k)
+  }
+
   /** K-means M-step summary: per-cluster member count plus two exact
     * integer aggregates that pin every component of the centroid update —
     * `nsq_total` (Σ members' squared norms) and `wsum_total`
     * (Σ members' index-weighted component sums, Σ_d (d+1)·q_d — a
     * checksum over the full component-sum vector, so a wrong component in
-    * ANY dimension shifts it). Assignment is [[kmeansAssign]]'s packed
+    * ANY dimension shifts it). Assignment is [[assignTo]]'s packed
     * argmin with the per-vector stats carried through the same groupBy
     * (they are constant per vector, so min() is exact), then one tiny
     * k-key aggregation — two shuffles total, the second k rows wide. */
   def kmeansUpdate(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k > 0 && k <= 4096, s"k=$k out of range")
-    var shift = 1L
-    while (shift < k) shift <<= 1
+    val shift = shiftFor(k)
     val p = prepared(emb, idCol, vecCol)
       .withColumn("wsum", expr(
         "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> x * CAST(i AS BIGINT)), 0L, (a, b) -> a + b)"))
-    val c = p.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"), col("q").as("cq"),
-        col("nsq").as("cnsq"))
+    val c = centroidFrame(emb.sparkSession, seedCentroids(p, idCol, k))
     p.crossJoin(broadcast(c))
       .select(col(idCol), col("wsum"), col("nsq"),
         ((col("nsq") + col("cnsq") - lit(2L) * dot(col("q"), col("cq")))
@@ -232,13 +325,22 @@ object Similarity {
     * the corpus — the [[adaptivePlanes]] occupancy argument, applied to
     * centroid count). The pair join is a cid equi-join — candidates never
     * cross clusters, and cid is also the natural partition key at scale.
-    * Assignment reuses [[kmeansAssign]]'s packed argmin; joining it back
-    * to [[prepared]] re-derives the quantized vectors (two scans of the
-    * embedding column — at corpus scale persist `prepared` instead). */
+    * Assignment is the packed argmin against Lloyd-TRAINED centroids by
+    * default (`trainRounds` > 0) — the Σ size² bound only holds when cells
+    * stay balanced, which seeded centroids don't guarantee on a skewed
+    * corpus; pass `trainRounds = 0` for the seeded E-step. Joining the
+    * assignment back to [[prepared]] re-derives the quantized vectors (two
+    * scans of the embedding column — at corpus scale persist `prepared`
+    * instead). */
   def clusterNearDupStats(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double): DataFrame = {
-    val asg = kmeansAssign(emb, idCol, vecCol, k).select(col(idCol), col("cid"))
-    val m = prepared(emb, idCol, vecCol).join(asg, idCol)
+      k: Int, tau: Double, trainRounds: Int = 2): DataFrame = {
+    require(k > 0 && k <= 4096, s"k=$k out of range")
+    val p = prepared(emb, idCol, vecCol)
+    val cent =
+      if (trainRounds > 0) kmeansTrain(emb, idCol, vecCol, k, trainRounds)
+      else centroidFrame(emb.sparkSession, seedCentroids(p, idCol, k))
+    val asg = assignTo(p, idCol, cent, k).select(col(idCol), col("cid"))
+    val m = p.join(asg, idCol)
     val pairs = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col("a.cid").as("cid"),
@@ -261,11 +363,17 @@ object Similarity {
     * actually ship.
     *
     * Corpus vectors are assigned to their nearest of `nlist` centroids by
-    * [[kmeansAssign]] (packed-argmin, one shuffle row per vector — the
-    * inverted-list build is linear); each query probes its `nprobe`
-    * nearest centroids and exact-reranks only those lists. All integer
-    * math (squared-L2 for routing, quantized cosine for rerank), so the
-    * result is engine-reproducible.
+    * the packed argmin (one shuffle row per vector — the inverted-list
+    * build is linear); each query probes its `nprobe` nearest centroids
+    * and exact-reranks only those lists. All integer math (squared-L2 for
+    * routing, quantized cosine for rerank), so the result is
+    * engine-reproducible.
+    *
+    * The coarse quantizer is Lloyd-TRAINED ([[kmeansTrain]]) by default:
+    * the `nlist cells stay ~n/nlist` claim below is only true with trained
+    * centroids — seeded cells on a skewed corpus degenerate toward one
+    * giant list that every probe then rereads. `trainRounds = 0` keeps the
+    * seeded quantizer (the fixed-assignment gate shape, q109's oracle).
     *
     * Scale shape: the candidate join is an equi-join on the list id; rows
     * out per query = nprobe·(n/nlist) on average — at a billion vectors
@@ -273,17 +381,21 @@ object Similarity {
     * vector lives in exactly ONE list, so no dedup stage is needed
     * (unlike multi-probe LSH). */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+             vecCol: String, k: Int, nlist: Int, nprobe: Int,
+             trainRounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe > 0 && nprobe <= nlist, s"nprobe=$nprobe must be in 1..$nlist")
-    val asg = kmeansAssign(corpus, idCol, vecCol, nlist)
+    val cp0 = prepared(corpus, idCol, vecCol)
+    val centroids =
+      if (trainRounds > 0) kmeansTrain(corpus, idCol, vecCol, nlist, trainRounds)
+      else centroidFrame(corpus.sparkSession, seedCentroids(cp0, idCol, nlist))
+    val asg = assignTo(cp0, idCol, centroids, nlist)
       .select(col(idCol), col("cid"))
-    val cp = prepared(corpus, idCol, vecCol).join(asg, Seq(idCol))
+    val cp = cp0.join(asg, Seq(idCol))
       .select(col(idCol).as("nid"), col("q").as("nq"),
         col("nsq").as("nnsq"), col("cid"))
-    val cent = prepared(corpus, idCol, vecCol).filter(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("ccid"), col("q").as("cq"),
-        col("nsq").as("cnsq"))
+    val cent = centroids
+      .select(col("cid").as("ccid"), col("cq"), col("cnsq"))
     val qp = prepared(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
     // query routing: rank ALL nlist centroids per query, keep nprobe.

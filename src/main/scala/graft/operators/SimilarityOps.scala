@@ -37,6 +37,81 @@ object SimilarityOps {
       |n AS (
       |  SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM p)""".stripMargin
 
+  // ---- shared k-means-family oracle fragments (ONE definition for the
+  //      packing constants — the drift hazard shingleCteN already solved
+  //      for the dedup oracles) ----
+
+  /** 2^ceil(log2 k) — Similarity.assignTo's packing shift. */
+  private def shiftFor(k: Int): Long = {
+    var s = 1L
+    while (s < k) s <<= 1
+    s
+  }
+
+  /** First-k seed centroid CTE `c` (dense cid == vec_id on the contiguous
+    * fixture id space, exactly Similarity.seedCentroids' relabeling). */
+  private def seedCte(k: Int): String =
+    s"""c AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
+       |     FROM n WHERE vec_id < $k)""".stripMargin
+
+  /** DuckDB replica of Similarity.assignTo's packed argmin over the
+    * PreparedCte's `n` rows against centroid CTE `c`: `d` = packed keys
+    * (dist_sq·shift + cid), `m` = per-vector min key. */
+  private def argminCte(k: Int): String =
+    s"""d AS (
+       |  SELECT n.vec_id,
+       |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * ${shiftFor(k)}
+       |      + c.cid AS key
+       |  FROM n, c),
+       |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)""".stripMargin
+
+  /** Per-vector assignment CTE `asg` (vec_id, cid) from the argmin. */
+  private def asgCte(k: Int): String =
+    s"""${argminCte(k)},
+       |asg AS (SELECT vec_id, CAST(key % ${shiftFor(k)} AS BIGINT) AS cid FROM m)""".stripMargin
+
+  /** The (vec_id, cid, dist_sq) unpacking select over `m`. */
+  private def argminSelect(k: Int): String =
+    s"""SELECT vec_id, CAST(key % ${shiftFor(k)} AS BIGINT) AS cid,
+       |  CAST(key // ${shiftFor(k)} AS BIGINT) AS dist_sq
+       |FROM m""".stripMargin
+
+  /** `rounds` Lloyd iterations in SQL, replaying Similarity.kmeansTrain
+    * bit-for-bit: seed kc0 = first-k centroids; each round an argmin
+    * assignment (identical packing), then the exact integer M-step — new
+    * component = sum // count in TRUNCATING division (DuckDB `//` and
+    * Java/Scala Long division both truncate toward zero; verified
+    * empirically, -7//2 = -3). Clusters left empty keep their previous
+    * centroid (the LEFT JOIN coalesce). Emits a final CTE `c`, the trained
+    * centroid frame, so downstream fragments ([[argminCte]] etc.) compose
+    * unchanged. */
+  private def lloydCte(k: Int, rounds: Int): String = {
+    val shift = shiftFor(k)
+    val seed =
+      s"""kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
+         |       FROM n WHERE vec_id < $k)""".stripMargin
+    val rds = (1 to rounds).map { r =>
+      s"""ka$r AS (
+         |  SELECT n.vec_id, CAST(min(
+         |      CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * $shift
+         |        + c.cid) % $shift AS BIGINT) AS cid
+         |  FROM n, kc${r - 1} c GROUP BY n.vec_id),
+         |ks$r AS (
+         |  SELECT a.cid, t.d, CAST(sum(n.qd[CAST(t.d AS INTEGER)]) AS BIGINT) AS s,
+         |    count(*) AS cnt
+         |  FROM ka$r a JOIN n USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(d)
+         |  GROUP BY a.cid, t.d),
+         |ku$r AS (
+         |  SELECT cid, list(CAST(s // cnt AS DOUBLE) ORDER BY d) AS cqd
+         |  FROM ks$r GROUP BY cid),
+         |kc$r AS (
+         |  SELECT prev.cid, coalesce(u.cqd, prev.cqd) AS cqd,
+         |    coalesce(list_dot_product(u.cqd, u.cqd), prev.cnsq) AS cnsq
+         |  FROM kc${r - 1} prev LEFT JOIN ku$r u USING (cid))""".stripMargin
+    }
+    (seed +: rds).mkString(",\n") + s",\nc AS (SELECT * FROM kc$rounds)"
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- embedding near-dup: top-50 all-pairs cosine ----
@@ -133,17 +208,27 @@ object SimilarityOps {
     //      integer arithmetic are all hash-gated. ----
     Q("q107_kmeans_assign",
       s"""WITH $PreparedCte,
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
-         |SELECT vec_id, CAST(key % 8 AS BIGINT) AS cid,
-         |  CAST(key // 8 AS BIGINT) AS dist_sq
-         |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+         |${seedCte(8)},
+         |${argminCte(8)}
+         |${argminSelect(8)} ORDER BY vec_id""".stripMargin) { (s, d) =>
       Similarity.kmeansAssign(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("vec_id")
+    },
+
+    // ---- Lloyd-iterated k-means: 2 full E/M rounds from the first-k
+    //      seed, then the final assignment. The oracle replays BOTH
+    //      training rounds — packing, the truncating-division centroid
+    //      update, empty-cluster carry-over — so a drift anywhere in the
+    //      iteration (not just the last E-step) breaks the hash. This is
+    //      the trained quantizer q109's IVF lists and q123's SemDeDup
+    //      cells route through. ----
+    Q("q131_kmeans_lloyd",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${argminCte(8)}
+         |${argminSelect(8)} ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.kmeansAssignTrained(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, rounds = 2)
         .orderBy("vec_id")
     },
 
@@ -156,14 +241,9 @@ object SimilarityOps {
          |w AS (SELECT vec_id, nsq,
          |  list_dot_product(qd, list_transform(range(1, $Dim + 1),
          |    i -> CAST(i AS DOUBLE))) AS wsum FROM n),
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
-         |SELECT CAST(key % 8 AS BIGINT) AS cid, count(*) AS n_members,
+         |${seedCte(8)},
+         |${argminCte(8)}
+         |SELECT CAST(key % ${shiftFor(8)} AS BIGINT) AS cid, count(*) AS n_members,
          |  CAST(sum(w.wsum) AS BIGINT) AS wsum_total,
          |  CAST(sum(w.nsq) AS BIGINT) AS nsq_total
          |FROM m JOIN w ON w.vec_id = m.vec_id
@@ -173,20 +253,17 @@ object SimilarityOps {
     },
 
     // ---- true IVF k-NN: k-means coarse quantizer (8 inverted lists,
-    //      packed-argmin assignment) + 2-probe routing + exact cosine
-    //      rerank on the probed lists only. The oracle replays the whole
-    //      route: assignment packing, probe ranking with its tie-break,
-    //      and the rerank — so routing AND scoring bugs break the hash. ----
+    //      packed-argmin assignment, Lloyd-TRAINED — 2 E/M rounds — so the
+    //      lists stay ~n/nlist even on a skewed corpus) + 2-probe routing +
+    //      exact cosine rerank on the probed lists only. The oracle replays
+    //      the whole route INCLUDING the training rounds: packing, the
+    //      truncating-division centroid update, probe ranking with its
+    //      tie-break, and the rerank — so training, routing AND scoring
+    //      bugs all break the hash. ----
     Q("q109_knn_ivf",
       s"""WITH $PreparedCte,
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
-         |        FROM d GROUP BY vec_id),
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
          |qr AS (
          |  SELECT n.vec_id AS qid, c.cid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -207,7 +284,7 @@ object SimilarityOps {
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.ivfKnn(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-          k = 5, nlist = 8, nprobe = 2)
+          k = 5, nlist = 8, nprobe = 2, trainRounds = 2)
         .orderBy("qid", "rank")
     },
 
@@ -271,16 +348,9 @@ object SimilarityOps {
     //      never a full sort. ----
     Q("q119_kmeans_outliers",
       s"""WITH $PreparedCte,
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id)
-         |SELECT vec_id, CAST(key % 8 AS BIGINT) AS cid,
-         |  CAST(key // 8 AS BIGINT) AS dist_sq
-         |FROM m ORDER BY dist_sq DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+         |${seedCte(8)},
+         |${argminCte(8)}
+         |${argminSelect(8)} ORDER BY dist_sq DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.kmeansAssign(Tables.t(s, d, "embeddings"), "vec_id", "embedding", 8)
         .orderBy(col("dist_sq").desc, col("vec_id"))
         .limit(20)
@@ -289,24 +359,21 @@ object SimilarityOps {
     // ---- SemDeDup-shaped semantic dedup: near-dup pairs are searched
     //      only WITHIN each k-means cluster (cid equi-join — candidates
     //      never cross clusters, so the n² search collapses to
-    //      Σ cluster_size²). The oracle replays assignment packing AND
-    //      the within-cluster exact cosine, so routing, pairing, and the
-    //      threshold all break the hash. ----
+    //      Σ cluster_size²). Cells are Lloyd-TRAINED (2 rounds) — the
+    //      Σ size² bound is only meaningful when cells stay balanced,
+    //      which seeding alone doesn't guarantee on a skewed corpus. The
+    //      oracle replays the training rounds, assignment packing AND the
+    //      within-cluster exact cosine, so training, routing, pairing,
+    //      and the threshold all break the hash. ----
     Q("q123_semantic_dedup",
       s"""WITH $PreparedCte,
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
-         |        FROM d GROUP BY vec_id),
-         |m AS (SELECT n.vec_id, n.qd, n.nsq, asg.cid
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |mm AS (SELECT n.vec_id, n.qd, n.nsq, asg.cid
          |      FROM n JOIN asg USING (vec_id)),
          |pr AS (
          |  SELECT a.cid, list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) AS cos
-         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id),
          |ps AS (SELECT cid, count(*) AS n_pairs,
          |       CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |       max(cos) AS max_cos FROM pr GROUP BY cid),
@@ -317,7 +384,7 @@ object SimilarityOps {
          |  coalesce(ps.max_cos, CAST(-2 AS DOUBLE)) AS max_cos
          |FROM mc LEFT JOIN ps ON mc.cid = ps.cid ORDER BY mc.cid""".stripMargin) { (s, d) =>
       Similarity.clusterNearDupStats(Tables.t(s, d, "embeddings"),
-          "vec_id", "embedding", k = 8, tau = 0.35)
+          "vec_id", "embedding", k = 8, tau = 0.35, trainRounds = 2)
         .orderBy("cid")
     },
 
@@ -329,14 +396,8 @@ object SimilarityOps {
     //      never shuffled, each match is a broadcast-hash lookup. ----
     Q("q126_rag_retrieve",
       s"""WITH $PreparedCte,
-         |c AS (SELECT vec_id AS cid, qd AS cqd, nsq AS cnsq FROM n WHERE vec_id < 8),
-         |d2 AS (
-         |  SELECT n.vec_id,
-         |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * 8
-         |      + c.cid AS key
-         |  FROM n, c),
-         |asg AS (SELECT vec_id, CAST(min(key) % 8 AS BIGINT) AS cid
-         |        FROM d2 GROUP BY vec_id),
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
          |qr AS (
          |  SELECT n.vec_id AS qid, c.cid,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -360,7 +421,7 @@ object SimilarityOps {
          |ORDER BY t.qid, t.rank""".stripMargin) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val topk = Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2, trainRounds = 2)
       Tables.t(s, d, "documents")
         .join(broadcast(topk), col("doc_id") === col("nid"))
         .select(col("qid"), col("rank"), col("nid"), col("cos"),

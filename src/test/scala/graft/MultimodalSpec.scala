@@ -25,7 +25,7 @@ class MultimodalSpec extends SparkTestBase {
     val f1 = Multimodal.documentFeatures(spark, docs)
     assert(f1.count() === docs.count())
     val widths = f1.select(size(col("features"))).distinct().collect().map(_.getInt(0))
-    assert(widths.toSeq === Seq(8))
+    assert(widths.toSeq === Seq(Multimodal.FeatureDim))
     val f2 = Multimodal.documentFeatures(spark, docs)
     val a = f1.orderBy("media_id").collect().map(_.toString)
     val b = f2.orderBy("media_id").collect().map(_.toString)
@@ -117,9 +117,9 @@ class MultimodalSpec extends SparkTestBase {
     val media = Seq(Multimodal.MediaRecord(1L, "png", png, png.length.toLong))
       .toDS()
     val f = Multimodal.decodeFeatures(media).head().features.map(_.toInt)
-    // [w, h, bands, meanR, meanG, meanB, minLum, maxLum]
+    // [w, h, bands, meanR, meanG, meanB, minLum, maxLum, pad, pad]
     assert(f.toSeq === Seq(12, 9, 3, 200, 30, 77, (200 + 30 + 77) / 3,
-      (200 + 30 + 77) / 3))
+      (200 + 30 + 77) / 3, 0, 0))
   }
 
   test("real BMP decode via the magic-byte probe (format tag says otherwise)") {
@@ -132,7 +132,7 @@ class MultimodalSpec extends SparkTestBase {
     val bmp = bos.toByteArray
     val media = Seq(Multimodal.MediaRecord(2L, "bin", bmp, bmp.length.toLong)).toDS()
     val f = Multimodal.decodeFeatures(media).head().features.map(_.toInt)
-    assert(f.toSeq === Seq(5, 4, 3, 10, 20, 30, 20, 20))
+    assert(f.toSeq === Seq(5, 4, 3, 10, 20, 30, 20, 20, 0, 0))
   }
 
   test("real WAV decode: header fields and exact sample stats") {
@@ -250,7 +250,7 @@ class MultimodalSpec extends SparkTestBase {
     val junk = Multimodal.syntheticWav(5L).take(20) // valid magic, cut short
     val media = Seq(Multimodal.MediaRecord(6L, "wav", junk, junk.length.toLong)).toDS()
     val f = Multimodal.decodeFeatures(media).head()
-    assert(f.features.length === 8)
+    assert(f.features.length === Multimodal.FeatureDim)
     assert(f.features(0) === ('R'.toInt & 0xff).toFloat / 255f) // stub shape
   }
 
@@ -259,7 +259,7 @@ class MultimodalSpec extends SparkTestBase {
     val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
     val media = Seq(Multimodal.MediaRecord(3L, "png", junk, junk.length.toLong)).toDS()
     val f = Multimodal.decodeFeatures(media).head()
-    assert(f.features.length === 8)
+    assert(f.features.length === Multimodal.FeatureDim)
     assert(f.features(0) === (junk(0) & 0xff).toFloat / 255f) // stub shape
   }
 }
