@@ -108,6 +108,43 @@ object Profile {
       .agg(max(col("n")).cast("long").as("n_rows"), picks: _*)
   }
 
+  /** The 100 TB percentile path for [[exactPercentiles]]'s shape: per-group
+    * `percentile_approx` sketch — ONE two-phase aggregation, no per-group
+    * sort, so the dominant group never lands in a single task (the exact
+    * rank formula shuffles the whole corpus into |groups| partitions and
+    * sorts the biggest one in one task — q115's documented scale caveat).
+    *
+    * Default (`withVerdict = false`) is the production shape:
+    * (group, n_rows, p<P>_approx...). With `withVerdict = true` it ALSO
+    * runs the exact rank formula and emits a per-group tolerance verdict —
+    * the q57/q89/q96 gate-check pattern, which deliberately pays the exact
+    * cost. The sketch's rank error is ≤ n/accuracy; the verdict allows
+    * `tol` relative value slack (generous for that rank error on any
+    * non-degenerate distribution, so the verdict is stable at every SF). */
+  def percentilesApprox(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, percents: Seq[Int], accuracy: Int = 10000,
+      tol: Double = 0.05, withVerdict: Boolean = false): DataFrame = {
+    val pcts = array(percents.map(p => lit(p / 100.0)): _*)
+    val approx = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows_approx"),
+        percentile_approx(col(valueCol), pcts, lit(accuracy)).as("ap"))
+    val apCols = percents.zipWithIndex.map { case (p, i) =>
+      element_at(col("ap"), i + 1).cast("long").as(s"p${p}_approx")
+    }
+    if (!withVerdict)
+      approx.select(col(groupCol) +: col("n_rows_approx").as("n_rows") +: apCols: _*)
+    else {
+      val ok = percents.map { p =>
+        abs(col(s"p${p}_approx") - col(s"p$p")) <=
+          greatest(lit(1.0), col(s"p$p").cast("double") * tol)
+      }.reduce(_ && _)
+      exactPercentiles(df, groupCol, valueCol, tieCol, percents)
+        .join(broadcast(approx.select(col(groupCol) +: apCols: _*)), groupCol)
+        .select(col(groupCol) +: col("n_rows") +:
+          percents.map(p => col(s"p$p")) :+ ok.as("sketch_ok"): _*)
+    }
+  }
+
   def fkViolations(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String): DataFrame = {
     val orphans = child

@@ -72,6 +72,28 @@ object ProfileOps {
         .orderBy("source")
     },
 
+    // ---- the 100 TB percentile knob, gated exactly like q96: the
+    //      percentile_approx sketch (one two-phase agg, NO per-group
+    //      sort — the production path for q115's shape) runs next to the
+    //      exact rank formula, and the query emits the exact values plus
+    //      an in-query tolerance verdict the oracle asserts TRUE. ----
+    Q("q133_percentiles_sketch",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(CASE WHEN rn = (50*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = (90*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99,
+        |  TRUE AS sketch_ok
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Profile.percentilesApprox(Tables.t(s, d, "documents"),
+          "source", "n_chars", "doc_id", Seq(50, 90, 99), withVerdict = true)
+        .orderBy("source")
+    },
+
     // ---- count-min sketch heavy-hitters: a DETERMINISTIC sketch (md5-
     //      derived bucket functions, depth 3 × width 64) built as a plain
     //      two-phase aggregation, then the top-20 true heavy hitters

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset-split operators for training-data
@@ -23,6 +23,78 @@ object Sampling {
   /** train/eval label holding out `evalOutOf10` tenths (e.g. 1 → 90/10). */
   def splitLabel(id: Column, evalOutOf10: Int): Column =
     when(hashBucket(id, 10) < 10 - evalOutOf10, lit("train")).otherwise(lit("eval"))
+
+  /** Scale-safe stratified exact-quota sample — the production form of the
+    * q121 rank-formula shape: per stratum keep exactly `n div outOf` docs,
+    * the smallest by (md5, id), WITHOUT ever ranking a whole stratum.
+    *
+    * Two passes:
+    *  1. histogram the md5-prefix space into 1024 coarse buckets per
+    *     stratum (one tiny two-phase aggregate — strata × 1024 rows);
+    *  2. from the cumulative histogram derive each stratum's BOUNDARY
+    *     bucket (where the quota lands) and the residual quota inside it;
+    *     rows below the boundary are kept outright (a narrow filter), and
+    *     only the boundary bucket — ~1/1024 of the stratum — is exactly
+    *     ranked.
+    *
+    * The kept set is IDENTICAL to the full rank formula's: md5-prefix
+    * order is a prefix of the full (md5, id) order, so "every bucket below
+    * the boundary + the residual smallest inside it" IS the n div outOf
+    * smallest overall. That identity is what the oracle asserts — the gate
+    * SQL is the q121 rank formula itself.
+    *
+    * Scale: q121's `row_number() OVER (PARTITION BY lang)` sorts the whole
+    * dominant stratum in ONE task — the per-group global sort that kills
+    * skewed corpora. Here no window ever sees the corpus: one window runs
+    * over the 1024-row-per-stratum histogram, the other over the boundary
+    * slice. Costs one extra corpus scan (pass 1), the standard two-pass
+    * trade. */
+  def stratifiedQuotaSample(docs: DataFrame, idCol: String, strataCol: String,
+                            outOf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(outOf > 1, s"outOf=$outOf must be > 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucketShift = 4194304L // 2^22: 32-bit md5 prefix -> 1024 buckets
+    val rows = docs.select(col(strataCol).cast("string").as("stratum"), col(idCol),
+        md5(col(idCol).cast("string")).as("hfull"))
+      .withColumn("b",
+        expr(s"CAST(conv(substring(hfull, 1, 8), 16, 10) AS BIGINT) div $bucketShift"))
+    // pass 1: per-(stratum, bucket) histogram — a two-phase count whose
+    // output is |strata|·1024 rows, tiny BY CONSTRUCTION, so the boundary
+    // walk runs driver-side (the same O(summary) argument as k-means
+    // centroids; windowing the histogram instead would duplicate the
+    // whole subtree under the Union's two consumers below)
+    val hist = rows.groupBy(col("stratum"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val info = hist.groupBy(_._1).toSeq.map { case (stratum, unsorted) =>
+      val buckets = unsorted.sortBy(_._2)
+      val n = buckets.map(_._3).sum
+      val m = n / outOf // quota: rn*outOf <= n  <=>  rn <= n div outOf
+      var cum = 0L
+      var bb = buckets.head._2
+      var keptBefore = 0L
+      var found = false
+      for ((_, b, c) <- buckets if !found) {
+        if (cum + c >= m) { bb = b; keptBefore = cum; found = true }
+        else cum += c
+      }
+      (stratum, bb, m - keptBefore, n)
+    }
+    val infoDf = info.toDF("stratum", "bb", "r", "n_stratum")
+    // pass 2: rows below the boundary bucket are kept by a narrow filter;
+    // ONLY the boundary bucket (~1/1024 of its stratum) is exactly ranked
+    val tagged = rows.join(broadcast(infoDf), Seq("stratum"))
+    val below = tagged.filter(col("b") < col("bb"))
+      .select(col("stratum"), col(idCol), col("n_stratum"))
+    val wBoundary = Window.partitionBy("stratum")
+      .orderBy(col("hfull"), col(idCol))
+    val boundary = tagged.filter(col("b") === col("bb"))
+      .withColumn("rn", row_number().over(wBoundary))
+      .filter(col("rn") <= col("r"))
+      .select(col("stratum"), col(idCol), col("n_stratum"))
+    below.union(boundary)
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -123,6 +195,26 @@ object Sampling {
         .withColumn("n_lang", count(lit(1)).over(byLang))
         .filter(col("rn") * 5 <= col("n_lang"))
         .select(col("lang"), col("doc_id"), col("rn"), col("n_lang"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // ---- the SCALE-SAFE form of q121: two-pass md5-threshold quota
+    //      selection (bucket histogram -> boundary bucket -> rank only
+    //      the boundary slice; no window ever sees the corpus). The
+    //      oracle is deliberately the q121 RANK FORMULA itself — the
+    //      hash match proves the two algorithms keep the IDENTICAL set,
+    //      per stratum, at every SF. ----
+    Q("q132_stratified_twopass",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(n AS BIGINT) AS n_lang
+        |FROM r WHERE rn * 5 <= n ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      stratifiedQuotaSample(Tables.t(s, d, "documents"), "doc_id", "lang", 5)
+        .select(col("stratum").as("lang"), col("doc_id"), col("n_stratum").as("n_lang"))
         .orderBy("lang", "doc_id")
     }
   )

@@ -260,6 +260,17 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q132: two-pass quota sample — the only window ranks the boundary-bucket slice") {
+    val p = planOf(q("q132_stratified_twopass")).split("== Initial Plan ==").head
+    // exactly ONE window in the whole plan, and its input is the output of
+    // the broadcast bb equi-join (the ~1/1024 boundary slice) — q121's
+    // full-stratum row_number never appears. The histogram pass runs
+    // eagerly at build and leaves no Window behind.
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q122: PII redaction is a narrow map — zero hash exchange") {
     val p = planOf(q("q122_pii_redact")).split("== Initial Plan ==").head
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -32,4 +32,25 @@ class ProfileSketchSpec extends SparkTestBase {
     // the sketch is genuinely lossy, not a disguised exact count
     assert(est.filter(col("cms") > col("c")).count() > 0)
   }
+
+  test("percentilesApprox production path: one two-phase agg, no per-group sort") {
+    val df = graft.operators.Profile.percentilesApprox(
+      Tables.t(spark, Sf, "documents"), "source", "n_chars", "doc_id",
+      Seq(50, 90, 99))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the production sketch must never rank a group: no Window, no Sort
+    // below the aggregation — q115's exact rank formula is the oracle
+    // twin, not the path that runs at 100 TB
+    assert(!p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_percentile_approx") || p.contains("percentile_approx"), p)
+    // and the sketch values stay inside the gated tolerance vs exact
+    val verdicts = graft.operators.Profile.percentilesApprox(
+        Tables.t(spark, Sf, "documents"), "source", "n_chars", "doc_id",
+        Seq(50, 90, 99), withVerdict = true)
+      .select("sketch_ok").collect().map(_.getBoolean(0))
+    assert(verdicts.nonEmpty && verdicts.forall(identity))
+  }
 }
