@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction over word types — the tokenizer-
+  * TRAINING step adjacent to q111's vocabulary ranking (the Sennrich-style
+  * iterative top-pair merge every subword tokenizer pipeline runs).
+  *
+  * Scale shape: ONE corpus scan builds the word-TYPE table (distinct token
+  * × frequency — vocab-sized, millions of rows at 100 TB, never
+  * corpus-sized) and persists it; every round then runs over types only:
+  * one two-phase pair-count aggregation (map-side partial over the
+  * per-type symbol arrays) and one top-1 TakeOrdered. The winning merge is
+  * collected driver-side — one (left, right) row per round, the k-means-
+  * centroid argument — and applied as a LITERAL fold expression, so round
+  * r+1's symbols are round r's plan plus one narrow map over types.
+  *
+  * Determinism (cross-engine, see Q.scala): greedy left-to-right merge
+  * application as a fold over a '|'-delimited accumulator string —
+  * `ends_with(acc, '|' + left)` tests the accumulator's LAST SYMBOL
+  * exactly (the delimiter can't occur inside a symbol), which reproduces
+  * BPE's standard single-pass greedy semantics ("aaa" + (a,a) → "aa","a");
+  * ties in pair frequency break by (left, right) ascending.
+  */
+object Bpe {
+
+  /** The first `rounds` BPE merges: (round, lft, rgt, pair_freq).
+    *
+    * `tokens` must yield symbols free of `'|'` and of any character whose
+    * UTF-16 unit count differs from its codepoint count — the gated query
+    * restricts to ASCII alphanumeric tokens (Spark `length` counts UTF-16
+    * units, DuckDB codepoints; astral-plane symbols would diverge).
+    * Stops early if the corpus runs out of adjacent pairs. */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0 && rounds <= 256, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val types = docs
+      .select(explode(graft.functions.TextFunctions.tokensRe(col(textCol))).as("tok"))
+      .filter(col("tok").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .persist()
+    var syms: Column = transform(
+      sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val cur = types.withColumn("syms", syms)
+      val best = cur.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.isEmpty) dry = true
+      else {
+        val l = best.head.getString(0)
+        val rt = best.head.getString(1)
+        val pf = best.head.getLong(2)
+        out += ((r, l, rt, pf))
+        // greedy left-to-right merge of (l, rt) as a literal fold; symbols
+        // are alnum-only, so embedding them in the expression is safe
+        val folded = aggregate(syms, lit(""), (acc, x) =>
+          when(x === lit(rt) && acc.endsWith(s"|$l"),
+            concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+              lit("|" + l + rt)))
+            .otherwise(concat(acc, lit("|"), x)))
+        syms = split(folded.substr(lit(2), length(folded)), "[|]")
+      }
+      r += 1
+    }
+    types.unpersist()
+    out.toSeq.toDF("round", "lft", "rgt", "pair_freq")
+  }
+}

@@ -97,11 +97,36 @@ object Similarity {
                       minCosine: Double, planes: Int, dim: Int): DataFrame =
     nearDupKeepListResult(emb, idCol, vecCol, minCosine, planes, dim).keep
 
+  /** [[prepared]] for an ALREADY-quantized `array<bigint>` column — the
+    * ingestion seam for corpora that materialize `graft_quantize(v, scale)`
+    * once at write time instead of re-quantizing floats per query. The
+    * caller owns the scale; mixing scales across tables breaks every
+    * downstream cosine silently, which is why the gated ingestion path
+    * (q135) pins the quantize→keep-list round trip end to end. */
+  def preparedQuantized(embQ: DataFrame, idCol: String, qCol: String): DataFrame =
+    embQ.select(col(idCol), col(qCol).as("q"))
+      .withColumn("nsq", normSq(col("q")))
+
+  /** End-to-end keep-list from a PRE-QUANTIZED embedding column (see
+    * [[preparedQuantized]]), occupancy-scaled planes — the gated
+    * float→quantized ingestion path. */
+  def nearDupKeepListQuantized(embQ: DataFrame, idCol: String, qCol: String,
+                               minCosine: Double, dim: Int,
+                               targetBucket: Int = 32): DataFrame =
+    keepListFromPrepared(preparedQuantized(embQ, idCol, qCol), idCol,
+      minCosine, adaptivePlanes(embQ.count(), targetBucket), dim).keep
+
   /** [[nearDupKeepList]] with an explicit release handle for the drop-set
     * snapshot (see [[KeepList]] / [[Dedup.nearDupKeepListResult]]). */
   def nearDupKeepListResult(emb: DataFrame, idCol: String, vecCol: String,
-                            minCosine: Double, planes: Int, dim: Int): KeepList = {
-    val p = prepared(emb, idCol, vecCol)
+                            minCosine: Double, planes: Int, dim: Int): KeepList =
+    keepListFromPrepared(prepared(emb, idCol, vecCol), idCol, minCosine,
+      planes, dim)
+
+  private def keepListFromPrepared(p0: DataFrame, idCol: String,
+                                   minCosine: Double, planes: Int,
+                                   dim: Int): KeepList = {
+    val p = p0
       .withColumn("bucket", lshBucketExpr("q", planes, dim)).cache()
     val probes = p.select(
       col(idCol).as("id_a"), col("q").as("qa"), col("nsq").as("na"),
@@ -131,7 +156,7 @@ object Similarity {
     dropped.count()
     p.unpersist()
     cc.release()
-    KeepList(emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
+    KeepList(p0.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
       droppedRdd)
   }
 

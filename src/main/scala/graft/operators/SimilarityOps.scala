@@ -76,6 +76,46 @@ object SimilarityOps {
        |  CAST(key // ${shiftFor(k)} AS BIGINT) AS dist_sq
        |FROM m""".stripMargin
 
+  /** The occupancy-scaled LSH keep-list pipeline (q83's oracle body,
+    * shared with the q135 ingestion gate): adaptive plane count, quantize,
+    * bucket, multi-probe candidates, exact-cosine verify at 0.45, 3-round
+    * min-label propagation. Ends with CTEs `c` (vec_id, bucket, qd, nsq)
+    * and `l3` (v, l) — keep set = l3 WHERE l = v. */
+  private lazy val AdaptiveKeepListCtes: String =
+    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
+       |pl AS (SELECT GREATEST(2, COALESCE(
+       |  (SELECT min(p) FROM range(0, 25) t(p), cnt
+       |   WHERE (CAST(32 AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, q, ${bucketSqlDuckDyn("planes")} AS bucket FROM e, pl),
+       |c AS (
+       |  SELECT vec_id, bucket, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd,
+       |    list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
+       |                     list_transform(q, x -> CAST(x AS DOUBLE))) AS nsq
+       |  FROM b),
+       |pr AS (
+       |  SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
+       |    list_transform(range(0, planes),
+       |      p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
+       |  FROM c, pl),
+       |cand AS (
+       |  SELECT DISTINCT pr.vec_id AS i, c2.vec_id AS j,
+       |    list_dot_product(pr.qd, c2.qd) / sqrt(pr.nsq * c2.nsq) AS cos
+       |  FROM pr JOIN c c2 ON pr.probe = c2.bucket AND pr.vec_id < c2.vec_id),
+       |pairs AS (SELECT i, j FROM cand WHERE cos >= 0.45),
+       |ed AS (SELECT i AS a, b FROM (SELECT i, j AS b FROM pairs UNION SELECT j, i FROM pairs) t(i, b)),
+       |l1 AS (SELECT d.vec_id AS v, LEAST(d.vec_id, coalesce(min(ed.b), d.vec_id)) AS l
+       |       FROM embeddings d LEFT JOIN ed ON ed.a = d.vec_id GROUP BY d.vec_id),
+       |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+       |       FROM l1 LEFT JOIN ed ON ed.a = l1.v LEFT JOIN l1 nb ON nb.v = ed.b
+       |       GROUP BY l1.v, l1.l),
+       |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+       |       FROM l2 LEFT JOIN ed ON ed.a = l2.v LEFT JOIN l2 nb ON nb.v = ed.b
+       |       GROUP BY l2.v, l2.l)""".stripMargin
+
   /** `rounds` Lloyd iterations in SQL, replaying Similarity.kmeansTrain
     * bit-for-bit: seed kc0 = first-k centroids; each round an argmin
     * assignment (identical packing), then the exact integer M-step — new
@@ -298,46 +338,43 @@ object SimilarityOps {
     //      integer formula (smallest p with 32·2^p >= n, clamped [2,24]),
     //      so the gate stays in sync at ANY scale factor instead of
     //      pinning the tuned-for-sf0.01 constant. ----
-    Q("q83_embedding_keeplist", {
-      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
-         |pl AS (SELECT GREATEST(2, COALESCE(
-         |  (SELECT min(p) FROM range(0, 25) t(p), cnt
-         |   WHERE (CAST(32 AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
-         |e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, q, ${bucketSqlDuckDyn("planes")} AS bucket FROM e, pl),
-         |c AS (
-         |  SELECT vec_id, bucket, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd,
-         |    list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
-         |                     list_transform(q, x -> CAST(x AS DOUBLE))) AS nsq
-         |  FROM b),
-         |pr AS (
-         |  SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
-         |    list_transform(range(0, planes),
-         |      p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
-         |  FROM c, pl),
-         |cand AS (
-         |  SELECT DISTINCT pr.vec_id AS i, c2.vec_id AS j,
-         |    list_dot_product(pr.qd, c2.qd) / sqrt(pr.nsq * c2.nsq) AS cos
-         |  FROM pr JOIN c c2 ON pr.probe = c2.bucket AND pr.vec_id < c2.vec_id),
-         |pairs AS (SELECT i, j FROM cand WHERE cos >= 0.45),
-         |ed AS (SELECT i AS a, b FROM (SELECT i, j AS b FROM pairs UNION SELECT j, i FROM pairs) t(i, b)),
-         |l1 AS (SELECT d.vec_id AS v, LEAST(d.vec_id, coalesce(min(ed.b), d.vec_id)) AS l
-         |       FROM embeddings d LEFT JOIN ed ON ed.a = d.vec_id GROUP BY d.vec_id),
-         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
-         |       FROM l1 LEFT JOIN ed ON ed.a = l1.v LEFT JOIN l1 nb ON nb.v = ed.b
-         |       GROUP BY l1.v, l1.l),
-         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
-         |       FROM l2 LEFT JOIN ed ON ed.a = l2.v LEFT JOIN l2 nb ON nb.v = ed.b
-         |       GROUP BY l2.v, l2.l)
-         |SELECT v AS vec_id FROM l3 WHERE l = v ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+    Q("q83_embedding_keeplist",
+      s"""WITH $AdaptiveKeepListCtes
+         |SELECT v AS vec_id FROM l3 WHERE l = v ORDER BY vec_id""".stripMargin) { (s, d) =>
       // occupancy-scaled planes on both sides: adaptivePlanes(count) here,
       // the pl CTE in the oracle — same integer formula, any SF
       Similarity.nearDupKeepListAdaptive(Tables.t(s, d, "embeddings"),
           "vec_id", "embedding", 0.45, Dim)
+        .orderBy("vec_id")
+    },
+
+    // ---- the float→quantized INGESTION path, gated end to end: raw
+    //      array<float> parquet → the SQL-registered graft_quantize(v,
+    //      1000) → the pre-quantized keep-list entry point → kept ids with
+    //      their exact norms and a per-component round-trip audit
+    //      (q_d <= x_d·1000 < q_d+1 — floor's defining inequality, so any
+    //      mis-scale or mis-rounding in the materialized column flips
+    //      quant_ok and breaks the hash; the kept set itself must equal
+    //      q83's, which the shared oracle body asserts). ----
+    Q("q135_quantize_ingest",
+      s"""WITH $AdaptiveKeepListCtes
+         |SELECT l3.v AS vec_id, CAST(c.nsq AS BIGINT) AS nsq, TRUE AS quant_ok
+         |FROM l3 JOIN c ON c.vec_id = l3.v
+         |WHERE l3.l = l3.v ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.plans.GraftFunctions.register(s)
+      Tables.t(s, d, "embeddings").createOrReplaceTempView("emb_raw_q135")
+      // the materialize-once ingestion step a user would run at write time
+      val quant = s.sql(
+        "SELECT vec_id, embedding, graft_quantize(embedding, 1000) AS q FROM emb_raw_q135")
+      val kept = Similarity.nearDupKeepListQuantized(quant, "vec_id", "q",
+        0.45, Dim)
+      quant.join(kept, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.normSq(col("q")).as("nsq"),
+          expr("""forall(zip_with(q, embedding, (qi, x) ->
+                 |  CAST(qi AS DOUBLE) <= CAST(x AS DOUBLE) * 1000D AND
+                 |  CAST(x AS DOUBLE) * 1000D < CAST(qi AS DOUBLE) + 1D),
+                 |  b -> b)""".stripMargin).as("quant_ok"))
         .orderBy("vec_id")
     },
 

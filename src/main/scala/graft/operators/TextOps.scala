@@ -19,7 +19,52 @@ object TextOps {
   private val Stopwords = Seq("the", "a")
   private val LangMarkers = Seq("the", "a", "data", "spark", "fast")
 
+  /** One DuckDB BPE round (the oracle replica of [[Bpe.merges]]'s loop):
+    * pair counts from s(r-1), deterministic top-1, greedy merge via the
+    * same '|'-delimited list_reduce fold. */
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT lft, rgt, sum(freq) AS pf FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INTEGER)])) AS lft,
+       |      unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INTEGER)+1])) AS rgt
+       |    FROM s${r - 1}) u GROUP BY lft, rgt),
+       |b$r AS (SELECT lft, rgt, pf FROM p$r ORDER BY pf DESC, lft, rgt LIMIT 1),
+       |s$r AS (
+       |  SELECT freq,
+       |    string_split(substr(list_reduce(list_prepend('', syms), (acc, x) ->
+       |      CASE WHEN x = b.rgt AND ends_with(acc, '|' || b.lft)
+       |           THEN substr(acc, 1, length(acc) - length(b.lft) - 1) || '|' || b.lft || b.rgt
+       |           ELSE acc || '|' || x END), 2, 2147483647), '|') AS syms
+       |  FROM s${r - 1}, b$r b)""".stripMargin
+
   val defs: Seq[Q] = Seq(
+
+    // ---- BPE merge induction (tokenizer training, Sennrich shape): 10
+    //      iterative top-pair merges over the word-TYPE table. The oracle
+    //      replays every round — pair counting over the evolving symbol
+    //      arrays, the (freq DESC, left, right) tie-break, and the greedy
+    //      left-to-right merge fold — so a drift in ANY round (not just
+    //      the last) breaks the hash. ASCII-alnum token filter pins
+    //      cross-engine character counting (see Bpe.merges). ----
+    Q("q134_bpe_merges", {
+      val R = 10
+      s"""WITH t0 AS (
+         |  SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok
+         |    FROM documents) u
+         |  WHERE regexp_matches(tok, '^[A-Za-z0-9]+$$') GROUP BY tok),
+         |s0 AS (SELECT freq, list_transform(range(1, length(tok)+1),
+         |  i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM t0),
+         |${(1 to R).map(bpeRoundCte).mkString(",\n")}
+         |${(1 to R).map(r =>
+             s"SELECT $r AS round, lft, rgt, CAST(pf AS BIGINT) AS pair_freq FROM b$r")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      Bpe.merges(Tables.t(s, d, "documents"), "text", rounds = 10)
+        .orderBy("round")
+    },
 
     // ---- G1: explode + top-k over generated rows ----
     Q("q31_explode_tokens",

@@ -27,6 +27,29 @@ class VectorSpec extends SparkTestBase {
     assert(both.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("quantized ingestion path: SQL graft_quantize round-trips and keep-list matches the float path") {
+    // the q135 gated path, property-checked: a corpus materialized once
+    // through graft_quantize(v, 1000) must (a) satisfy floor's defining
+    // round-trip inequality on every component and (b) produce the SAME
+    // keep-list as the quantize-per-query float path (q83's)
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_rt")
+    val quant = spark.sql(
+      "SELECT vec_id, embedding, graft_quantize(embedding, 1000) AS q FROM emb_rt")
+    val bad = quant.filter(!expr(
+      """forall(zip_with(q, embedding, (qi, x) ->
+        |  CAST(qi AS DOUBLE) <= CAST(x AS DOUBLE) * 1000D AND
+        |  CAST(x AS DOUBLE) * 1000D < CAST(qi AS DOUBLE) + 1D), b -> b)""".stripMargin))
+    assert(bad.count() === 0)
+    val fromQuantized = Similarity
+      .nearDupKeepListQuantized(quant, "vec_id", "q", 0.45, 64)
+      .collect().map(_.getLong(0)).toSet
+    val fromFloat = Similarity
+      .nearDupKeepListAdaptive(emb, "vec_id", "embedding", 0.45, 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(fromQuantized === fromFloat)
+  }
+
   test("graft_dot is SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
