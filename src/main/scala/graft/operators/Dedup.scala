@@ -538,6 +538,92 @@ object Dedup {
     * broadcast; the probe is a shuffle equi-join on the uniform md5 key,
     * both sides pre-partitioned by it), then per-doc hits collapse via a
     * (src, doc) distinct before the per-source count. */
+  // ---- deterministic Bloom membership sketch, DATA-shaped (the q128
+  //      count-min precedent): m bits live as m/64 bigint words, bit
+  //      functions are md5-derived — so the sketch is engine-reproducible
+  //      and a SQL oracle replays it bit for bit, false positives
+  //      included. At 100 TB the bitmap is m/64 rows REGARDLESS of corpus
+  //      size — broadcast-legal where the exact distinct-hash set is a
+  //      corpus-sized shuffle join (q125's correctly-never-broadcast
+  //      probe), cutting the incremental-crawl membership check to a
+  //      narrow map per window. ----
+
+  /** Build the bitmap of a hash-string set: (word, bits) rows, word =
+    * bit-position div 63 (63 bits per word — the sign bit stays clear).
+    * Input need not be distinct (duplicate hashes OR the same bits). */
+  def bloomBuild(hashes: DataFrame, hCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits >= 63, s"mBits=$mBits too small")
+    require(k >= 1 && k <= 8, s"k=$k out of range")
+    hashes.select(col(hCol).as("h"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(expr(("CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', h)), " +
+        s"1, 8), 16, 10) AS BIGINT) % $mBits")).as("pos"))
+      // 63 bits per word: bit 63 is never set, so the packing stays clear
+      // of the sign bit (DuckDB overflow-checks BIGINT << 63; Spark wraps)
+      .select(expr("pos div 63").as("word"), expr("CAST(pos % 63 AS INT)").as("bit"))
+      .groupBy("word").agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+  }
+
+  /** Probe: append `bloom_hit` (all k bits set) to DISTINCT probe rows.
+    * The bitmap broadcasts; the probe is a narrow map + one re-aggregation
+    * keyed by the probe row — no corpus-sized shuffle join. No false
+    * negatives by construction; false-positive rate is governed by the
+    * caller's m/n sizing. */
+  def bloomProbe(probes: DataFrame, bloom: DataFrame, hCol: String,
+                 mBits: Int, k: Int): DataFrame = {
+    val keyCols = probes.columns.map(col).toSeq
+    probes
+      .withColumn("_j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("_pos", expr(("CAST(conv(substring(md5(concat(CAST(_j AS STRING), " +
+        s"':', $hCol)), 1, 8), 16, 10) AS BIGINT) % $mBits")))
+      .withColumn("_word", expr("_pos div 63"))
+      .withColumn("_bit", expr("CAST(_pos % 63 AS INT)"))
+      .join(broadcast(bloom.withColumnRenamed("word", "_word")), Seq("_word"), "left")
+      .withColumn("_set",
+        when(col("bits").isNotNull &&
+          expr("shiftright(bits, _bit) & 1L") === 1L, 1).otherwise(0))
+      .groupBy(keyCols: _*)
+      .agg((sum(col("_set")) === k).as("bloom_hit"))
+  }
+
+  /** Gate-check form of Bloom-routed incremental dedup (q136; the
+    * estimate-vs-exact pattern of q57/q89/q96): the Bloom path flags each
+    * NEW doc whose windows hit crawl N's bitmap, the exact q125 join runs
+    * beside it, and the per-source verdicts assert the sketch's two
+    * defining properties — no false negatives, and false positives inside
+    * the `fprBudget` share of new docs. In production only the Bloom
+    * branch runs (build the bitmap once per crawl, probe the next crawl as
+    * a narrow map); the exact join is the oracle twin. */
+  def crossSnapshotCarryoverBloom(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, oldPred: Column, windowLen: Int,
+      stride: Int, mBits: Int, k: Int, fprBudget: Double): DataFrame = {
+    val w = charWindowRows(docs, idCol, textCol, windowLen, stride,
+      carryCols = Seq(srcCol))
+    val old = w.filter(oldPred).select(col("h")).distinct()
+    val newW = w.filter(!oldPred)
+      .select(col(srcCol), col(idCol), col("h")).distinct()
+    val bloomCarry = bloomProbe(newW, bloomBuild(old, "h", mBits, k),
+        "h", mBits, k)
+      .filter(col("bloom_hit"))
+      .select(col(srcCol), col(idCol)).distinct()
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_carry_bloom"))
+    val exactCarry = newW.join(old.hint("shuffle_hash"), Seq("h"))
+      .select(col(srcCol), col(idCol)).distinct()
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_carry_exact"))
+    docs.filter(!oldPred)
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n_new_docs"))
+      .join(exactCarry, Seq(srcCol), "left")
+      .join(bloomCarry, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_new_docs"),
+        coalesce(col("n_carry_exact"), lit(0L)).as("n_carry_exact"),
+        coalesce(col("n_carry_bloom"), lit(0L)).as("n_carry_bloom"),
+        (coalesce(col("n_carry_bloom"), lit(0L)) >=
+          coalesce(col("n_carry_exact"), lit(0L))).as("no_false_negatives"),
+        ((coalesce(col("n_carry_bloom"), lit(0L)) -
+          coalesce(col("n_carry_exact"), lit(0L))).cast("double") <=
+          col("n_new_docs").cast("double") * fprBudget).as("fpr_ok"))
+  }
+
   def crossSnapshotCarryover(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, oldPred: Column, windowLen: Int, stride: Int): DataFrame = {
     val w = charWindowRows(docs, idCol, textCol, windowLen, stride,

@@ -374,6 +374,64 @@ object DedupOps {
           oldPred = substring(col("source"), 4, 8).cast("int") < 10,
           windowLen = 40, stride = 10)
         .orderBy("source")
+    },
+
+    // ---- Bloom-routed incremental dedup (the sketch path for q125's
+    //      shape): crawl N's window-hash set becomes a 2^21-bit md5 Bloom
+    //      bitmap (~33k bigint words, 63 bits each — broadcast-legal at ANY corpus
+    //      size, where the exact distinct-hash set must stay a shuffle
+    //      join); crawl N+1 docs probe it as a narrow map. The oracle
+    //      replays the BITMAP itself — bit functions, word packing, and
+    //      every false positive — plus the exact join, so both counts and
+    //      both verdicts (no false negatives / FP share within budget)
+    //      are hash-gated, the q128 full-sketch-replay pattern. ----
+    Q("q136_incremental_bloom", {
+      val m = 1 << 21
+      val pos = (j: String, h: String) =>
+        s"CAST(('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || $h), 1, 8)) AS BIGINT) % $m"
+      s"""WITH w AS (
+         |  SELECT doc_id, source, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS p) s
+         |  WHERE length(text) >= 40),
+         |old AS (SELECT DISTINCT h FROM w WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+         |nw AS (SELECT DISTINCT source, doc_id, h FROM w
+         |       WHERE CAST(substr(w.source, 4) AS INTEGER) >= 10),
+         |bm AS (
+         |  SELECT pos // 63 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+         |  FROM (SELECT ${pos("j", "h")} AS pos FROM old, range(0, 3) t(j)) q
+         |  GROUP BY 1),
+         |pp AS (SELECT source, doc_id, h, ${pos("j", "h")} AS pos
+         |       FROM nw, range(0, 3) t(j)),
+         |pb AS (
+         |  SELECT pp.source, pp.doc_id, pp.h,
+         |    sum(CASE WHEN bm.bits IS NOT NULL
+         |             AND ((bm.bits >> CAST(pp.pos % 63 AS INTEGER)) & 1) = 1
+         |             THEN 1 ELSE 0 END) AS nset
+         |  FROM pp LEFT JOIN bm ON bm.word = pp.pos // 63
+         |  GROUP BY 1, 2, 3),
+         |bc AS (SELECT source, count(DISTINCT doc_id) AS n_bloom FROM pb
+         |       WHERE nset = 3 GROUP BY source),
+         |ec AS (SELECT nw.source, count(DISTINCT nw.doc_id) AS n_exact
+         |       FROM nw JOIN old USING (h) GROUP BY nw.source),
+         |tot AS (SELECT source, count(*) AS n_new FROM documents
+         |        WHERE CAST(substr(source, 4) AS INTEGER) >= 10 GROUP BY source)
+         |SELECT tot.source, CAST(tot.n_new AS BIGINT) AS n_new_docs,
+         |  CAST(coalesce(ec.n_exact, 0) AS BIGINT) AS n_carry_exact,
+         |  CAST(coalesce(bc.n_bloom, 0) AS BIGINT) AS n_carry_bloom,
+         |  coalesce(bc.n_bloom, 0) >= coalesce(ec.n_exact, 0) AS no_false_negatives,
+         |  CAST(coalesce(bc.n_bloom, 0) - coalesce(ec.n_exact, 0) AS DOUBLE)
+         |    <= CAST(tot.n_new AS DOUBLE) * 0.05 AS fpr_ok
+         |FROM tot LEFT JOIN ec ON tot.source = ec.source
+         |LEFT JOIN bc ON tot.source = bc.source
+         |ORDER BY tot.source""".stripMargin
+    }) { (s, d) =>
+      Dedup.crossSnapshotCarryoverBloom(Tables.t(s, d, "documents"), "doc_id",
+          "text", "source",
+          oldPred = substring(col("source"), 4, 8).cast("int") < 10,
+          windowLen = 40, stride = 10, mBits = 1 << 21, k = 3,
+          fprBudget = 0.05)
+        .orderBy("source")
     }
   )
 }

@@ -294,6 +294,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q136: bloom bitmap broadcasts, the exact twin keeps its shuffle-hash probe") {
+    val p = planOf(q("q136_incremental_bloom")).split("== Initial Plan ==").head
+    // exact path: the corpus-sized distinct-hash set must stay a shuffle
+    // join (q125's property); bloom path: the fixed-size bitmap is the
+    // broadcast side of a narrow probe
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q125: old-snapshot hash set is shuffle-probed, never broadcast") {
     val p = planOf(q("q125_incremental_dedup")).split("== Initial Plan ==").head
     // the old corpus's distinct window-hash set is corpus-sized at scale
