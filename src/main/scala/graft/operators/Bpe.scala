@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge induction over word types — the tokenizer-
@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE corpus scan builds the word-TYPE table (distinct token
   * × frequency — vocab-sized, millions of rows at 100 TB, never
-  * corpus-sized) and persists it; every round then runs over types only:
-  * one two-phase pair-count aggregation (map-side partial over the
-  * per-type symbol arrays) and one top-1 TakeOrdered. The winning merge is
-  * collected driver-side — one (left, right) row per round, the k-means-
-  * centroid argument — and applied as a LITERAL fold expression, so round
-  * r+1's symbols are round r's plan plus one narrow map over types.
+  * corpus-sized); every round then runs over types only: one two-phase
+  * pair-count aggregation (map-side partial over the per-type symbol
+  * arrays) and one top-1 TakeOrdered. The winning merge is collected
+  * driver-side — one (left, right) row per round, the k-means-centroid
+  * argument — and applied as a LITERAL fold expression over the PREVIOUS
+  * round's MATERIALIZED symbol arrays (each round persists its frame; the
+  * round's own pair-count action populates the cache, then the prior
+  * round's cache is released). Round r+1 therefore evaluates exactly ONE
+  * fold per type, not r nested folds — without the per-round cache the
+  * accumulated Column expression re-runs every prior merge on every round,
+  * O(rounds²) fold work that dominated the measured wall-clock.
   *
   * Determinism (cross-engine, see Q.scala): greedy left-to-right merge
   * application as a fold over a '|'-delimited accumulator string —
@@ -36,19 +41,22 @@ object Bpe {
     require(rounds > 0 && rounds <= 256, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     import spark.implicits._
-    val types = docs
+    var cur = docs
       .select(explode(graft.functions.TextFunctions.tokensRe(col(textCol))).as("tok"))
       .filter(col("tok").rlike("^[A-Za-z0-9]+$"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), transform(
+        sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))).as("syms"))
       .persist()
-    var syms: Column = transform(
-      sequence(lit(1), length(col("tok"))),
-      i => col("tok").substr(i, lit(1)))
+    // previous round's frame: still cached until the current round's
+    // pair-count action has populated cur's cache (unpersisting earlier
+    // would force a full-lineage recompute of every prior fold)
+    var prevRound: Option[DataFrame] = None
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
-      val cur = types.withColumn("syms", syms)
       val best = cur.select(col("freq"),
           explode(zip_with(
             slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -58,24 +66,34 @@ object Bpe {
         .agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
         .collect()
+      prevRound.foreach(_.unpersist())
+      prevRound = None
       if (best.isEmpty) dry = true
       else {
         val l = best.head.getString(0)
         val rt = best.head.getString(1)
         val pf = best.head.getLong(2)
         out += ((r, l, rt, pf))
-        // greedy left-to-right merge of (l, rt) as a literal fold; symbols
-        // are alnum-only, so embedding them in the expression is safe
-        val folded = aggregate(syms, lit(""), (acc, x) =>
-          when(x === lit(rt) && acc.endsWith(s"|$l"),
-            concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
-              lit("|" + l + rt)))
-            .otherwise(concat(acc, lit("|"), x)))
-        syms = split(folded.substr(lit(2), length(folded)), "[|]")
+        if (r < rounds) {
+          // greedy left-to-right merge of (l, rt) as a literal fold;
+          // symbols are alnum-only, so embedding them is safe
+          val folded = aggregate(col("syms"), lit(""), (acc, x) =>
+            when(x === lit(rt) && acc.endsWith(s"|$l"),
+              concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+                lit("|" + l + rt)))
+              .otherwise(concat(acc, lit("|"), x)))
+          val next = cur
+            .select(col("freq"),
+              split(folded.substr(lit(2), length(folded)), "[|]").as("syms"))
+            .persist()
+          prevRound = Some(cur)
+          cur = next
+        }
       }
       r += 1
     }
-    types.unpersist()
+    cur.unpersist()
+    prevRound.foreach(_.unpersist())
     out.toSeq.toDF("round", "lft", "rgt", "pair_freq")
   }
 }
