@@ -49,6 +49,32 @@ object VectorFunctions {
   def cosine(dotAB: Column, normSqA: Column, normSqB: Column): Column =
     dotAB.cast("double") / sqrt(normSqA.cast("double") * normSqB.cast("double"))
 
+  /** Deterministic ±1 random-projection matrix (`rows` × `dim`), the
+    * signed-pool sketch that cuts embedding width before ANN (Achlioptas-
+    * style database-friendly projection: E[⟨Rx, Ry⟩] ∝ ⟨x, y⟩). Sign(j, i)
+    * comes from the first hex digit of md5(j·dim + i) (< '8' → +1), so the
+    * matrix is reproducible in ANY engine from the same decimal string —
+    * DuckDB's md5 of CAST(j*dim+i AS VARCHAR) yields the same digit. The
+    * matrix is O(rows·dim) — driver-held and embedded as literals, the
+    * k-means-centroid argument; the projection itself is then a NARROW
+    * per-row map (no join against a matrix table, no fan-out). */
+  def signMatrix(rows: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until rows).map { j =>
+      (0 until dim).map { i =>
+        val h = md.digest(String.valueOf(j * dim + i).getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+      }
+    }
+  }
+
+  /** Project a quantized array<long> vector onto [[signMatrix]] rows: one
+    * codegen'd exact integer dot per output component (LongArrayDot with a
+    * literal row — a tight Java loop inside whole-stage codegen). */
+  def randomProject(q: Column, rows: Int, dim: Int): Column =
+    array(signMatrix(rows, dim).map(row =>
+      dot(q, org.apache.spark.sql.functions.typedlit(row))): _*)
+
   /** Random-hyperplane LSH bucket over a quantized vector column named
     * `qCol` (array<bigint>): `planes` sign bits packed into a BIGINT.
     * Hyperplane weights are a deterministic integer pseudo-sequence

@@ -204,6 +204,48 @@ object Sampling {
     //      oracle is deliberately the q121 RANK FORMULA itself — the
     //      hash match proves the two algorithms keep the IDENTICAL set,
     //      per stratum, at every SF. ----
+    // ---- deterministic source-weighted epoch mixing (the Pile/LLaMA
+    //      per-source upsample): each source has a mixing weight in
+    //      thousandths; a doc is emitted `w div 1000` times plus one more
+    //      when its md5 bucket falls under the fractional part, so the
+    //      epoch schedule is reproducible in any engine and under any
+    //      partitioning (no rand()), and a re-crawled doc keeps its draw.
+    //      Narrow map + generator explode — ZERO shuffle (the output sort
+    //      is gate-ordering only; a writer would instead hash-partition
+    //      the exploded stream straight to shards). ----
+    Q("q137_mix_upsample",
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500
+        |                WHEN 'src2' THEN 250  ELSE 1000 END AS w_mil,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    w_mil // 1000 + CASE WHEN u < w_mil % 1000 THEN 1 ELSE 0 END AS reps
+        |  FROM w)
+        |SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch_copy
+        |FROM r WHERE reps > 0 ORDER BY source, doc_id, epoch_copy""".stripMargin) { (s, d) =>
+      val wMil = when(col("source") === "src0", 2500)
+        .when(col("source") === "src1", 1500)
+        .when(col("source") === "src2", 250)
+        .otherwise(1000)
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("w_mil", wMil)
+        .withColumn("u", hashBucket(col("doc_id"), 1000))
+        .withColumn("reps",
+          expr("w_mil div 1000") +
+            when(col("u") < col("w_mil") % 1000, 1).otherwise(0))
+        // the filter also guards sequence(): with reps = 0 Spark's
+        // sequence(1, 0) would RAMP DOWN ([1, 0]), not return empty
+        .filter(col("reps") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("reps"))).as("c"))
+        .select(col("doc_id"), col("source"), col("c").cast("long").as("epoch_copy"))
+        .orderBy("source", "doc_id", "epoch_copy")
+    },
+
     Q("q132_stratified_twopass",
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -49,6 +49,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Two-stage kNN through a random-projection sketch: candidates are the
+    * `candidates` best neighbors by PROJECTED cosine (projDim signed-pool
+    * components — see VectorFunctions.signMatrix), exact-reranked on the
+    * original quantized dims. Projection is a narrow per-row map computed
+    * once per vector, so the candidate-scoring stage moves projDim/dim of
+    * the bytes and does projDim/dim of the multiply work per pair; the
+    * exact cosine is evaluated ONLY on the ≤ candidates survivors per
+    * query. Candidate generation here is the pairwise baseline (queries ×
+    * corpus — the caller bounds the query side); at corpus scale the SAME
+    * projected columns compose with LSH bucketing or IVF routing instead —
+    * width reduction and candidate routing are orthogonal. Both ranking
+    * windows share one hash partitioning on qid. */
+  def projectedKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, candidates: Int,
+                   projDim: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    import graft.functions.VectorFunctions.randomProject
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+      .withColumn("pqq", randomProject(col("qq"), projDim, dim))
+      .withColumn("pqnsq", normSq(col("pqq")))
+    val cp = prepared(corpus, idCol, vecCol)
+      .withColumn("pq", randomProject(col("q"), projDim, dim))
+      .withColumn("pnsq", normSq(col("pq")))
+    val wP = Window.partitionBy("qid").orderBy(col("pcos").desc, col("nid"))
+    val cand = qp.join(cp, col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        cosine(dot(col("pqq"), col("pq")), col("pqnsq"), col("pnsq")).as("pcos"),
+        col("qq"), col("qnsq"), col("q"), col("nsq"))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= candidates)
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    cand
+      .withColumn("cos",
+        cosine(dot(col("qq"), col("q")), col("qnsq"), col("nsq")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
   /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
     * corpus so expected bucket occupancy stays near `targetBucket` at any
     * scale — a fixed plane count that is right at 10^3 vectors is

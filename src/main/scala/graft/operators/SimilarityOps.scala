@@ -25,6 +25,18 @@ object SimilarityOps {
 
   private def bucketSqlDuck(planes: Int): String = bucketSqlDuckDyn(planes.toString)
 
+  /** DuckDB replica of VectorFunctions.signMatrix + randomProject over a
+    * quantized list column named `q`: 16 signed pools whose ±1 signs come
+    * from the md5-parity rule (first hex digit of md5(j·dim+i) < '8').
+    * ONE definition shared by the q138/q139 oracles — the same
+    * single-owner rule as the k-means CTE helpers. */
+  private val ProjDim = 16
+  private def projListSql: String =
+    s"""list_transform(range(0, $ProjDim), j ->
+       |    CAST(list_sum(list_transform(range(0, $Dim), i ->
+       |      (CASE WHEN substr(md5(CAST(j * $Dim + i AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+       |            THEN 1 ELSE -1 END) * q[CAST(i AS INTEGER) + 1])) AS BIGINT))""".stripMargin
+
   /** DuckDB side of VectorFunctions.quantize + exact norms: integer-valued
     * doubles, so list_dot_product sums are exact in any order. */
   private val PreparedCte =
@@ -376,6 +388,71 @@ object SimilarityOps {
                  |  CAST(x AS DOUBLE) * 1000D < CAST(qi AS DOUBLE) + 1D),
                  |  b -> b)""".stripMargin).as("quant_ok"))
         .orderBy("vec_id")
+    },
+
+    // ---- random-projection dimensionality reduction: 64-dim quantized
+    //      embeddings → 16 signed-pool components (±1 matrix from md5
+    //      parity, driver-held literals — see VectorFunctions.signMatrix).
+    //      The sketch that cuts ANN memory/width 4× before bucketing; each
+    //      component is one codegen'd exact integer dot, so the whole op
+    //      is a NARROW per-row map — zero shuffle at any corpus size. The
+    //      oracle rebuilds the matrix from the same md5 rule and replays
+    //      the projection, so a drift in either the matrix derivation or
+    //      the dot accumulation breaks the hash. ----
+    Q("q138_random_projection",
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  array_to_string($projListSql, ',') AS proj_csv
+         |FROM e ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          array_join(transform(
+            VectorFunctions.randomProject(col("q"), ProjDim, Dim),
+            v => v.cast("string")), ",").as("proj_csv"))
+        .orderBy("vec_id")
+    },
+
+    // ---- two-stage kNN through the q138 sketch: top-100 candidates by
+    //      PROJECTED cosine (16 components — ¼ the pair-scoring work and
+    //      bytes), exact rerank on the original 64 quantized dims. The
+    //      oracle replays matrix derivation, projected ranking (with its
+    //      tie-break), the candidate cut AND the exact rerank — so a
+    //      drift anywhere in the two-stage funnel breaks the hash.
+    //      Recall-vs-brute is spec-gated (VectorSpec), not oracle-gated:
+    //      hash-exactness proves the funnel is the one specified, the
+    //      spec proves the funnel is WORTH running. ----
+    Q("q139_projected_knn",
+      s"""WITH $PreparedCte,
+         |pj AS (SELECT vec_id, $projListSql AS pq FROM e),
+         |pjd AS (SELECT vec_id, list_transform(pq, x -> CAST(x AS DOUBLE)) AS pqd FROM pj),
+         |pjn AS (SELECT vec_id, pqd, list_dot_product(pqd, pqd) AS pnsq FROM pjd),
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.pqd, b.pqd) / sqrt(a.pnsq * b.pnsq) DESC,
+         |        b.vec_id) AS prank
+         |  FROM pjn a JOIN pjn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10),
+         |scored AS (
+         |  SELECT c.qid, c.nid,
+         |    list_dot_product(na.qd, nb.qd) / sqrt(na.nsq * nb.nsq) AS cos
+         |  FROM cand c JOIN n na ON na.vec_id = c.qid JOIN n nb ON nb.vec_id = c.nid
+         |  WHERE c.prank <= 100)
+         |SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.projectedKnn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 100,
+          projDim = ProjDim, dim = Dim)
+        .orderBy("qid", "rank")
     },
 
     // ---- embedding outliers: the 20 vectors farthest from their assigned

@@ -276,6 +276,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q137: mixing upsample is a narrow map + generator — zero hash exchange") {
+    val p = planOf(q("q137_mix_upsample")).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q138: random projection is a narrow codegen'd map — zero hash exchange") {
+    val p = planOf(q("q138_random_projection")).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // each projected component is one codegen'd exact integer dot
+    assert(p.contains("graft_dot"), p)
+  }
+
+  test("q139: both projected-kNN ranking windows share ONE qid partitioning") {
+    val p = planOf(q("q139_projected_knn")).split("== Initial Plan ==").head
+    // candidate cut (prank) and exact rerank (rank) must ride the same
+    // hash partitioning on qid — a second exchange would reshuffle the
+    // full candidate set between the two windows
+    assert("Exchange hashpartitioning\\(qid".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q123: semantic-dedup pairs come only from the cid equi-join") {
     val p = planOf(q("q123_semantic_dedup")).split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p)

@@ -178,6 +178,28 @@ class VectorSpec extends SparkTestBase {
     assert(recallOf(2) >= r0 - 0.05, s"2-round recall collapsed vs seeded $r0")
   }
 
+  test("projected-kNN candidates beat random candidate selection at sf0.1") {
+    // The q139 funnel: top-100 candidates by 16-dim projected cosine,
+    // exact rerank on the original 64 dims. On this near-isotropic
+    // synthetic fixture (2000 vectors), picking 100 candidates at RANDOM
+    // recovers 100/2000 = 5% of the true top-5; the projection measured
+    // 0.37 over all 2000 probes — gate at >= 0.2 (4x random), the claim
+    // that makes the width cut worth running. Fully deterministic
+    // (integer projection, exact rerank), so the number is stable.
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.t(spark, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val proj = Similarity.projectedKnn(queries, emb, "vec_id", "embedding",
+        k = 5, candidates = 100)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (proj & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"projected recall@5 under 4x random baseline: $recall")
+  }
+
   test("embedding near-dup keep-list drops one vector per over-threshold pair") {
     val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
       .filter(col("cos") >= 0.45)
