@@ -32,6 +32,97 @@ object ChunkingOps {
 
   val defs: Seq[Q] = Seq(
 
+    // ---- END-TO-END pretraining-data prep (the LLM-side EP1): quality
+    //      filter (q124's four integer rules) → global exact dedup on the
+    //      normalized fingerprint (keeper = min doc_id per fingerprint,
+    //      resolved by one groupBy + one equi-join back — never a window
+    //      over the corpus) → source-weighted epoch mixing (q137's shared
+    //      weight table, drawn on the KEEPER's md5 bucket) → 2048-token
+    //      pack sizing. One per-source summary row out; every stage is
+    //      integer-exact and the oracle replays all four, so a drift in
+    //      any stage (a rule, the keeper choice, a weight, the ceil)
+    //      breaks the hash. Scale: two corpus scans (quality stats +
+    //      dedup), both two-phase aggs keyed on uniform md5; the final
+    //      join is |sources|-sized. ----
+    Q("q140_pretrain_pipeline",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source, fp,
+         |    CAST(len(toks) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS nstop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS lensum
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source, fp, ntok FROM f
+         |  WHERE ntok >= 20 AND nstop >= 2 AND ndist * 2 >= ntok
+         |    AND lensum >= 3 * ntok AND lensum <= 10 * ntok),
+         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp),
+         |kept AS (
+         |  SELECT q.doc_id, q.source, q.ntok,
+         |    ${Sampling.MixWeightCaseSql} AS w_mil,
+         |    CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
+         |  FROM q JOIN keepers USING (fp, doc_id)),
+         |mixed AS (
+         |  SELECT doc_id, source, ntok,
+         |    w_mil // 1000 + CASE WHEN u < w_mil % 1000 THEN 1 ELSE 0 END AS reps
+         |  FROM kept),
+         |a1 AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN ntok >= 20 AND nstop >= 2 AND ndist * 2 >= ntok
+         |      AND lensum >= 3 * ntok AND lensum <= 10 * ntok
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+         |  FROM f GROUP BY source),
+         |a2 AS (
+         |  SELECT source, count(*) AS n_unique,
+         |    CAST(sum(reps) AS BIGINT) AS epoch_docs,
+         |    CAST(sum(reps * ntok) AS BIGINT) AS epoch_tokens,
+         |    CAST((sum(reps * ntok) + 2047) // 2048 AS BIGINT) AS n_packs
+         |  FROM mixed GROUP BY source)
+         |SELECT a1.source, a1.n_docs, a1.n_quality,
+         |  CAST(coalesce(a2.n_unique, 0) AS BIGINT) AS n_unique,
+         |  coalesce(a2.epoch_docs, 0) AS epoch_docs,
+         |  coalesce(a2.epoch_tokens, 0) AS epoch_tokens,
+         |  coalesce(a2.n_packs, 0) AS n_packs
+         |FROM a1 LEFT JOIN a2 USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val base = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp"),
+          size(toks).cast("long").as("ntok"),
+          size(filter(toks, w => w === "the" || w === "a")).cast("long").as("nstop"),
+          size(array_distinct(toks)).cast("long").as("ndist"),
+          aggregate(transform(toks, w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("lensum"))
+      val isQuality = col("ntok") >= 20 && col("nstop") >= 2 &&
+        col("ndist") * 2 >= col("ntok") &&
+        col("lensum") >= col("ntok") * 3 && col("lensum") <= col("ntok") * 10
+      val qual = base.filter(isQuality).select("doc_id", "source", "fp", "ntok")
+      val keepers = qual.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val mixed = qual.join(keepers, Seq("fp", "doc_id"))
+        .withColumn("w_mil", Sampling.mixWeightMil)
+        .withColumn("u", Sampling.hashBucket(col("doc_id"), 1000))
+        .withColumn("reps", Sampling.mixReps)
+      val a1 = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(isQuality, 1).otherwise(0)).cast("long").as("n_quality"))
+      val a2 = mixed.groupBy("source").agg(
+        count(lit(1)).as("n_unique"),
+        sum("reps").cast("long").as("epoch_docs"),
+        sum(col("reps") * col("ntok")).cast("long").as("epoch_tokens"))
+        .withColumn("n_packs", expr("(epoch_tokens + 2047) div 2048"))
+      a1.join(a2, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_quality"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"),
+          coalesce(col("epoch_tokens"), lit(0L)).as("epoch_tokens"),
+          coalesce(col("n_packs"), lit(0L)).as("n_packs"))
+        .orderBy("source")
+    },
+
     // ---- chunking: 32-token windows, stride 16 (50% overlap) ----
     Q("q58_chunk_documents",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

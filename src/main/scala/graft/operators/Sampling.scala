@@ -20,6 +20,26 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
 
+  // ---- q137/q140 shared mixing weights (thousandths): ONE owner for the
+  //      per-source table, Spark and oracle sides (the drift hazard the
+  //      k-means CTE helpers solved for the packed-argmin constants) ----
+  val MixWeightCaseSql: String =
+    "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500 " +
+      "WHEN 'src2' THEN 250 ELSE 1000 END"
+
+  /** Per-source mixing weight in thousandths (expects a `source` column). */
+  def mixWeightMil: Column =
+    when(col("source") === "src0", 2500)
+      .when(col("source") === "src1", 1500)
+      .when(col("source") === "src2", 250)
+      .otherwise(1000)
+
+  /** Epoch copies for a doc under [[mixWeightMil]]: floor(w) plus one more
+    * when the doc's md5 bucket falls under the fractional part (expects
+    * `w_mil` and `u` columns; deterministic — no rand()). */
+  def mixReps: Column =
+    expr("w_mil div 1000") + when(col("u") < col("w_mil") % 1000, 1).otherwise(0)
+
   /** train/eval label holding out `evalOutOf10` tenths (e.g. 1 → 90/10). */
   def splitLabel(id: Column, evalOutOf10: Int): Column =
     when(hashBucket(id, 10) < 10 - evalOutOf10, lit("train")).otherwise(lit("eval"))
@@ -214,10 +234,8 @@ object Sampling {
     //      is gate-ordering only; a writer would instead hash-partition
     //      the exploded stream straight to shards). ----
     Q("q137_mix_upsample",
-      """WITH w AS (
-        |  SELECT doc_id, source,
-        |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500
-        |                WHEN 'src2' THEN 250  ELSE 1000 END AS w_mil,
+      s"""WITH w AS (
+        |  SELECT doc_id, source, $MixWeightCaseSql AS w_mil,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS u
         |  FROM documents),
         |r AS (
@@ -226,17 +244,11 @@ object Sampling {
         |  FROM w)
         |SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch_copy
         |FROM r WHERE reps > 0 ORDER BY source, doc_id, epoch_copy""".stripMargin) { (s, d) =>
-      val wMil = when(col("source") === "src0", 2500)
-        .when(col("source") === "src1", 1500)
-        .when(col("source") === "src2", 250)
-        .otherwise(1000)
       Tables.t(s, d, "documents")
         .select(col("doc_id"), col("source"))
-        .withColumn("w_mil", wMil)
+        .withColumn("w_mil", mixWeightMil)
         .withColumn("u", hashBucket(col("doc_id"), 1000))
-        .withColumn("reps",
-          expr("w_mil div 1000") +
-            when(col("u") < col("w_mil") % 1000, 1).otherwise(0))
+        .withColumn("reps", mixReps)
         // the filter also guards sequence(): with reps = 0 Spark's
         // sequence(1, 0) would RAMP DOWN ([1, 0]), not return empty
         .filter(col("reps") > 0)

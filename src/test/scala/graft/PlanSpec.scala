@@ -298,6 +298,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q140: pretrain pipeline — keeper resolution never windows the corpus") {
+    val p = planOf(q("q140_pretrain_pipeline")).split("== Initial Plan ==").head
+    // exact dedup picks keepers with a groupBy + equi-join back, so no
+    // Window (a row_number-per-fingerprint would sort the corpus), and
+    // the only joins are equi-joins (fp/doc_id keeper, |sources| summary)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q123: semantic-dedup pairs come only from the cid equi-join") {
     val p = planOf(q("q123_semantic_dedup")).split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p)
