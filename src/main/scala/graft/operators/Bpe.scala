@@ -1,11 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge induction over word types — the tokenizer-
   * TRAINING step adjacent to q111's vocabulary ranking (the Sennrich-style
-  * iterative top-pair merge every subword tokenizer pipeline runs).
+  * iterative top-pair merge every subword tokenizer pipeline runs) — plus
+  * the APPLY step ([[encoded]]) that re-segments the corpus with the
+  * trained merges.
   *
   * Scale shape: ONE corpus scan builds the word-TYPE table (distinct token
   * × frequency — vocab-sized, millions of rows at 100 TB, never
@@ -30,6 +32,36 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Word-TYPE table for `textCol`: (freq, syms) with syms the per-
+    * character initial segmentation. ASCII-alnum tokens only (see
+    * [[merges]]' cross-engine character-counting note). */
+  private def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(graft.functions.TextFunctions.tokensRe(col(textCol))).as("tok"))
+      .filter(col("tok").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), transform(
+        sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))).as("syms"))
+
+  /** Greedy left-to-right application of ONE merge (l, rt) to a symbol
+    * array, as a literal fold; symbols are alnum-only, so embedding the
+    * pair in the expression is safe.
+    *
+    * The leading-delimiter strip MUST reference `folded` exactly once
+    * (substr to MaxValue, not substr(2, length(folded))): [[encoded]]
+    * chains `rounds` of these in ONE expression, and a second reference
+    * per level doubles the tree each round — 2^rounds expression blowup
+    * that analysis and codegen never come back from. */
+  private def applyMerge(syms: Column, l: String, rt: String): Column = {
+    val folded = aggregate(syms, lit(""), (acc, x) =>
+      when(x === lit(rt) && acc.endsWith(s"|$l"),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+          lit("|" + l + rt)))
+        .otherwise(concat(acc, lit("|"), x)))
+    split(folded.substr(lit(2), lit(Int.MaxValue)), "[|]")
+  }
+
   /** The first `rounds` BPE merges: (round, lft, rgt, pair_freq).
     *
     * `tokens` must yield symbols free of `'|'` and of any character whose
@@ -41,14 +73,7 @@ object Bpe {
     require(rounds > 0 && rounds <= 256, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = docs
-      .select(explode(graft.functions.TextFunctions.tokensRe(col(textCol))).as("tok"))
-      .filter(col("tok").rlike("^[A-Za-z0-9]+$"))
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), transform(
-        sequence(lit(1), length(col("tok"))),
-        i => col("tok").substr(i, lit(1))).as("syms"))
-      .persist()
+    var cur = wordTypes(docs, textCol).persist()
     // previous round's frame: still cached until the current round's
     // pair-count action has populated cur's cache (unpersisting earlier
     // would force a full-lineage recompute of every prior fold)
@@ -75,16 +100,8 @@ object Bpe {
         val pf = best.head.getLong(2)
         out += ((r, l, rt, pf))
         if (r < rounds) {
-          // greedy left-to-right merge of (l, rt) as a literal fold;
-          // symbols are alnum-only, so embedding them is safe
-          val folded = aggregate(col("syms"), lit(""), (acc, x) =>
-            when(x === lit(rt) && acc.endsWith(s"|$l"),
-              concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
-                lit("|" + l + rt)))
-              .otherwise(concat(acc, lit("|"), x)))
           val next = cur
-            .select(col("freq"),
-              split(folded.substr(lit(2), length(folded)), "[|]").as("syms"))
+            .select(col("freq"), applyMerge(col("syms"), l, rt).as("syms"))
             .persist()
           prevRound = Some(cur)
           cur = next
@@ -95,5 +112,22 @@ object Bpe {
     cur.unpersist()
     prevRound.foreach(_.unpersist())
     out.toSeq.toDF("round", "lft", "rgt", "pair_freq")
+  }
+
+  /** The APPLY step: the word-type table re-segmented by the first
+    * `rounds` trained merges — (freq, syms) with syms the trained subword
+    * segmentation. Trains via [[merges]] (collecting the tiny merge list
+    * driver-side), then applies all merges IN ORDER as one lazy fold
+    * chain evaluated in a single pass over types — `rounds` folds total,
+    * once, unlike training where each round must re-aggregate (so there
+    * is nothing to cache here). A corpus encode at scale is this exact
+    * plan: vocab-sized input, narrow map out. */
+  def encoded(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val ms = merges(docs, textCol, rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var syms: Column = col("syms")
+    ms.foreach { case (l, rt) => syms = applyMerge(syms, l, rt) }
+    wordTypes(docs, textCol).select(col("freq"), syms.as("syms"))
   }
 }

@@ -19,6 +19,18 @@ object TextOps {
   private val Stopwords = Seq("the", "a")
   private val LangMarkers = Seq("the", "a", "data", "spark", "fast")
 
+  /** DuckDB replica of Bpe.wordTypes: the ASCII-alnum word-TYPE table and
+    * its per-character initial segmentation — ONE definition shared by the
+    * q134 (train) and q141 (encode) oracles. */
+  private val bpeBaseCte =
+    """t0 AS (
+      |  SELECT tok, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS tok
+      |    FROM documents) u
+      |  WHERE regexp_matches(tok, '^[A-Za-z0-9]+$') GROUP BY tok),
+      |s0 AS (SELECT freq, list_transform(range(1, length(tok)+1),
+      |  i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM t0)""".stripMargin
+
   /** One DuckDB BPE round (the oracle replica of [[Bpe.merges]]'s loop):
     * pair counts from s(r-1), deterministic top-1, greedy merge via the
     * same '|'-delimited list_reduce fold. */
@@ -49,13 +61,7 @@ object TextOps {
     //      cross-engine character counting (see Bpe.merges). ----
     Q("q134_bpe_merges", {
       val R = 10
-      s"""WITH t0 AS (
-         |  SELECT tok, count(*) AS freq FROM (
-         |    SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok
-         |    FROM documents) u
-         |  WHERE regexp_matches(tok, '^[A-Za-z0-9]+$$') GROUP BY tok),
-         |s0 AS (SELECT freq, list_transform(range(1, length(tok)+1),
-         |  i -> substr(tok, CAST(i AS INTEGER), 1)) AS syms FROM t0),
+      s"""WITH $bpeBaseCte,
          |${(1 to R).map(bpeRoundCte).mkString(",\n")}
          |${(1 to R).map(r =>
              s"SELECT $r AS round, lft, rgt, CAST(pf AS BIGINT) AS pair_freq FROM b$r")
@@ -64,6 +70,30 @@ object TextOps {
     }) { (s, d) =>
       Bpe.merges(Tables.t(s, d, "documents"), "text", rounds = 10)
         .orderBy("round")
+    },
+
+    // ---- the BPE APPLY step (tokenizer encode): the word-type table
+    //      re-segmented by the 10 trained merges, rolled up to the top-50
+    //      subword vocabulary by corpus frequency. The oracle replays the
+    //      FULL train-then-apply loop (every round's pair count, tie-break
+    //      and greedy fold), so a drift in training order or merge
+    //      application resurfaces here even if q134's merge LIST happens
+    //      to match. Scale: train cost is q134; the apply itself is
+    //      `rounds` folds over the vocab-sized type table in ONE pass,
+    //      then a two-phase subword agg + top-k. ----
+    Q("q141_bpe_encode", {
+      val R = 10
+      s"""WITH $bpeBaseCte,
+         |${(1 to R).map(bpeRoundCte).mkString(",\n")}
+         |SELECT sym, CAST(sum(freq) AS BIGINT) AS total FROM (
+         |  SELECT freq, unnest(syms) AS sym FROM s$R) u
+         |GROUP BY sym ORDER BY total DESC, sym LIMIT 50""".stripMargin
+    }) { (s, d) =>
+      Bpe.encoded(Tables.t(s, d, "documents"), "text", rounds = 10)
+        .select(explode(col("syms")).as("sym"), col("freq"))
+        .groupBy("sym").agg(sum("freq").cast("long").as("total"))
+        .orderBy(col("total").desc, col("sym"))
+        .limit(50)
     },
 
     // ---- G1: explode + top-k over generated rows ----
@@ -588,6 +618,80 @@ object TextOps {
         .withColumn("rank", row_number().over(rw))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
+        .orderBy("qid", "rank")
+    },
+
+    // ---- BM25 lexical retrieval (Okapi k1=1.2, b=0.75), engine-exact
+    //      WITHOUT libm: with k1 = 6/5 and b = 3/4 the tf saturation term
+    //      is the rational 44·tf·A / (20·tf·A + 6·A + 18000·dl), where A
+    //      = avgdl in thousandths — an INTEGER bounded by document length
+    //      at ANY corpus size (1000·T div N never rides corpus totals into
+    //      overflow). The idf is the log-free rational (2N−2df+1)/(2df+1)
+    //      (the same monotone ln-argument q59/q129 use). Each factor is
+    //      one correctly-rounded double division of exact integers, the
+    //      product is one correctly-rounded multiply, and per-doc scores
+    //      sum exactly through DECIMAL(18,4) — bit-identical cross-engine
+    //      per Q.scala's rules. Shapes: probe terms broadcast onto the
+    //      postings (q130), df is vocab-sized and SHUFFLE-joined on the
+    //      token (q129 — never broadcast), dl is corpus-keyed and
+    //      equi-joined, and the 1-row corpus constants broadcast. ----
+    Q("q142_bm25_retrieve",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |cfg AS (SELECT n, (1000 * t) // n AS a FROM (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl)),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |probes AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id < 30),
+        |terms AS (
+        |  SELECT p.qid, t.doc_id AS nid,
+        |    CAST(CAST(44 * t.c * cfg.a AS DOUBLE)
+        |           / CAST(20 * t.c * cfg.a + 6 * cfg.a + 18000 * d.dl AS DOUBLE)
+        |         * (CAST(2 * cfg.n - 2 * f.df + 1 AS DOUBLE)
+        |           / CAST(2 * f.df + 1 AS DOUBLE))
+        |      AS DECIMAL(18,4)) AS term
+        |  FROM probes p
+        |  JOIN tf t ON t.w = p.w AND t.doc_id <> p.qid
+        |  JOIN dfq f ON f.w = p.w
+        |  JOIN dl d ON d.doc_id = t.doc_id
+        |  CROSS JOIN cfg),
+        |scored AS (
+        |  SELECT qid, nid, CAST(sum(term) AS DOUBLE) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+        |  FROM scored)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, nid, score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
+      val cfg = dl.agg(count(lit(1)).as("n"), sum("dl").cast("long").as("t"))
+        .withColumn("a", expr("(1000 * t) div n"))
+        .select("n", "a")
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val probes = tf.filter(col("doc_id") < 30)
+        .select(col("doc_id").as("qid"), col("w"))
+      val tfp = (lit(44) * col("c") * col("a")).cast("double") /
+        (lit(20) * col("c") * col("a") + lit(6) * col("a") +
+          lit(18000) * col("dl")).cast("double")
+      val idf = (lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double") /
+        (lit(2) * col("df") + lit(1)).cast("double")
+      val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+      tf.join(broadcast(probes), Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(dfq.hint("shuffle_hash"), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(cfg))
+        .select(col("qid"), col("doc_id").as("nid"),
+          (tfp * idf).cast("decimal(18,4)").as("term"))
+        .groupBy("qid", "nid")
+        .agg(sum("term").cast("double").as("score"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"), col("score"))
         .orderBy("qid", "rank")
     }
   )

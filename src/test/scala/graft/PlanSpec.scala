@@ -372,6 +372,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q142: BM25 — probes broadcast, df shuffle-joined, no corpus self-join") {
+    val p = planOf(q("q142_bm25_retrieve")).split("== Initial Plan ==").head
+    // probe terms + the 1-row corpus constants broadcast; the vocab-sized
+    // df side must shuffle-join on the token (broadcasting "the vocab" is
+    // the classic it-fits-at-sf0.1 trap)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q130: probe postings broadcast onto the inverted index — no corpus self-join") {
     val p = planOf(q("q130_sparse_cosine_retrieve")).split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p)
