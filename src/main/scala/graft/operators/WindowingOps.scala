@@ -174,6 +174,40 @@ object WindowingOps {
         .orderBy("user_id", "session_start")
     },
 
+    // ---- custom-state sessionization (flatMapGroupsWithState), gated:
+    //      the TYPED arbitrary-state API — the path a pipeline takes when
+    //      session_window's gap semantics don't suffice — run in batch
+    //      mode over events and hash-checked against the lag/cumsum
+    //      session-island SQL. Semantics are the INCLUSIVE gap the typed
+    //      sessionizer implements (break when diff > gap, matching
+    //      session_window's touching-window merge), so the oracle is
+    //      `> INTERVAL`, not q47's `>=` break. State per key is
+    //      O(sessions), never O(events) — the hot-key property
+    //      StreamingSpec pins at 1e6 events; the same body runs behind
+    //      readStream (StreamingSpec micro-batch runs). ----
+    Q("q143_sessions_custom_state",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS start,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms,
+        |  CAST(count(*) AS INTEGER) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start""".stripMargin) { (s, d) =>
+      graft.streaming.EventStreams.statefulSessions(
+          s, Tables.t(s, d, "events"), gapMs = 30L * 60 * 1000)
+        .withColumnRenamed("durationMs", "duration_ms")
+        .orderBy("user_id", "start")
+    },
+
     // ---- sessionized funnel: click→purchase conversion per session ----
     Q("q77_session_funnel",
       """WITH o AS (

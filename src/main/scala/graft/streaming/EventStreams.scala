@@ -105,10 +105,20 @@ object EventStreams {
 
   // ---- custom state: typed sessionization via flatMapGroupsWithState ----
 
-  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  // ts flows through java.time.Instant and MICROSECOND longs end to end:
+  // java.sql.Timestamp.getTime truncates to milliseconds, which silently
+  // moved micro-precise event times (and thus session starts) off the
+  // batch table's values — caught by the q143 oracle hash.
+  case class Event(user_id: Long, ts: java.time.Instant, event_type: String)
   case class SessionState(start: Long, last: Long, n: Int)
-  case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+  case class SessionOut(user_id: Long, start: java.time.Instant,
                         durationMs: Long, n_events: Int)
+
+  private def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000)
 
   /** Custom stateful sessionization (KeyValueGroupedDataset +
     * flatMapGroupsWithState). Demonstrates the arbitrary-state API; the
@@ -132,16 +142,17 @@ object EventStreams {
                        gapMs: Long): DataFrame = {
     require(gapMs > 0, s"gapMs=$gapMs must be positive")
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events.select(col("user_id"), col("ts"), col("event_type")).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // start -> (last, n); intervals are disjoint and > gapMs apart
+          // start -> (last, n) in MICROS; intervals disjoint, > gapUs apart
           val iv = new java.util.TreeMap[Long, (Long, Int)]()
           state.getOption.foreach(s => iv.put(s.start, (s.last, s.n)))
           for (e <- it) {
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             // join the predecessor interval (greatest start <= t) if the
             // gap from its end is within the threshold, else open a new
             // one. INCLUSIVE comparison: session_window merges touching
@@ -150,14 +161,14 @@ object EventStreams {
             // asserted on random boundary-heavy data in StreamingSpec.
             val pred = iv.floorEntry(t)
             val start =
-              if (pred != null && t - pred.getValue._1 <= gapMs) {
+              if (pred != null && t - pred.getValue._1 <= gapUs) {
                 val (last, n) = pred.getValue
                 iv.put(pred.getKey, (math.max(last, t), n + 1))
                 pred.getKey
               } else { iv.put(t, (t, 1)); t }
             // glue successors now within reach (t may bridge two intervals)
             var succ = iv.higherEntry(start)
-            while (succ != null && succ.getKey - iv.get(start)._1 <= gapMs) {
+            while (succ != null && succ.getKey - iv.get(start)._1 <= gapUs) {
               val (l1, n1) = iv.get(start)
               val (l2, n2) = succ.getValue
               iv.put(start, (math.max(l1, l2), n1 + n2))
@@ -172,8 +183,10 @@ object EventStreams {
           }
           import scala.jdk.CollectionConverters._
           iv.entrySet().iterator().asScala.map { e =>
-            SessionOut(uid, new java.sql.Timestamp(e.getKey),
-              e.getValue._1 - e.getKey, e.getValue._2)
+            // durationMs truncates the exact micro difference (both ends
+            // micro-precise; the q143 oracle mirrors with epoch_us // 1000)
+            SessionOut(uid, instant(e.getKey),
+              (e.getValue._1 - e.getKey) / 1000L, e.getValue._2)
           }
       }.toDF()
   }
