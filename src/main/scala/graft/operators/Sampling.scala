@@ -270,6 +270,38 @@ object Sampling {
       stratifiedQuotaSample(Tables.t(s, d, "documents"), "doc_id", "lang", 5)
         .select(col("stratum").as("lang"), col("doc_id"), col("n_stratum").as("n_lang"))
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- deterministic training-shard manifest: the "global shuffle"
+    //      step of training-data prep WITHOUT a global sort. Each doc's
+    //      shard is its md5 bucket (hashBucket — engine-independent,
+    //      partitioning-independent); within a shard the training order
+    //      is md5 order, so the manifest's first/last doc pin it at both
+    //      ends. At 100 TB this is `repartition(shard)` + per-partition
+    //      sortWithinPartitions(h) + a partitioned write — one shuffle,
+    //      no total order ever materialized; the manifest itself is one
+    //      two-phase agg to |shards| rows (min_by/arg_min carry the
+    //      boundary docs through the partial aggregation). ----
+    Q("q147_shard_manifest",
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          hashBucket(col("doc_id"), 16).as("shard"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          min_by(col("doc_id"), col("h")).as("first_doc"),
+          max_by(col("doc_id"), col("h")).as("last_doc"))
+        .orderBy("shard")
     }
   )
 }

@@ -446,6 +446,45 @@ object TextOps {
     //      equi-join on the token, both sides pre-hashed by the same key
     //      from their aggregations (the q59 TF-IDF shape). Bottom-50 is
     //      TakeOrderedAndProject, not a full sort. ----
+    // ---- tokenizer-coverage / OOV audit: fix the vocabulary at the
+    //      top-100 corpus tokens (freq desc, token tie-break) and report
+    //      each source's out-of-vocabulary token rate. The per-source OOV
+    //      rate is the go/no-go number when a tokenizer trained on one
+    //      mixture is applied to a new source — a high-OOV source inflates
+    //      sequence lengths (everything falls back to byte/char pieces).
+    //      Scale: the vocab here is a FIXED top-k (bounded constant), so
+    //      unlike q120's vocabulary-sized frequency table it is broadcast-
+    //      legal — the probe side stays a narrow map + one two-phase agg;
+    //      counts are exact integers, the rate is one double division
+    //      (Q.scala ratio rule). ----
+    Q("q146_vocab_oov",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM tok GROUP BY w
+        |    ORDER BY c DESC, w LIMIT 100)),
+        |j AS (SELECT t.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT source, count(*) AS ntok,
+        |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+        |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .select(col("w"), lit(1).as("in_v"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .select(col("source"),
+          when(col("in_v").isNull, 1).otherwise(0).as("oov"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ntok"),
+          sum(col("oov")).cast("long").as("oov_tokens"),
+          (sum(col("oov")).cast("double") / count(lit(1)).cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
+    },
+
     Q("q120_unigram_commonness",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

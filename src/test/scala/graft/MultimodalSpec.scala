@@ -262,4 +262,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.features.length === Multimodal.FeatureDim)
     assert(f.features(0) === (junk(0) & 0xff).toFloat / 255f) // stub shape
   }
+
+  test("bench body is row-identical to the gated body for the decode family") {
+    // the benchRun reads pre-materialized payload parquet instead of
+    // synthesizing records inline; semantics must be IDENTICAL or the
+    // bench would time a different operator than the one the gate checks
+    val withBench = SparkEntry.allQueries.filter(_.benchRun.isDefined)
+    assert(withBench.map(_.name).toSet === Set(
+      "q98_image_decode", "q99_audio_decode", "q100_jpeg_decode",
+      "q101_audio_formats", "q102_video_frames", "q103_image_resize",
+      "q104_gif_decode"))
+    for (q <- withBench) {
+      val gated = q.run(spark, Sf).collect().map(_.toString).sorted
+      val bench = q.bench(spark, Sf).collect().map(_.toString).sorted
+      assert(gated.toSeq === bench.toSeq, s"bench body drifted for ${q.name}")
+    }
+  }
 }
