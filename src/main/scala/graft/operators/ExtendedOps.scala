@@ -373,6 +373,79 @@ object ExtendedOps {
           (abs(col("approx_users") - col("exact_users"))
             <= col("exact_users") * 0.05).as("approx_ok"))
         .orderBy("event_type")
+    },
+
+    // ---- CDC MERGE apply (the `MERGE INTO` family): upserts + deletes
+    //      from a changes table applied to a base snapshot. Base keeps
+    //      its rows that no change touches (left ANTI join on the key),
+    //      upserts contribute their NEW payload, deletes vanish — the
+    //      latest-snapshot compaction every incremental pipeline runs as
+    //      its write step. Fixture is self-derived from events so the
+    //      oracle replays it exactly: base = ids % 3 != 0, changes =
+    //      even ids (overlap = updates, rest = inserts), every 10th id a
+    //      delete, updated payload = value + 1. Scale: one equi-join
+    //      family on the key + a union — no window, no sort; AQE
+    //      broadcasts the changes side when a micro-batch is small,
+    //      shuffle-joins when a backfill is not. ----
+    Q("q148_cdc_merge",
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 3 <> 0),
+        |c AS (
+        |  SELECT event_id, user_id, event_type, value + 1 AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE event_id % 2 = 0)
+        |SELECT event_id, user_id, event_type, value FROM b
+        |WHERE event_id NOT IN (SELECT event_id FROM c)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM c WHERE op = 'U'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+      val changes = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") + 1).as("value"),
+          when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"))
+      base.join(changes.select("event_id"), Seq("event_id"), "left_anti")
+        .unionByName(changes.filter(col("op") === "U").drop("op"))
+        .orderBy("event_id")
+    },
+
+    // ---- SCD2 dimension history: per-user event_type transition
+    //      intervals. Consecutive repeats of the same state compress to
+    //      one row (lag filter); each surviving transition is valid from
+    //      its own ts until the NEXT transition's ts (lead), the last
+    //      open-ended (NULL valid_to). The anchor event_id rides along
+    //      for a total order under same-ts ties. Scale: both windows
+    //      partition by user_id — per-key state, no global sort; the
+    //      second window runs over the already-compressed transition
+    //      rows. ----
+    Q("q149_scd2_history",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type FROM o
+        |      WHERE prev IS NULL OR event_type <> prev),
+        |f AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to
+        |FROM f ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changed = Tables.t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      changed
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }

@@ -391,6 +391,45 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q146: fixed top-100 vocab broadcasts onto the token stream") {
+    val p = planOf(q("q146_vocab_oov")).split("== Initial Plan ==").head
+    // the vocab is a BOUNDED top-k (not the corpus vocabulary), so
+    // broadcasting is the right call — the probe side stays shuffle-free
+    // until the final per-source aggregation
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q147: shard manifest is one two-phase agg, no window, no sort barrier") {
+    val p = planOf(q("q147_shard_manifest")).split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p)
+    // min_by/max_by ride the partial aggregation (map-side combine), so
+    // the only exchange carries |shards| partial rows, not the corpus
+    // (min_by's extremum buffer forces SortAggregate — still two-phase,
+    // and the per-partition sort is on the 16-value shard key)
+    assert(p.contains("partial_min_by"), p)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q148: MERGE apply is anti-join + union — no window, no cartesian") {
+    val p = planOf(q("q148_cdc_merge")).split("== Initial Plan ==").head
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q149: SCD2 windows partition by user — never a global window") {
+    val df = q("q149_scd2_history")
+    val p = planOf(df)
+    // both lag/lead windows carry the user_id partitioning; an empty
+    // PARTITION BY would single-task the corpus (the q115 trap)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // a lost partition spec would shuffle everything into one task
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
