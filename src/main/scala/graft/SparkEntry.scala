@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Sampling.defs,
     operators.GeoOps.defs,
     operators.ProfileOps.defs,
+    operators.GraphOps.defs,
     operators.OsmOps.defs,
     sources.FormatOps.defs
   )

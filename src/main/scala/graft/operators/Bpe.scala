@@ -127,11 +127,33 @@ object Bpe {
       merges(docs, textCol, rounds).orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** All trained merges applied IN ORDER to every word type — as a typed
+    * map, not a chain of [[applyMerge]] HOFs: ten nested `aggregate`
+    * lambdas cost ~5–6 s of driver-side analysis + codegen PER RUN
+    * (measured at sf0.1 — fixed cost, independent of data size), while
+    * this plan is one deserialize/map/serialize over the vocab-sized type
+    * table. The Scala fold reproduces [[applyMerge]]'s greedy
+    * left-to-right semantics exactly (merge the pair when the
+    * accumulator's LAST symbol is `l`; "aaa" + (a,a) → "aa","a") — the
+    * q141 oracle replays the HOF formulation, so any drift between the
+    * two breaks the hash. */
   private def applyMerges(docs: DataFrame, textCol: String,
       ms: Seq[(String, String)]): DataFrame = {
-    var syms: Column = col("syms")
-    ms.foreach { case (l, rt) => syms = applyMerge(syms, l, rt) }
-    wordTypes(docs, textCol).select(col("freq"), syms.as("syms"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordTypes(docs, textCol).as[(Long, Seq[String])].map { case (freq, syms0) =>
+      var cur: Seq[String] = syms0
+      ms.foreach { case (l, rt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        cur.foreach { x =>
+          if (x == rt && out.nonEmpty && out.last == l)
+            out(out.size - 1) = l + rt
+          else out += x
+        }
+        cur = out.toSeq
+      }
+      (freq, cur)
+    }.toDF("freq", "syms")
   }
 
   // cacheKey -> trained merge list (tiny: `rounds` string pairs)

@@ -412,6 +412,15 @@ class PlanSpec extends SparkTestBase {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q150: PageRank rounds are join-aggregate — no cartesian, top-k broadcast") {
+    val p = planOf(q("q150_token_pagerank")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the bounded top-20 node set broadcasts onto the pair stream; each
+    // round's contribution is an equi-join + two-phase sum
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q148: MERGE apply is anti-join + union — no window, no cartesian") {
     val p = planOf(q("q148_cdc_merge")).split("== Initial Plan ==").head
     assert(p.contains("LeftAnti"), p)
