@@ -128,6 +128,74 @@ object WindowingOps {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ---- ACTUAL stream-stream join run: both sides are file-source
+    //      streams over the same events fixture, watermarked, joined on
+    //      user + a 30-minute preceding time range (the state-bounding
+    //      predicate unbounded stream-stream joins REQUIRE), appended to
+    //      a memory sink. Gated by q88's batch SQL — batch ≡ streaming is
+    //      the defining property of the join, and this run proves it on
+    //      the real micro-batch engine, not just the batch planner. ----
+    Q("q151_stream_stream_join",
+      """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
+        |  b.event_id AS click_id, b.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON b.user_id = a.user_id
+        |  AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val path = s"$d/events.parquet"
+      val joined = EventStreams.purchaseClickJoin(
+        EventStreams.readEventStream(s, path)
+          .filter(col("event_type") === "purchase"),
+        EventStreams.readEventStream(s, path)
+          .filter(col("event_type") === "click"),
+        "30 minutes", "30 minutes")
+      val name = s"q151_stream_sink_${sinkId.incrementAndGet()}"
+      val query = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).orderBy("purchase_id", "click_id")
+    },
+
+    // ---- late-arrival audit: how out-of-order is the stream, per key?
+    //      Arrival order is event_id; an event is LATE when it sits more
+    //      than 10 minutes behind the running event-time high-water mark
+    //      of its user's earlier arrivals. This is the measurement that
+    //      SIZES the watermark delay (and therefore all streaming state)
+    //      — run it before picking `withWatermark`. Integer-exact in
+    //      microseconds; per-user windows only (the q149 rule — the
+    //      corpus never passes through one task). ----
+    Q("q152_late_arrivals",
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    CASE WHEN pm IS NULL OR pm - 600000000 - us <= 0 THEN 0
+        |         ELSE pm - 600000000 - us END AS late_us
+        |  FROM o)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(late_us) // 1000 AS BIGINT) AS max_late_ms
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("pm", max(col("us")).over(w))
+        .select(col("user_id"),
+          greatest(lit(0L), coalesce(col("pm") - lit(600000000L) - col("us"),
+            lit(0L))).as("late_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1).otherwise(0)).cast("long").as("n_late"),
+          expr("max(late_us) div 1000").as("max_late_ms"))
+        .orderBy("user_id")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,

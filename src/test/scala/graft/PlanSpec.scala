@@ -439,6 +439,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q152: late-arrival audit windows partition by user — never one task") {
+    val p = planOf(q("q152_late_arrivals"))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("partitioned ORC layout prunes partitions on a source filter") {
+    // the layout q144 writes: a filtered read must push the partition
+    // predicate into the scan (directory pruning), not filter post-scan —
+    // THE property that makes a partitioned 100 TB corpus store usable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune")
+    tmp.toFile.deleteOnExit()
+    Tables.t(spark, Sf, "documents")
+      .write.mode("overwrite").partitionBy("source").orc(tmp.toString)
+    val df = spark.read.orc(tmp.toString).filter(col("source") === "src0")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("src0"), p)
+    // the data filter must NOT survive as a post-scan Filter on source
+    assert(!p.contains("Filter (source"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
