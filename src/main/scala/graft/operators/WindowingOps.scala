@@ -18,6 +18,19 @@ object WindowingOps {
     * run + verify all execute the same query in one session). */
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // prefix -> the previous invocation's sink view, dropped when the next
+  // invocation starts: a memory sink retains its FULL result driver-side
+  // for as long as the view exists, so a 3-pass bench over the streaming
+  // queries would otherwise pin every prior pass's rows in the heap
+  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def freshSink(s: org.apache.spark.sql.SparkSession,
+                        prefix: String): String = {
+    val name = s"${prefix}_${sinkId.incrementAndGet()}"
+    Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
+    name
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- ACTUAL streaming run of the tumbling aggregation: readStream →
@@ -32,7 +45,7 @@ object WindowingOps {
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
       val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
       val agg = EventStreams.tumblingWithWatermark(stream, "1 hour", "10 minutes")
-      val name = s"q82_stream_sink_${sinkId.incrementAndGet()}"
+      val name = freshSink(s, "q82_stream_sink")
       val query = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
@@ -54,7 +67,7 @@ object WindowingOps {
       val stream = EventStreams.readEventStream(s, path)
         .union(EventStreams.readEventStream(s, path))
         .dropDuplicates("event_id")
-      val name = s"q90_stream_sink_${sinkId.incrementAndGet()}"
+      val name = freshSink(s, "q90_stream_sink")
       val query = stream.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
@@ -100,7 +113,7 @@ object WindowingOps {
       val stream = EventStreams.readParquetStream(s, s"$d/documents.parquet")
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
       val guarded = Dedup.contaminationAgainst(stream, trainSet, "doc_id", "text", 5)
-      val name = s"q110_stream_sink_${sinkId.incrementAndGet()}"
+      val name = freshSink(s, "q110_stream_sink")
       val query = guarded.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
@@ -150,7 +163,7 @@ object WindowingOps {
         EventStreams.readEventStream(s, path)
           .filter(col("event_type") === "click"),
         "30 minutes", "30 minutes")
-      val name = s"q151_stream_sink_${sinkId.incrementAndGet()}"
+      val name = freshSink(s, "q151_stream_sink")
       val query = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
