@@ -432,6 +432,70 @@ object DedupOps {
           windowLen = 40, stride = 10, mBits = 1 << 21, k = 3,
           fprBudget = 0.05)
         .orderBy("source")
+    },
+
+    // ---- canonical-representative selection: the step AFTER clustering —
+    //      each near-dup cluster keeps its BEST document (longest n_chars,
+    //      smallest doc_id on ties), not the arbitrary min-id the q74
+    //      keep-list uses. This is how production dedup actually chooses
+    //      survivors (quality-ranked canonicalization, not id order).
+    //      Oracle = the q113 label propagation + a per-cluster rank.
+    //      Scale: labels come from the LSH+CC pipeline (never all-pairs);
+    //      the rank windows per CLUSTER — bounded by cluster size, the
+    //      corpus never passes through one task. ----
+    Q("q153_canonical_selection",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT cand.i, cand.j, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.i
+         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i, j FROM p
+         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
+         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+         |       GROUP BY l2.v, l2.l),
+         |j AS (SELECT l3.l, d.doc_id, d.n_chars FROM l3
+         |      JOIN documents d ON d.doc_id = l3.v),
+         |r AS (SELECT l, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY l
+         |          ORDER BY n_chars DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY l) AS cs
+         |      FROM j)
+         |SELECT l AS cluster_label, CAST(cs AS BIGINT) AS cluster_size,
+         |  doc_id AS canonical_doc, CAST(n_chars AS BIGINT) AS canonical_chars
+         |FROM r WHERE rn = 1 ORDER BY cluster_label""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, d, "documents")
+      // labels: (doc_id, component) — singletons labeled by their own id
+      val labels = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.8)
+      val w = Window.partitionBy("l").orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(col("component").as("l"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cs", count(lit(1)).over(Window.partitionBy("l")))
+        .filter(col("rn") === 1)
+        .select(col("l").as("cluster_label"), col("cs").as("cluster_size"),
+          col("doc_id").as("canonical_doc"),
+          col("n_chars").as("canonical_chars"))
+        .orderBy("cluster_label")
     }
   )
 }

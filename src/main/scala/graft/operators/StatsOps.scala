@@ -95,6 +95,40 @@ object StatsOps {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- join-key skew audit: the report to run BEFORE choosing a
+    //      salting factor (q76/q87) or trusting AQE's skew-join split.
+    //      One two-phase count per key (map-side combine makes the
+    //      shuffled table key-sized), then O(1) scalars: the skew factor
+    //      is max/mean — >> 1 means the hottest key serializes one task.
+    //      heavy_key ties break to the smallest key. ----
+    Q("q154_skew_report",
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |m AS (SELECT max(c) AS mx, count(*) AS nk, CAST(sum(c) AS BIGINT) AS nr
+        |      FROM c),
+        |h AS (SELECT min(user_id) AS heavy_key FROM c
+        |      WHERE c = (SELECT mx FROM m))
+        |SELECT m.nk AS n_keys, m.nr AS n_rows,
+        |  CAST(m.mx AS BIGINT) AS max_per_key, h.heavy_key,
+        |  CAST(m.nr AS DOUBLE) / CAST(m.nk AS DOUBLE) AS mean_per_key,
+        |  CAST(m.mx AS DOUBLE) * CAST(m.nk AS DOUBLE) / CAST(m.nr AS DOUBLE)
+        |    AS skew_factor
+        |FROM m, h""".stripMargin) { (s, d) =>
+      val counts = Tables.t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).cast("long").as("n_rows"),
+          max(col("c")).cast("long").as("max_per_key"),
+          min_by(col("user_id"), struct(negate(col("c")), col("user_id")))
+            .as("heavy_key"))
+        .select(col("n_keys"), col("n_rows"), col("max_per_key"),
+          col("heavy_key"),
+          (col("n_rows").cast("double") / col("n_keys").cast("double"))
+            .as("mean_per_key"),
+          (col("max_per_key").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double")).as("skew_factor"))
     }
   )
 }
