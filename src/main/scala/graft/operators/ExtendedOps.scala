@@ -375,6 +375,44 @@ object ExtendedOps {
         .orderBy("event_type")
     },
 
+    // ---- blocked fuzzy join (entity resolution): candidate pairs come
+    //      ONLY from the (brand, type, size) blocking equi-join — the
+    //      relational sibling of the LSH band join — then the edit-
+    //      distance verify runs on candidates alone. Never an all-pairs
+    //      name comparison: candidates ∝ Σ block², and the blocking key
+    //      is chosen so blocks stay small (a 1-key block like "last name
+    //      token" degenerates — 8 blocks here — which is exactly the
+    //      q154 skew audit's job to catch). levenshtein is the standard
+    //      DP edit distance in both engines, integer-exact. ----
+    Q("q155_fuzzy_blocked_join",
+      """WITH t AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM t a JOIN t b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY dist, a_key, b_key""".stripMargin) { (s, d) =>
+      val t = Tables.t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      val a = t.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_brand").as("blk_b"), col("p_type").as("blk_t"),
+        col("p_size").as("blk_s"))
+      val b = t.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("p_brand").as("blk_b"), col("p_type").as("blk_t"),
+        col("p_size").as("blk_s"))
+      a.join(b, Seq("blk_b", "blk_t", "blk_s"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 3)
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+          col("dist"))
+        .orderBy("dist", "a_key", "b_key")
+    },
+
     // ---- CDC MERGE apply (the `MERGE INTO` family): upserts + deletes
     //      from a changes table applied to a base snapshot. Base keeps
     //      its rows that no change touches (left ANTI join on the key),

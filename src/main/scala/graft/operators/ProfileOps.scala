@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
 
 /** Oracle-checked profiling queries. */
 object ProfileOps {
@@ -149,6 +150,41 @@ object ProfileOps {
         .select(col("w").as("token"), col("c").as("true_count"),
           col("cms").as("cms_estimate"))
         .orderBy(col("true_count").desc, col("token"))
+    },
+
+    // ---- equi-width histogram in exact integer CENTS: the profiling
+    //      staple q66 lacks. Two passes — one tiny min/max agg (broadcast
+    //      as a 1-row bound frame, the Profile.scala pattern), one
+    //      bucketing scan. All boundary arithmetic is integer (floor to
+    //      cents first, then div) — a float (x-min)/(max-min) bucket
+    //      formula is 1-ulp fragile at bucket edges across engines, the
+    //      classic histogram drift. ----
+    Q("q156_histogram", {
+      val B = 20
+      s"""WITH c AS (
+         |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |m AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+         |w AS (SELECT lo, (hi - lo) // $B + 1 AS width FROM m),
+         |b AS (SELECT (cents - w.lo) // w.width AS bucket FROM c, w)
+         |SELECT bucket, count(*) AS n,
+         |  (SELECT lo FROM w) + bucket * (SELECT width FROM w) AS lo_cents,
+         |  (SELECT lo FROM w) + (bucket + 1) * (SELECT width FROM w) - 1 AS hi_cents
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val B = 20
+      val cents = Tables.t(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val bounds = cents.agg(min("cents").as("lo"), max("cents").as("hi"))
+        .select(col("lo"), expr(s"(hi - lo) div $B + 1").as("width"))
+      cents.crossJoin(broadcast(bounds))
+        .select(expr("(cents - lo) div width").as("bucket"),
+          col("lo"), col("width"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (first("lo") + col("bucket") * first("width")).as("lo_cents"),
+          (first("lo") + (col("bucket") + 1) * first("width") - 1).as("hi_cents"))
+        .orderBy("bucket")
     }
   )
 }
