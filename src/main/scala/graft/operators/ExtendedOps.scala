@@ -375,6 +375,46 @@ object ExtendedOps {
         .orderBy("event_type")
     },
 
+    // ---- UNPIVOT (melt): wide attribute columns to (attr, val) rows —
+    //      the inverse of q26's pivot, and the shape every EAV export
+    //      takes (the reference's *_tags tables ARE this form). The
+    //      engine runs the REAL unpivot operator (one narrow generator,
+    //      no shuffle); the oracle expresses the identical semantics as
+    //      a UNION ALL, which is what unpivot desugars to. ----
+    Q("q157_unpivot",
+      """SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_type' AS attr, p_type AS val FROM part
+        |ORDER BY p_partkey, attr""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_brand"), col("p_type")), "attr", "val")
+        .orderBy("p_partkey", "attr")
+    },
+
+    // ---- GROUPING SETS (arbitrary grouping combos beyond rollup/cube's
+    //      fixed lattices — q25/q54): per-type, per-hour, and grand
+    //      total in ONE pass (one shuffle, each input row expanded per
+    //      matching set map-side). NULL group keys mark the aggregate
+    //      levels; ordering pins NULLS FIRST because the engines'
+    //      default null order differs. ----
+    Q("q158_grouping_sets",
+      """SELECT event_type, hr, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM (SELECT event_type, hour(ts) AS hr, value FROM events) t
+        |GROUP BY GROUPING SETS ((event_type), (hr), ())
+        |ORDER BY event_type NULLS FIRST, hr NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("hr")), Seq()),
+          col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+        .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)
+    },
+
     // ---- blocked fuzzy join (entity resolution): candidate pairs come
     //      ONLY from the (brand, type, size) blocking equi-join — the
     //      relational sibling of the LSH band join — then the edit-

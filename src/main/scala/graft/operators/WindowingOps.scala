@@ -209,6 +209,47 @@ object WindowingOps {
         .orderBy("user_id")
     },
 
+    // ---- time-weighted average (TWAP shape): each event's value holds
+    //      until the user's next event; the average weights by that
+    //      holding duration. Exact integer arithmetic end to end — value
+    //      in floored cents, duration in whole seconds (products bounded
+    //      ~1e11/user, exact in int64; one double division at the end,
+    //      Q.scala ratio rule). The last event per user has no successor
+    //      and drops out (standard TWAP over a closed span). Per-user
+    //      windows only. ----
+    Q("q159_time_weighted_avg",
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |t AS (SELECT user_id, vc, (nxt - us) // 1000000 AS dur_s
+        |      FROM o WHERE nxt IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(SUM(vc * dur_s) AS BIGINT) AS vs_sum,
+        |  CAST(SUM(dur_s) AS BIGINT) AS dur_sum,
+        |  CAST(SUM(vc * dur_s) AS DOUBLE) / CAST(SUM(dur_s) AS DOUBLE)
+        |    AS twa_cents
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("vc"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("vc"),
+          expr("(nxt - us) div 1000000").as("dur_s"))
+        .groupBy("user_id")
+        .agg(sum(col("vc") * col("dur_s")).cast("long").as("vs_sum"),
+          sum(col("dur_s")).cast("long").as("dur_sum"),
+          (sum(col("vc") * col("dur_s")).cast("double") /
+            sum(col("dur_s")).cast("double")).as("twa_cents"))
+        .orderBy("user_id")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
