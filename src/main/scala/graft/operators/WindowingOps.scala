@@ -250,6 +250,73 @@ object WindowingOps {
         .orderBy("user_id")
     },
 
+    // ---- ordered-subsequence funnel (CEP-lite): a purchase CONVERTS
+    //      when some click precedes it and some view precedes that click
+    //      — the strict view→click→purchase ordering, not mere presence
+    //      (q77 counts per-session presence). Earliest-witness logic
+    //      makes it two scalar reductions per user: first view, first
+    //      click after that view, purchases after that click. One
+    //      two-phase agg, no window at all. ----
+    Q("q160_funnel_ordered",
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, count(*) AS n_converting
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view, c.first_click,
+        |  CAST(coalesce(p.n_converting, 0) AS BIGINT) AS n_converting
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("first_click"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_converting"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view"), col("first_click"),
+          coalesce(col("n_converting"), lit(0L)).as("n_converting"))
+        .orderBy("user_id")
+    },
+
+    // ---- weekly retention cohorts: users grouped by first-active week,
+    //      cohort × offset retention counts — the standard growth
+    //      analytics matrix. The distinct (user, week) activity table is
+    //      users × weeks (tiny relative to events); the cohort join is
+    //      an equi-join on user. Weeks are integer epoch-day div 7 —
+    //      no date_trunc('week') (the engines disagree on week start
+    //      conventions; integer day arithmetic cannot). ----
+    Q("q161_retention_cohorts",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 7 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT c.cohort, CAST(uw.wk - c.cohort AS BIGINT) AS offset_weeks,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON c.user_id = uw.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, offset_weeks""".stripMargin) { (s, d) =>
+      val uw = Tables.t(s, d, "events")
+        .select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offset_weeks")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
