@@ -228,6 +228,96 @@ object ChunkingOps {
           sum(col("ntok")).cast("long").as("sum_tokens"),
           sum(col("pad_to") - col("ntok")).cast("long").as("pad_waste"))
         .orderBy("pad_to")
+    },
+
+    // ---- composed RAG serving path end-to-end (the retrieval sibling of
+    //      q140's training-prep composition): q58's chunking → chunk-level
+    //      sparse-cosine retrieval (q130's probe-broadcast shape) → top-3
+    //      chunks per query → payload join back to chunk text (md5) and
+    //      parent-doc source. One gated surface proves the three stages
+    //      compose without drift. Scale: chunk postings are corpus-sized
+    //      and keyed by token; the 3-query probe tf BROADCASTS; the text
+    //      store joins only against the 9 winning (query, chunk) keys —
+    //      broadcast of the HITS, never a shuffle of the store (q126). ----
+    Q("q162_rag_pipeline",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(len(toks) AS BIGINT), 16),
+        |      s -> array_to_string(list_slice(toks, CAST(s + 1 AS BIGINT), CAST(s + 32 AS BIGINT)), ' '))) AS chunk_text,
+        |    unnest(range(0, CAST((len(toks) + 15) // 16 AS BIGINT))) AS chunk_idx
+        |  FROM t),
+        |cc AS (SELECT * FROM c WHERE chunk_text <> ''),
+        |ctf AS (SELECT doc_id, chunk_idx, w, count(*) AS c FROM (
+        |    SELECT doc_id, chunk_idx, unnest(string_split(chunk_text, ' ')) AS w
+        |    FROM cc) u GROUP BY 1, 2, 3),
+        |cn AS (SELECT doc_id, chunk_idx, sum(c * c) AS n2 FROM ctf GROUP BY 1, 2),
+        |qtf AS (SELECT doc_id AS qid, w, count(*) AS qc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id < 3) u GROUP BY 1, 2),
+        |qn AS (SELECT qid, sum(qc * qc) AS qn2 FROM qtf GROUP BY 1),
+        |dots AS (
+        |  SELECT q.qid, t.doc_id AS nid, t.chunk_idx,
+        |    CAST(sum(q.qc * t.c) AS BIGINT) AS dp
+        |  FROM qtf q JOIN ctf t ON t.w = q.w AND t.doc_id <> q.qid
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.qid, d.nid, d.chunk_idx,
+        |    CAST(d.dp AS DOUBLE) / sqrt(CAST(a.qn2 * b.n2 AS DOUBLE)) AS cos
+        |  FROM dots d JOIN qn a ON a.qid = d.qid
+        |  JOIN cn b ON b.doc_id = d.nid AND b.chunk_idx = d.chunk_idx),
+        |r AS (SELECT qid, nid, chunk_idx, cos,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid, chunk_idx) AS rn FROM scored)
+        |SELECT r.qid, CAST(r.rn AS INTEGER) AS rank, r.nid,
+        |  CAST(r.chunk_idx AS INTEGER) AS chunk, r.cos,
+        |  md5(cc.chunk_text) AS chunk_md5, d2.source
+        |FROM r JOIN cc ON cc.doc_id = r.nid AND cc.chunk_idx = r.chunk_idx
+        |JOIN documents d2 ON d2.doc_id = r.nid
+        |WHERE r.rn <= 3 ORDER BY r.qid, r.rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, d, "documents")
+      val cc = docs.select(col("doc_id"),
+          posexplode(chunks(col("text"), 32, 16)).as(Seq("chunk_idx", "chunk_text")))
+        .filter(col("chunk_text") =!= "")
+      val ctf = cc.select(col("doc_id"), col("chunk_idx"),
+          explode(TextFunctions.tokens(col("chunk_text"))).as("w"))
+        .groupBy("doc_id", "chunk_idx", "w").agg(count(lit(1)).as("c"))
+      val cn = ctf.groupBy("doc_id", "chunk_idx")
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val qtf = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("qid", "w").agg(count(lit(1)).as("qc"))
+      val qn = qtf.groupBy("qid").agg(sum(col("qc") * col("qc")).as("qn2"))
+      val rw = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("nid"), col("chunk_idx"))
+      val top = ctf.join(broadcast(qtf), Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("nid"), col("chunk_idx"))
+        .agg(sum(col("qc") * col("c")).cast("long").as("dp"))
+        .join(broadcast(qn), Seq("qid"))
+        .join(cn.withColumnRenamed("doc_id", "nid"), Seq("nid", "chunk_idx"))
+        .select(col("qid"), col("nid"), col("chunk_idx"),
+          (col("dp").cast("double") /
+            sqrt((col("qn2") * col("n2")).cast("double"))).as("cos"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+      // payload join: broadcast the 9 hits onto the corpus-sized stores
+      // (hit keys renamed — top shares cc's lineage, and same-name columns
+      // across a self-derived join are ambiguous)
+      val hits = top.select(col("qid"), col("rank"), col("nid"),
+        col("chunk_idx").as("h_chunk"), col("cos"))
+      val withChunk = cc.join(broadcast(hits),
+          col("doc_id") === col("nid") && col("chunk_idx") === col("h_chunk"))
+        .select(col("qid"), col("rank"), col("nid"),
+          col("h_chunk").cast("int").as("chunk"), col("cos"),
+          md5(col("chunk_text")).as("chunk_md5"))
+      docs.select(col("doc_id").as("nid"), col("source"))
+        .join(broadcast(withChunk), Seq("nid"))
+        .select(col("qid"), col("rank"), col("nid"), col("chunk"),
+          col("cos"), col("chunk_md5"), col("source"))
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -439,6 +439,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q162: RAG pipeline — probes and hits broadcast, stores never self-joined") {
+    val p = planOf(q("q162_rag_pipeline")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the 3-query probe tf and the 9 winning hits broadcast; the chunk
+    // postings and the text store never shuffle against each other
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q152: late-arrival audit windows partition by user — never one task") {
     val p = planOf(q("q152_late_arrivals"))
     assert(p.contains("hashpartitioning(user_id"), p)
