@@ -375,6 +375,38 @@ object ExtendedOps {
         .orderBy("event_type")
     },
 
+    // ---- typed top-k aggregator, oracle-gated (the §2.12
+    //      Aggregator[IN,BUF,OUT] slot was spec-only until here): per
+    //      group the k highest (value, id) pairs via a SIZE-BOUNDED
+    //      buffer merged associatively — each partition reduces to ≤k
+    //      pairs BEFORE the shuffle, so the exchange carries k rows per
+    //      group per partition instead of the full candidate set
+    //      (TakeOrderedAndProject's win, applied per group; the scalable
+    //      alternative to window+row_number when k ≪ group size). The
+    //      oracle IS the window form, so the two must agree exactly,
+    //      tie-breaks included. ----
+    Q("q163_topk_typed_agg",
+      """WITH r AS (SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rn
+        |FROM events)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, value
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      Tables.t(s, d, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rank"),
+          col("p._2").as("event_id"), col("p._1").as("value"))
+        .orderBy("event_type", "rank")
+    },
+
     // ---- UNPIVOT (melt): wide attribute columns to (attr, val) rows —
     //      the inverse of q26's pivot, and the shape every EAV export
     //      takes (the reference's *_tags tables ARE this form). The
