@@ -81,4 +81,46 @@ class FormatsRobustnessSpec extends SparkTestBase {
     val bytes = Tuning.inputBytes(Tables.t(spark, Sf, "lineitem"))
     assert(bytes > 0)
   }
+
+  test("corrupt JSONL lines quarantine into _corrupt_record, valid rows survive") {
+    // the PERMISSIVE-mode contract a 100 TB JSONL ingest relies on: one
+    // torn line must not fail the job OR silently vanish — it lands in
+    // the corrupt-record column for a quarantine count
+    val dir = Files.createTempDirectory("graft-badjson"); dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("part-0.jsonl"),
+      ("""{"doc_id": 1, "text": "ok one"}
+        |{"doc_id": 2 "text": "TORN LINE"
+        |{"doc_id": 3, "text": "ok three"}
+        |""").stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(df.filter(col("doc_id").isin(1L, 3L)).count() === 2)
+    df.unpersist()
+  }
+
+  test("ORC schema evolution: mergeSchema unions batches with added columns") {
+    // crawl N writes (doc_id, text); crawl N+1 adds a lang column — the
+    // combined read must surface the union schema with nulls backfilled,
+    // not fail or drop the new column
+    val dir = Files.createTempDirectory("graft-evo"); dir.toFile.deleteOnExit()
+    import spark.implicits._
+    Seq((1L, "old row")).toDF("doc_id", "text")
+      .write.orc(s"$dir/batch=0")
+    Seq((2L, "new row", "en")).toDF("doc_id", "text", "lang")
+      .write.orc(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").orc(dir.toString)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("lang") == null)
+    assert(rows(1).getAs[String]("lang") === "en")
+  }
 }
