@@ -317,6 +317,101 @@ object WindowingOps {
         .orderBy("cohort", "offset_weeks")
     },
 
+    // ---- robust daily-volume anomaly flags: per event type, each day's
+    //      count against the type's MEDIAN and MAD (median absolute
+    //      deviation) — the outlier rule that needs no float moments and
+    //      no distribution assumption (stddev-based z-scores blow up on
+    //      the very anomalies being hunted). Median = the (n+1) div 2-th
+    //      value ascending (engine-agnostic integer rule). Scale: all
+    //      windows run over the AGGREGATED (type, day) table — days ×
+    //      types rows, tiny by construction at any event volume. ----
+    Q("q164_volume_anomalies",
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM dc),
+        |med AS (SELECT event_type, c AS med FROM m WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT dc.event_type, dc.day, dc.c, med.med,
+        |          abs(dc.c - med.med) AS ad
+        |        FROM dc JOIN med USING (event_type)),
+        |m2 AS (SELECT event_type, ad,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ad, day) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dev),
+        |mad AS (SELECT event_type, ad AS mad FROM m2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+        |  CAST(d.c AS BIGINT) AS c, CAST(d.med AS BIGINT) AS med,
+        |  CAST(mad.mad AS BIGINT) AS mad,
+        |  d.ad > 2 * mad.mad AS is_outlier
+        |FROM dev d JOIN mad USING (event_type)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dc = Tables.t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      def medianOf(df: org.apache.spark.sql.DataFrame, valCol: String,
+                   outCol: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(valCol), col("day"))
+        val wn = Window.partitionBy("event_type")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(valCol).as(outCol))
+      }
+      val med = medianOf(dc, "c", "med")
+      val dev = dc.join(med, "event_type")
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = medianOf(dev, "ad", "mad")
+      dev.join(mad, "event_type")
+        .select(col("event_type"), col("day"), col("c"), col("med"),
+          col("mad"), (col("ad") > col("mad") * 2).as("is_outlier"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- DAU / WAU stickiness: daily actives over trailing-7-day
+    //      actives — the growth metric every product pipeline reports.
+    //      The trailing window is a range join of the DAY DIMENSION
+    //      (tiny, broadcast) against the distinct (user, day) activity
+    //      table: each activity row lands in ≤7 day groups, then one
+    //      count-distinct per day. No per-user window, no self-join of
+    //      the activity table. ----
+    Q("q165_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |        GROUP BY d.day)
+        |SELECT CAST(d.day AS BIGINT) AS day,
+        |  CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM days d JOIN dau USING (day) JOIN wau USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = Tables.t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d0")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud.join(broadcast(days),
+          col("day") >= col("d0") - 6 && col("day") <= col("d0"))
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .withColumnRenamed("d0", "day")
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
