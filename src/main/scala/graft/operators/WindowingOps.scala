@@ -412,6 +412,120 @@ object WindowingOps {
         .orderBy("day")
     },
 
+    // ---- day-over-day movers: per-type daily volume deltas, biggest
+    //      absolute swings first — the "what changed since yesterday"
+    //      dashboard staple. Lag windows run over the days×types
+    //      aggregate (tiny at any event volume, the q164 rule); the
+    //      top-20 is TakeOrderedAndProject. ----
+    Q("q166_dod_movers",
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, c,
+        |        lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |      FROM dc)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS c,
+        |  CAST(prev AS BIGINT) AS prev, CAST(c - prev AS BIGINT) AS delta
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY abs(c - prev) DESC, event_type, day LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("day"), col("c"), col("prev"),
+          (col("c") - col("prev")).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+        .limit(20)
+    },
+
+    // ---- top session paths (path mining): the most frequent 3-step
+    //      event-type sequences inside sessions (120-minute gap — wide
+    //      enough that multi-event sessions exist in the fixture). Each
+    //      session's ordered type array is built with array_sort over
+    //      (ts, event_id, type) structs — collect_list alone has NO
+    //      deterministic order under partitioning — then 3-gram slices
+    //      explode and count. Per-session arrays are bounded by session
+    //      length (the gap bounds them); no corpus-wide window. ----
+    Q("q167_session_paths",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 120 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |arr AS (
+        |  SELECT user_id, sid,
+        |    list_transform(
+        |      list_sort(list((ts, event_id, event_type))),
+        |      x -> x[3]) AS types
+        |  FROM s GROUP BY user_id, sid),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |  FROM arr WHERE len(types) >= 3)
+        |SELECT path, count(*) AS n FROM g
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = Tables.t(s, d, "events")
+        // exact MICROsecond gap compare (a seconds cast truncates and
+        // moves boundary events across the break — the q143 lesson)
+        .withColumn("brk",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              >= 7200000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val arr = sess.groupBy("user_id", "sid")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+      arr.filter(size(col("types")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(types) - 3), " +
+            "i -> concat(types[i], '>', types[i+1], '>', types[i+2]))")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    },
+
+    // ---- cumulative user growth: first-seen day per user, then the
+    //      running total of users acquired by each day — the growth
+    //      curve. The cumulative window runs over the per-day NEW-user
+    //      aggregate (days rows, tiny); the per-user min is one
+    //      two-phase agg. ----
+    Q("q168_user_growth",
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id),
+        |nd AS (SELECT first_day AS day, count(*) AS new_users
+        |       FROM f GROUP BY first_day)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+        |FROM nd ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nd = Tables.t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      nd.withColumn("total_users",
+          sum(col("new_users")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .orderBy("day")
+    },
+
     // ---- tumbling 1h windows per event type ----
     Q("q45_window_tumbling",
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
