@@ -61,6 +61,40 @@ object AsOfJoin {
         rightPayload.map { case (_, a) => col(s"_match.$a").as(a) }: _*)
   }
 
+  /** FORWARD as-of: for each `left` row, the EARLIEST `right` row with
+    * right.tsR >= left.tsL on equal keys (SQL `ASOF ... ON l.ts <= r.ts`).
+    * The mirror of [[asOf]] — same single-shuffle union+window shape, the
+    * frame flipped to current..unbounded-FOLLOWING with `first(_,
+    * ignoreNulls)`; at equal timestamps the left row sorts BEFORE the
+    * right so a same-instant right row matches (>= semantics). Among
+    * right rows with identical (key, ts) the struct-MIN payload wins
+    * (ascending `_p` in the order; the deterministic mirror of [[asOf]]'s
+    * struct-max). The next-event attribution shape: "first click AFTER
+    * the impression". */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  keyL: String, keyR: String, tsL: String, tsR: String,
+                  rightPayload: Seq[(String, String)]): DataFrame = {
+    val payloadStruct = struct(rightPayload.map { case (c, a) => col(c).as(a) }: _*)
+    val r = right.filter(col(tsR).isNotNull).select(
+      col(keyR).as("_k"), col(tsR).as("_t"), lit(1).as("_side"),
+      payloadStruct.as("_p"))
+    val payloadType = r.schema("_p").dataType
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(keyL).as("_k"), col(tsL).as("_t"), lit(0).as("_side"),
+        lit(null).cast(payloadType).as("_p")) ++ leftCols.map(col): _*)
+    val rAligned = r.select(
+      Seq(col("_k"), col("_t"), col("_side"), col("_p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.union(rAligned)
+      .withColumn("_match", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (_, a) => col(s"_match.$a").as(a) }: _*)
+  }
+
   /** Same semantics on the custom PHYSICAL operator (SURVEY §7.3 rung (c)):
     * [[graft.plans.AsOfJoinNode]] plans to
     * [[graft.plans.AsOfMergeJoinExec]] via the injected

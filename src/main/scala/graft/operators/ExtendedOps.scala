@@ -28,6 +28,27 @@ object ExtendedOps {
         .orderBy("event_id")
     },
 
+    // ---- FORWARD as-of: the next click AT OR AFTER each purchase —
+    //      next-event attribution, the mirror of q53's most-recent-prior.
+    //      Same single-shuffle union+window shape with the frame flipped
+    //      to current..unbounded-following. ----
+    Q("q169_asof_forward",
+      """SELECT a.event_id, a.user_id, b.event_id AS next_click_id,
+        |  b.ts AS next_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND a.ts <= b.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      AsOfJoin.asOfForward(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click"),
+        keyL = "user_id", keyR = "user_id", tsL = "ts", tsR = "ts",
+        rightPayload = Seq("event_id" -> "next_click_id", "ts" -> "next_click_ts"))
+        .select("event_id", "user_id", "next_click_id", "next_click_ts")
+        .orderBy("event_id")
+    },
+
     // ---- as-of join on the custom PHYSICAL operator (same semantics and
     //      oracle as q53; plan is AsOfMergeJoinExec via the injected
     //      strategy instead of the composed window) ----
