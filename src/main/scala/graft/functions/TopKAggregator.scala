@@ -20,8 +20,20 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // SQL `ORDER BY value DESC, id` semantics exactly (the q163 oracle):
+  // NaN ranks LARGEST (Double.compare), and -0.0 normalizes to 0.0 so
+  // zero-valued rows tie and fall through to the id tie-break — the
+  // earlier sortBy(-s) negated NaN/-0.0 and ordered both opposite to SQL
+  private def norm(s: Double): Double = if (s == 0.0) 0.0 else s
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1)) // DESC
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy { case (s, id) => (-s, id) }.take(k)
+    xs.sorted(ord).take(k)
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
     trim(buf :+ in)

@@ -75,7 +75,12 @@ object AsOfJoin {
                   keyL: String, keyR: String, tsL: String, tsR: String,
                   rightPayload: Seq[(String, String)]): DataFrame = {
     val payloadStruct = struct(rightPayload.map { case (c, a) => col(c).as(a) }: _*)
-    val r = right.filter(col(tsR).isNotNull).select(
+    // null-key right rows can match nothing under SQL equality — and
+    // unlike the backward form, a null left TIMESTAMP here sorts NULLS
+    // FIRST into a frame that covers the whole partition, so both null
+    // cases are masked explicitly below (ASOF `l.ts <= r.ts` yields NULL
+    // payload for them)
+    val r = right.filter(col(tsR).isNotNull && col(keyR).isNotNull).select(
       col(keyR).as("_k"), col(tsR).as("_t"), lit(1).as("_side"),
       payloadStruct.as("_p"))
     val payloadType = r.schema("_p").dataType
@@ -89,7 +94,10 @@ object AsOfJoin {
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     l.union(rAligned)
-      .withColumn("_match", first(col("_p"), ignoreNulls = true).over(w))
+      .withColumn("_match",
+        when(col("_k").isNull || col("_t").isNull,
+          lit(null).cast(payloadType))
+          .otherwise(first(col("_p"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 0)
       .select(leftCols.map(col) ++
         rightPayload.map { case (_, a) => col(s"_match.$a").as(a) }: _*)

@@ -38,8 +38,9 @@ object MultimodalOps {
       f: Long => Multimodal.MediaRecord): Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
     val path = mediaCache.computeIfAbsent(s"$d|$family", _ => {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-media-$family")
-      tmp.toFile.deleteOnExit()
+      // TempDirs, not deleteOnExit: a dir holding parquet is never empty,
+      // so deleteOnExit would leak it past JVM exit
+      val tmp = graft.TempDirs.create(s"graft-media-$family")
       genMedia(s, d, f).write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
     })

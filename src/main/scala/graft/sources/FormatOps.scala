@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
@@ -32,6 +30,16 @@ object FormatOps {
   private def docCols = Seq(
     col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
 
+  // dir|format -> the ONE temp dir this JVM writes that round-trip into
+  // (each invocation overwrite-writes the same dir — the write is the
+  // operator under test — but repeated bench/verify passes must not
+  // accumulate a fresh full-table copy per call)
+  private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rtDir(d: String, fmt: String): String =
+    rtDirs.computeIfAbsent(s"$d|$fmt",
+      _ => graft.TempDirs.create(s"graft-$fmt").toString)
+
   val defs: Seq[Q] = Seq(
 
     // ---- ORC round-trip, partitioned by source: the partition column
@@ -39,11 +47,10 @@ object FormatOps {
     //      must come back value-identical on read; doc_id/n_chars must
     //      come back as the same int64. ----
     Q("q144_orc_roundtrip", DocsSql) { (s, d) =>
-      val tmp = Files.createTempDirectory("graft-orc")
-      tmp.toFile.deleteOnExit()
+      val tmp = rtDir(d, "orc")
       Tables.t(s, d, "documents")
-        .write.mode("overwrite").partitionBy("source").orc(tmp.toString)
-      s.read.orc(tmp.toString)
+        .write.mode("overwrite").partitionBy("source").orc(tmp)
+      s.read.orc(tmp)
         // partition-column type inference would read 'src0' back as a
         // string anyway, but pin it: a numeric-looking partition value
         // (source='123') would otherwise silently come back as INT
@@ -57,11 +64,10 @@ object FormatOps {
     //      corpus scale). Gates string escaping and int64 fidelity
     //      (doc_id must not round-trip through a double). ----
     Q("q145_jsonl_roundtrip", DocsSql) { (s, d) =>
-      val tmp = Files.createTempDirectory("graft-jsonl")
-      tmp.toFile.deleteOnExit()
+      val tmp = rtDir(d, "jsonl")
       val docs = Tables.t(s, d, "documents")
-      docs.write.mode("overwrite").json(tmp.toString)
-      s.read.schema(docs.schema).json(tmp.toString)
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
         .select(docCols: _*)
         .orderBy("doc_id")
     }

@@ -188,4 +188,36 @@ class ExtendedOpsSpec extends SparkTestBase {
           s"exact=${r.getAs[Long]("exact_users")}")
     }
   }
+
+  test("asOfForward: earliest at-or-after match; null left ts/key yield null payload") {
+    val left = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 10:00:00"), "p1"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp], "pNullTs"),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:00:00"), "pNullKey"),
+      (java.lang.Long.valueOf(2L), ts("2024-01-01 09:00:00"), "pNoNext"))
+      .toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // same instant: matches (>=)
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 08:00:00"), 200L)) // strictly before: no match
+      .toDF("user_id", "ts", "click_id")
+    val out = AsOfJoin.asOfForward(left, right, "user_id", "user_id", "ts", "ts",
+        Seq("click_id" -> "next_id"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Long]("next_id"))).toMap
+    assert(out("p1") === Some(100L))       // same-instant right matches
+    assert(out("pNullTs") === None)        // NULL ts never compares true
+    assert(out("pNullKey") === None)       // NULL key equality never matches
+    assert(out("pNoNext") === None)        // only earlier rows exist
+  }
+
+  test("TopKAggregator orders NaN largest and ties -0.0 with 0.0 (SQL DESC)") {
+    import graft.functions.TopKAggregator
+    val topk = new TopKAggregator(3)
+    val merged = topk.finish(Seq(
+      (0.0, 5L), (-0.0, 3L), (Double.NaN, 9L), (1.5, 1L)))
+    // SQL ORDER BY value DESC, id: NaN first, then 1.5, then the two
+    // zeros tie and break by id (3 before 5 — sign of zero irrelevant)
+    assert(merged.map(_._2) === Seq(9L, 1L, 3L))
+  }
 }
