@@ -152,6 +152,74 @@ object ProfileOps {
         .orderBy(col("true_count").desc, col("token"))
     },
 
+    // ---- Benford first-digit profile: leading-digit counts of a
+    //      positive measure — the fraud/synthetic-data smell test (real
+    //      multiplicative data skews toward low digits; uniform synthetic
+    //      data does not, WHICH IS ITSELF the fixture's signal). Integer
+    //      extraction via string prefix of the floored value — no logs.
+    //      One narrow map + one 9-row aggregation. ----
+    Q("q170_benford_digits",
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1)
+        |SELECT digit, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM d) AS DOUBLE)
+        |    AS frac
+        |FROM d GROUP BY digit ORDER BY digit""".stripMargin) { (s, d) =>
+      val dd = Tables.t(s, d, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+      val total = dd.count()
+      dd.groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / lit(total).cast("double")).as("frac"))
+        .orderBy("digit")
+    },
+
+    // ---- join-coverage audit: what fraction of fact keys actually
+    //      resolve against each dimension — the ETL health metric to
+    //      check BEFORE an inner join silently drops rows. Left-join
+    //      null counting per dimension, exact integers + one division;
+    //      at scale each leg is one equi-join + one agg, dims broadcast
+    //      when small. ----
+    Q("q171_join_coverage",
+      """WITH l AS (
+        |  SELECT 'lineitem->orders' AS leg, count(*) AS n_rows,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_miss
+        |  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*),
+        |    sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM lineitem li LEFT JOIN part p ON li.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT leg, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_miss AS BIGINT) AS n_miss,
+        |  CAST(n_rows - n_miss AS DOUBLE) / CAST(n_rows AS DOUBLE) AS coverage
+        |FROM l ORDER BY leg""".stripMargin) { (s, d) =>
+      def leg(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+              dim: org.apache.spark.sql.DataFrame, pk: String) =
+        fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(pk).isNull, 1).otherwise(0)).cast("long").as("n_miss"))
+          .select(lit(name).as("leg"), col("n_rows"), col("n_miss"))
+      val li = Tables.t(s, d, "lineitem")
+      val ords = Tables.t(s, d, "orders")
+      leg("lineitem->orders", li, "l_orderkey", ords, "o_orderkey")
+        .unionByName(leg("lineitem->part", li, "l_partkey",
+          Tables.t(s, d, "part"), "p_partkey"))
+        .unionByName(leg("orders->customer", ords, "o_custkey",
+          Tables.t(s, d, "customer"), "c_custkey"))
+        .select(col("leg"), col("n_rows"), col("n_miss"),
+          ((col("n_rows") - col("n_miss")).cast("double") /
+            col("n_rows").cast("double")).as("coverage"))
+        .orderBy("leg")
+    },
+
     // ---- equi-width histogram in exact integer CENTS: the profiling
     //      staple q66 lacks. Two passes — one tiny min/max agg (broadcast
     //      as a 1-row bound frame, the Profile.scala pattern), one
