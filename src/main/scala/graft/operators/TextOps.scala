@@ -454,6 +454,28 @@ object TextOps {
     //      equi-join on the token, both sides pre-hashed by the same key
     //      from their aggregations (the q59 TF-IDF shape). Bottom-50 is
     //      TakeOrderedAndProject, not a full sort. ----
+    // ---- text canonicalization: lowercase, strip non-alnum/space,
+    //      collapse runs of whitespace, trim — the normalization EVERY
+    //      fingerprint/dedup stage should run first (q36/q114 hash raw
+    //      text; a canonicalizer drift silently decorrelates them from
+    //      a normalized pipeline). Gate hashes the normalized text plus
+    //      a changed? flag; pure per-row expression chain, zero
+    //      exchange, streaming-safe. ----
+    Q("q172_text_canonicalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS canon,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val canon = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " "))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), canon.as("canon"),
+          (canon =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    },
+
     // ---- tokenizer-coverage / OOV audit: fix the vocabulary at the
     //      top-100 corpus tokens (freq desc, token tie-break) and report
     //      each source's out-of-vocabulary token rate. The per-source OOV
