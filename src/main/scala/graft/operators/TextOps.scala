@@ -50,6 +50,67 @@ object TextOps {
        |           ELSE acc || '|' || x END), 2, 2147483647), '|') AS syms
        |  FROM s${r - 1}, b$r b)""".stripMargin
 
+  /** One DuckDB BATCHED-BPE pass (the oracle replica of
+    * [[Bpe.mergesBatched]]'s loop): pair counts from state g(b-1), rank
+    * by (pf DESC, lft, rgt) windowed to top-K, then a RECURSIVE CTE walks
+    * the window in rank order carrying the kept-left/kept-right lists —
+    * keep a pair iff its lft is in no kept pair's rights and its rgt in
+    * no kept pair's lefts (the adjacency-conflict rule, list_contains),
+    * stop growing at m kept — and the kept pairs are applied greedily in
+    * rank order. Each apply step pairs the
+    * state with a 1-row (min-agg) merge helper whose lft/rgt coalesce to
+    * '' when the j-th kept merge doesn't exist — '' can't equal any
+    * (non-empty) symbol, so the fold is the identity for missing js,
+    * exactly the engine's "fewer than batchSize kept" behavior. */
+  private def bpeBatchCte(b: Int, m: Int, k: Int): String = {
+    val prev = if (b == 1) "s0" else s"g${b - 1}"
+    val applies = (1 to m).map { j =>
+      val in = if (j == 1) prev else s"ga${b}_${j - 1}"
+      s"""mj${b}_$j AS (SELECT coalesce(min(lft), '') AS lft,
+         |  coalesce(min(rgt), '') AS rgt FROM bk$b WHERE j = $j),
+         |ga${b}_$j AS (
+         |  SELECT freq,
+         |    string_split(substr(list_reduce(list_prepend('', syms), (acc, x) ->
+         |      CASE WHEN x = b.rgt AND ends_with(acc, '|' || b.lft)
+         |           THEN substr(acc, 1, length(acc) - length(b.lft) - 1) || '|' || b.lft || b.rgt
+         |           ELSE acc || '|' || x END), 2, 2147483647), '|') AS syms
+         |  FROM $in, mj${b}_$j b)""".stripMargin
+    }.mkString(",\n")
+    s"""bp$b AS (
+       |  SELECT lft, rgt, sum(freq) AS pf FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INTEGER)])) AS lft,
+       |      unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INTEGER)+1])) AS rgt
+       |    FROM $prev) u GROUP BY lft, rgt),
+       |bt$b AS (SELECT * FROM (
+       |    SELECT lft, rgt, pf, row_number() OVER (ORDER BY pf DESC, lft, rgt) AS rk
+       |    FROM bp$b) w WHERE rk <= $k),
+       |w$b AS (
+       |  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS kl,
+       |    CAST([] AS VARCHAR[]) AS kr, CAST([] AS BIGINT[]) AS kf
+       |  UNION ALL
+       |  SELECT t.rk,
+       |    CASE WHEN len(w.kl) < $m AND NOT list_contains(w.kr, t.lft)
+       |           AND NOT list_contains(w.kl, t.rgt)
+       |      THEN w.kl || [t.lft] ELSE w.kl END,
+       |    CASE WHEN len(w.kl) < $m AND NOT list_contains(w.kr, t.lft)
+       |           AND NOT list_contains(w.kl, t.rgt)
+       |      THEN w.kr || [t.rgt] ELSE w.kr END,
+       |    CASE WHEN len(w.kl) < $m AND NOT list_contains(w.kr, t.lft)
+       |           AND NOT list_contains(w.kl, t.rgt)
+       |      THEN w.kf || [t.pf] ELSE w.kf END
+       |  FROM w$b w JOIN bt$b t ON t.rk = w.rk + 1),
+       |bk$b AS (
+       |  SELECT s.j, f.kl[CAST(s.j AS INTEGER)] AS lft,
+       |    f.kr[CAST(s.j AS INTEGER)] AS rgt,
+       |    f.kf[CAST(s.j AS INTEGER)] AS pf
+       |  FROM (SELECT kl, kr, kf FROM w$b ORDER BY rk DESC LIMIT 1) f,
+       |       (SELECT unnest(range(1, $m + 1)) AS j) s
+       |  WHERE s.j <= len(f.kl)),
+       |$applies,
+       |g$b AS (SELECT * FROM ga${b}_$m)""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- BPE merge induction (tokenizer training, Sennrich shape): 10
@@ -102,6 +163,60 @@ object TextOps {
         body(Bpe.encodedCached(Tables.t(s, d, "documents"), "text",
           rounds = 10, cacheKey = d))
       }
+    },
+
+    // ---- BATCHED BPE training (the 100 TB trainer shape): 4 corpus
+    //      passes × up-to-5 merges per pass instead of one pass per
+    //      merge — ~batchSize× fewer Spark jobs per merge (BpeBatchedSpec
+    //      measures the reduction; Bpe.mergesBatched documents the
+    //      conflict rule). The oracle replays EVERY pass: pair counting,
+    //      the top-20 rank window, the recursive adjacent-conflict keep
+    //      walk, and the greedy in-rank-order application — so a drift
+    //      in any pass's selection OR application breaks the hash. ----
+    Q("q174_bpe_batched", {
+      val B = 4; val M = 5; val K = 20
+      val raw = s"""WITH RECURSIVE $bpeBaseCte,
+         |${(1 to B).map(b => bpeBatchCte(b, M, K)).mkString(",\n")}
+         |SELECT CAST(batch AS INTEGER) AS batch, CAST(j AS INTEGER) AS j,
+         |  lft, rgt, CAST(pair_freq AS BIGINT) AS pair_freq FROM (
+         |${(1 to B).map(b =>
+             s"  SELECT $b AS batch, j, lft, rgt, pf AS pair_freq FROM bk$b")
+             .mkString("\n  UNION ALL\n")})
+         |ORDER BY batch, j""".stripMargin
+      // force single evaluation of every CTE: DuckDB inlines CTE
+      // references, and this chain references each batch state from both
+      // the next batch's pair count and m apply steps — un-materialized,
+      // evaluation compounds exponentially across batches (measured:
+      // >120 s un-hinted vs 0.9 s materialized at sf0.001)
+      raw.replaceAll(
+        """\b(t0|s0|bp\d+|bt\d+|w\d+|bk\d+|mj\d+_\d+|ga\d+_\d+|g\d+) AS \(""",
+        "$1 AS MATERIALIZED (")
+    }) { (s, d) =>
+      Bpe.mergesBatched(Tables.t(s, d, "documents"), "text",
+        passes = 4, batchSize = 5).orderBy("batch", "j")
+    },
+
+    // ---- BPE DECODE round-trip (pieces → text, the inverse of q141):
+    //      re-concatenating every encoded type's symbols must reproduce
+    //      the original word-type table exactly — same words, same
+    //      frequencies, corpus-wide (n_types = n_roundtrip). Full outer
+    //      join, so a lost AND an invented word both surface. The oracle
+    //      replays the full 10-round train+apply chain before
+    //      decoding. ----
+    Q("q173_bpe_decode", {
+      val R = 10
+      s"""WITH $bpeBaseCte,
+         |${(1 to R).map(bpeRoundCte).mkString(",\n")},
+         |rec AS (SELECT array_to_string(syms, '') AS w, sum(freq) AS f_rec
+         |        FROM s$R GROUP BY 1),
+         |orig AS (SELECT array_to_string(syms, '') AS w, sum(freq) AS f_orig
+         |         FROM s0 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN rec.f_rec = orig.f_orig THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_roundtrip
+         |FROM rec FULL JOIN orig USING (w)""".stripMargin
+    }) { (s, d) =>
+      Bpe.decodeRoundTrip(Tables.t(s, d, "documents"), "text", rounds = 10)
     },
 
     // ---- G1: explode + top-k over generated rows ----
