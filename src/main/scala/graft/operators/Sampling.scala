@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Documented cap on stratum cardinality for [[stratifiedQuotaSample]]:
+    * the two-pass design collects a per-(stratum, bucket) histogram to the
+    * driver, which is only "tiny by construction" while the stratum column
+    * is a genuine stratification key (language, source, split — tens to
+    * thousands of values). 4096 strata × 1024 buckets ≈ 4M short rows is
+    * the most the driver is ever asked to hold. */
+  val MaxStrata = 4096
+
   /** Stable bucket in [0, buckets) from the row id — md5-based, so uniform
     * and reproducible in any engine (no salt, no rand). */
   def hashBucket(id: Column, buckets: Int): Column =
@@ -81,12 +89,24 @@ object Sampling {
       .withColumn("b",
         expr(s"CAST(conv(substring(hfull, 1, 8), 16, 10) AS BIGINT) div $bucketShift"))
     // pass 1: per-(stratum, bucket) histogram — a two-phase count whose
-    // output is |strata|·1024 rows, tiny BY CONSTRUCTION, so the boundary
-    // walk runs driver-side (the same O(summary) argument as k-means
-    // centroids; windowing the histogram instead would duplicate the
-    // whole subtree under the Union's two consumers below)
-    val hist = rows.groupBy(col("stratum"), col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // output is |strata|·1024 rows, tiny for a REAL stratum column
+    // (lang/source/split), so the boundary walk runs driver-side (the
+    // same O(summary) argument as k-means centroids; windowing the
+    // histogram instead would duplicate the whole subtree under the
+    // Union's two consumers below). That "tiny" claim only holds while
+    // |strata| is bounded, so it is enforced (round-5 verdict): take()
+    // caps what can ever reach the driver, and a stratum column with more
+    // than MaxStrata distinct values (a doc_id passed by mistake) fails
+    // with a clear require() instead of a driver OOM.
+    val histCap = MaxStrata * 1024 // ≥ any compliant column's histogram
+    val taken = rows.groupBy(col("stratum"), col("b"))
+      .agg(count(lit(1)).as("c")).take(histCap + 1)
+    lazy val nStrata = taken.iterator.map(_.getString(0)).toSet.size
+    require(taken.length <= histCap && nStrata <= MaxStrata,
+      s"stratifiedQuotaSample: stratum column '$strataCol' has more than " +
+        s"$MaxStrata distinct values — the per-stratum histogram would no " +
+        "longer be driver-sized; pass a bounded stratum (lang/source/split)")
+    val hist = taken.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val info = hist.groupBy(_._1).toSeq.map { case (stratum, unsorted) =>
       val buckets = unsorted.sortBy(_._2)
       val n = buckets.map(_._3).sum
