@@ -31,7 +31,15 @@ object ExtendedOps {
     // ---- FORWARD as-of: the next click AT OR AFTER each purchase —
     //      next-event attribution, the mirror of q53's most-recent-prior.
     //      Same single-shuffle union+window shape with the frame flipped
-    //      to current..unbounded-following. ----
+    //      to current..unbounded-following.
+    //      TIE-BREAK ASSUMPTION (round-5 advice): among right rows with
+    //      identical (user_id, ts) the engine pins the struct-MIN payload,
+    //      but DuckDB's ASOF tie-break for duplicate match timestamps is
+    //      unspecified — this hash gate holds because the events fixture
+    //      has at most one click per (user_id, ts) (event ts carries
+    //      microsecond precision; ExtendedOpsSpec pins the fixture
+    //      property so a regenerated fixture that breaks it fails
+    //      loudly). ----
     Q("q169_asof_forward",
       """SELECT a.event_id, a.user_id, b.event_id AS next_click_id,
         |  b.ts AS next_click_ts

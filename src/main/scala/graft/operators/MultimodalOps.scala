@@ -37,7 +37,11 @@ object MultimodalOps {
   private def cachedMedia(s: SparkSession, d: String, family: String,
       f: Long => Multimodal.MediaRecord): Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
-    val path = mediaCache.computeIfAbsent(s"$d|$family", _ => {
+    // canonical path, not the raw string: '/x/sf0.1' and '/x/sf0.1/' must
+    // hit the SAME cache entry, or each variant materializes its own
+    // full-table parquet copy in /tmp
+    val dKey = new java.io.File(d).getCanonicalPath
+    val path = mediaCache.computeIfAbsent(s"$dKey|$family", _ => {
       // TempDirs, not deleteOnExit: a dir holding parquet is never empty,
       // so deleteOnExit would leak it past JVM exit
       val tmp = graft.TempDirs.create(s"graft-media-$family")

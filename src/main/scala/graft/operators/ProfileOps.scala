@@ -157,7 +157,11 @@ object ProfileOps {
     //      multiplicative data skews toward low digits; uniform synthetic
     //      data does not, WHICH IS ITSELF the fixture's signal). Integer
     //      extraction via string prefix of the floored value — no logs.
-    //      One narrow map + one 9-row aggregation. ----
+    //      One narrow map + one 9-row aggregation; the grand total is a
+    //      window-sum OVER the 9-row digit aggregate (single-partition
+    //      window over ≤9 rows — free), so the whole result is ONE plan
+    //      with ONE orders scan and no eager driver-side count whose
+    //      literal could go stale if the table changes between runs. ----
     Q("q170_benford_digits",
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
@@ -171,19 +175,26 @@ object ProfileOps {
         .filter(col("o_totalprice") >= 1)
         .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
           1, 1).cast("int").as("digit"))
-      val total = dd.count()
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       dd.groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(wAll))
         .select(col("digit"), col("n"),
-          (col("n").cast("double") / lit(total).cast("double")).as("frac"))
+          (col("n").cast("double") / col("total").cast("double")).as("frac"))
         .orderBy("digit")
     },
 
     // ---- join-coverage audit: what fraction of fact keys actually
     //      resolve against each dimension — the ETL health metric to
     //      check BEFORE an inner join silently drops rows. Left-join
-    //      null counting per dimension, exact integers + one division;
-    //      at scale each leg is one equi-join + one agg, dims broadcast
-    //      when small. ----
+    //      null counting per dimension, exact integers + one division.
+    //      Both lineitem legs come off ONE fact scan (round-5 verdict):
+    //      left-join orders AND part in sequence (each dim key unique,
+    //      so row count is preserved), count both null keys in one agg,
+    //      then stack() the pair into the two output rows — at 100 TB
+    //      that's one lineitem scan instead of two (PlanSpec pins it),
+    //      dims broadcast when small. ----
     Q("q171_join_coverage",
       """WITH l AS (
         |  SELECT 'lineitem->orders' AS leg, count(*) AS n_rows,
@@ -209,9 +220,19 @@ object ProfileOps {
           .select(lit(name).as("leg"), col("n_rows"), col("n_miss"))
       val li = Tables.t(s, d, "lineitem")
       val ords = Tables.t(s, d, "orders")
-      leg("lineitem->orders", li, "l_orderkey", ords, "o_orderkey")
-        .unionByName(leg("lineitem->part", li, "l_partkey",
-          Tables.t(s, d, "part"), "p_partkey"))
+      val liLegs = li.select(col("l_orderkey"), col("l_partkey"))
+        .join(ords.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(Tables.t(s, d, "part").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .agg(count(lit(1)).as("nr"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long")
+            .as("miss_o"),
+          sum(when(col("p_partkey").isNull, 1).otherwise(0)).cast("long")
+            .as("miss_p"))
+        .selectExpr("stack(2, 'lineitem->orders', nr, miss_o, " +
+          "'lineitem->part', nr, miss_p) AS (leg, n_rows, n_miss)")
+      liLegs
         .unionByName(leg("orders->customer", ords, "o_custkey",
           Tables.t(s, d, "customer"), "c_custkey"))
         .select(col("leg"), col("n_rows"), col("n_miss"),

@@ -375,11 +375,15 @@ object WindowingOps {
 
     // ---- DAU / WAU stickiness: daily actives over trailing-7-day
     //      actives — the growth metric every product pipeline reports.
-    //      The trailing window is a range join of the DAY DIMENSION
-    //      (tiny, broadcast) against the distinct (user, day) activity
-    //      table: each activity row lands in ≤7 day groups, then one
-    //      count-distinct per day. No per-user window, no self-join of
-    //      the activity table. ----
+    //      Each distinct (user, day) activity row EXPLODES into the ≤7
+    //      future days whose trailing window contains it (sequence(day,
+    //      day+6)), then an EQUI-join against the day dimension keeps
+    //      only days that exist, then one count-distinct per day. The
+    //      equi-join plans as a broadcast HASH join — the BETWEEN form
+    //      planned as BroadcastNestedLoopJoin, comparing every activity
+    //      row against every day (O(|ud|·|days|), quadratic in the time
+    //      range). No per-user window, no self-join of the activity
+    //      table. ----
     Q("q165_dau_wau",
       """WITH ud AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
@@ -400,8 +404,9 @@ object WindowingOps {
         .distinct()
       val days = ud.select(col("day").as("d0")).distinct()
       val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-      val wau = ud.join(broadcast(days),
-          col("day") >= col("d0") - 6 && col("day") <= col("d0"))
+      val wau = ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 6L)")).as("d0"))
+        .join(broadcast(days), "d0")
         .groupBy(col("d0"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .withColumnRenamed("d0", "day")

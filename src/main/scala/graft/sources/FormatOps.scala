@@ -37,7 +37,10 @@ object FormatOps {
   private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def rtDir(d: String, fmt: String): String =
-    rtDirs.computeIfAbsent(s"$d|$fmt",
+    // canonical path, not the raw string: '/x/sf0.1' and '/x/sf0.1/' must
+    // hit the SAME cache entry, or each variant materializes its own
+    // full-table copy in /tmp
+    rtDirs.computeIfAbsent(s"${new java.io.File(d).getCanonicalPath}|$fmt",
       _ => graft.TempDirs.create(s"graft-$fmt").toString)
 
   val defs: Seq[Q] = Seq(

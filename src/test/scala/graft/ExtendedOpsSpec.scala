@@ -211,6 +211,18 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(out("pNoNext") === None)        // only earlier rows exist
   }
 
+  test("events fixture: at most one click per (user_id, ts) — the q53/q169 " +
+    "ASOF tie-break assumption (DuckDB's duplicate-match-ts order is " +
+    "unspecified, so the hash gates require the fixture to have no ties)") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dups = Tables.t(spark, sf, "events")
+        .filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+      assert(dups === 0L, s"duplicate (user_id, ts) click rows at $sf")
+    }
+  }
+
   test("TopKAggregator orders NaN largest and ties -0.0 with 0.0 (SQL DESC)") {
     import graft.functions.TopKAggregator
     val topk = new TopKAggregator(3)

@@ -471,6 +471,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Filter (source"), p)
   }
 
+  test("q171: both lineitem coverage legs ride ONE lineitem scan") {
+    val p = planOf(q("q171_join_coverage")).split("== Initial Plan ==").head
+    // the two lineitem->dim legs share a single fact scan (left-join both
+    // unique-key dims in sequence, one agg, stack into two rows) — a
+    // per-leg scan doubles the 100 TB fact read
+    assert("lineitem".r.findAllIn(
+      p.linesIterator.filter(_.contains("FileScan parquet")).mkString("\n"))
+      .size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p) // dims broadcast at this SF
+  }
+
+  test("q170: Benford total is computed in-plan (one orders scan, no " +
+    "BroadcastNestedLoopJoin)") {
+    val p = planOf(q("q170_benford_digits")).split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q165: trailing-7-day membership is an equi-join (hash), never a " +
+    "nested-loop day×activity compare") {
+    val p = planOf(q("q165_dau_wau")).split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
