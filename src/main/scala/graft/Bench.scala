@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ambient load BEFORE this process does any work: loadavg_before is
+    // read after the (all-core) warmup passes, so its 1-minute field
+    // reflects the bench's own warmup, not the box — this field is the
+    // one that adjudicates "was the box idle when the run started"
+    val loadAtStart =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")
+        .take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -71,8 +79,9 @@ object Bench {
         val t0 = System.nanoTime()
         // q.bench, not q.run: identical semantics, but decode-family
         // queries read pre-materialized payloads so the timed number is
-        // scan + decode, not per-run fixture synthesis (run 1 pays the
-        // one-off materialization; the median is runs 2-3 territory)
+        // scan + decode, not per-run fixture synthesis (the prime loop
+        // above already paid every one-off materialization, so all three
+        // timed passes measure steady-state work)
         val t = try { q.bench(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
@@ -105,7 +114,8 @@ object Bench {
     val total = results.collect { case (_, med, _, true) => med }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,""" +
-        s""""pass_order":"round_robin","loadavg_before":$loadBefore,""" +
+        s""""pass_order":"round_robin","loadavg_at_start":$loadAtStart,""" +
+        s""""loadavg_before":$loadBefore,""" +
         s""""loadavg_after":$loadAfter,"wall_start_ms":$tStart,"wall_end_ms":$tEnd,""" +
         s""""queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
