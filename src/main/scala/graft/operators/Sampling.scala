@@ -206,6 +206,41 @@ object Sampling {
         .orderBy("band")
     },
 
+    // ---- weighted PRIORITY sample (deterministic A-ES/priority-sampling
+    //      shape): one global top-k where each doc's inclusion odds scale
+    //      with its token count — the "sample documents proportional to
+    //      length" draw a token-budgeted pretraining mix uses, vs q118's
+    //      per-band Bernoulli (band-level rates, no global k) and q121's
+    //      UNWEIGHTED per-stratum quota. The priority is pure integer
+    //      math: pri = (h << 20) div w with h the doc's 32-bit md5 prefix
+    //      and w its token count — dividing a uniform integer by the
+    //      weight is the integer-quantized image of the u^(1/w) key
+    //      (smaller pri ⟺ larger weighted key), so the k smallest
+    //      priorities are a weight-biased reproducible draw with NO rand()
+    //      and NO libm (Q.scala float rules). At 100 TB this is a narrow
+    //      map + TakeOrderedAndProject (per-partition top-k, k rows to the
+    //      driver) — no global sort, no shuffle of the corpus. ----
+    Q("q176_priority_sample",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, w,
+        |  (h * 1048576) // w AS pri
+        |FROM q ORDER BY pri, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(size(tokens(col("text"))).cast("long"), lit(1L)).as("w"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .select(col("doc_id"), col("source"), col("w"),
+          expr("(h * 1048576) div w").as("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(100)
+    },
+
     // ---- stratified EXACT-count sample: per language keep the lowest
     //      20% of docs by md5 rank — an exact-quota stratified draw
     //      (row_number over the md5 order), unlike q118's per-row

@@ -653,6 +653,66 @@ object TextOps {
         .limit(50)
     },
 
+    // ---- bigram coherence (the second-order companion to q120's
+    //      unigram commonness): score each doc by how often its ADJACENT
+    //      token pairs recur corpus-wide, relative to how common the
+    //      pairs' lead tokens are — sum(bigram_freq) / sum(unigram_freq)
+    //      over the doc's bigrams. Shuffled/garbled text has common
+    //      unigrams but rare bigrams, so it scores low; the 50 least
+    //      coherent docs are the degenerate-text review queue a quality
+    //      pipeline feeds to a human (or a perplexity model) before
+    //      filtering. Both frequency tables are corpus-sized — NEVER
+    //      broadcast (the q120 rule); the exploded bigram stream is
+    //      hash-joined to each (shuffle_hash: building a hash map of the
+    //      frequency table beats sorting the much larger probe stream),
+    //      then one two-phase agg keyed by doc_id. Counts are exact
+    //      integers; the score is one double division (Q.scala ratio
+    //      rule); total order (coherence, doc_id). ----
+    Q("q175_bigram_coherence",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)])) AS l,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)+1])) AS r
+        |  FROM t WHERE len(toks) >= 2),
+        |uf AS (SELECT w, count(*) AS uc FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |bf AS (SELECT l, r, count(*) AS bc FROM bg GROUP BY l, r),
+        |sc AS (SELECT g.doc_id, count(*) AS nbg,
+        |         sum(bf.bc) AS sum_bf, sum(uf.uc) AS sum_uf
+        |       FROM bg g
+        |       JOIN bf ON g.l = bf.l AND g.r = bf.r
+        |       JOIN uf ON g.l = uf.w
+        |       GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(nbg AS BIGINT) AS nbg,
+        |  CAST(sum_bf AS BIGINT) AS sum_bf, CAST(sum_uf AS BIGINT) AS sum_uf,
+        |  CAST(sum_bf AS DOUBLE) / CAST(sum_uf AS DOUBLE) AS coherence
+        |FROM sc ORDER BY coherence ASC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val docs = Tables.t(s, d, "documents")
+      val bg = docs
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("pr"))
+        .select(col("doc_id"), col("pr.l").as("l"), col("pr.r").as("r"))
+      val uf = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("uc"))
+      val bf = bg.groupBy("l", "r").agg(count(lit(1)).as("bc"))
+      bg.join(bf.hint("shuffle_hash"), Seq("l", "r"))
+        .join(uf.hint("shuffle_hash"), col("l") === col("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nbg"),
+          sum(col("bc")).cast("long").as("sum_bf"),
+          sum(col("uc")).cast("long").as("sum_uf"))
+        .select(col("doc_id"), col("nbg"), col("sum_bf"), col("sum_uf"),
+          (col("sum_bf").cast("double") / col("sum_uf").cast("double"))
+            .as("coherence"))
+        .orderBy(col("coherence").asc, col("doc_id"))
+        .limit(50)
+    },
+
     // ---- Gopher-style composite quality filter as a funnel report:
     //      four rules (length, stopword presence, distinct-token
     //      repetition, mean word length) evaluated per doc, per-source

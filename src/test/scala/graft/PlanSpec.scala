@@ -498,6 +498,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("q176: weighted priority sample is a narrow map + top-k — no " +
+    "shuffle of the corpus, no full sort") {
+    val p = planOf(q("q176_priority_sample")).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q175: corpus-sized frequency tables hash-join (never broadcast), " +
+    "final top-k not a full sort") {
+    val p = planOf(q("q175_bigram_coherence")).split("== Initial Plan ==").head
+    // both the bigram- and unigram-frequency tables grow with the corpus:
+    // a broadcast would OOM the driver at 100 TB
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
