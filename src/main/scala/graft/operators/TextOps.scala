@@ -630,6 +630,45 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- SALTED skew join: the portable hot-key remedy, demonstrated
+    //      end-to-end. The exploded token stream is Zipf-skewed — one
+    //      hash partition inherits every 'the' — and when the other side
+    //      is corpus-sized (df table: can't broadcast) AND the key is a
+    //      single hot VALUE, AQE's skew-join can't help either (it splits
+    //      oversized shuffle FILES of a sort-merge join; a hot build KEY
+    //      in a hash join is indivisible). Remedy: probe rows carry
+    //      salt = token_position mod R (deterministic, no rand), the df
+    //      table is exploded into R copies (salt 0..R-1), and the join
+    //      key becomes (w, salt) — the hot key's rows spread over R
+    //      partitions, build side grows R×|vocab| (bounded), result set
+    //      IDENTICAL to the unsalted join, which is exactly what the
+    //      oracle replays (plain join, no salt: the gate proves salting
+    //      is semantics-free). PlanSpec pins the (w, salt) join key. ----
+    Q("q177_salted_join",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cf AS (SELECT w, count(*) AS dfc FROM tok GROUP BY w)
+        |SELECT t.source, count(*) AS ntok,
+        |  CAST(sum(cf.dfc) AS BIGINT) AS sum_df,
+        |  CAST(sum(cf.dfc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM tok t JOIN cf ON t.w = cf.w
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      val R = 8
+      val tok = Tables.t(s, d, "documents")
+        .select(col("source"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val df0 = tok.groupBy("w").agg(count(lit(1)).as("dfc"))
+      val salted = df0.select(col("w"), col("dfc"),
+        explode(sequence(lit(0), lit(R - 1))).as("salt"))
+      tok.withColumn("salt", pmod(col("pos"), lit(R)))
+        .join(salted.hint("shuffle_hash"), Seq("w", "salt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ntok"),
+          sum(col("dfc")).cast("long").as("sum_df"),
+          (sum(col("dfc")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_df"))
+        .orderBy("source")
+    },
+
     Q("q120_unigram_commonness",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -515,6 +515,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q177: salted join keys on (w, salt) — the hot token spreads over " +
+    "R partitions; df side never broadcasts") {
+    val p = planOf(q("q177_salted_join")).split("== Initial Plan ==").head
+    assert(p.contains("ShuffledHashJoin [w#"), p)
+    // the join key must include the salt column, or the demo degrades to
+    // the plain skewed join
+    assert("ShuffledHashJoin \\[w#\\d+, salt#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
