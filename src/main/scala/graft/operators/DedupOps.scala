@@ -496,6 +496,72 @@ object DedupOps {
           col("doc_id").as("canonical_doc"),
           col("n_chars").as("canonical_chars"))
         .orderBy("cluster_label")
+    },
+
+    // ---- SEGMENT-level dedup profile (the fixed-width analog of
+    //      CCNet/C4 paragraph dedup: these docs are single-line token
+    //      streams, so the "paragraph" is an 8-token aligned segment).
+    //      Segmentation is a NARROW per-row transform (no posexplode →
+    //      re-group round trip: the segment list is built inside the row,
+    //      then exploded once); a segment is "duplicated" when its md5
+    //      appears in ≥ 2 DISTINCT docs, found by one hash-aggregate over
+    //      (segh, doc) pairs. Per-source output: share of segments that
+    //      are corpus-duplicates and docs whose dup share exceeds 1/2 —
+    //      the rows a pretrain pipeline would drop or re-weight. Scale:
+    //      segment cardinality ~ token count / 8; the dup-set join is a
+    //      plain equi-join on the hash (never broadcast — at 100 TB the
+    //      dup set is corpus-scale), and no stage regroups per doc more
+    //      rows than the doc's own segments. ----
+    Q("q178_segment_dedup",
+      """WITH tokd AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+        |      i -> md5(array_to_string(
+        |        toks[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)],
+        |        ' ')))) AS segh
+        |  FROM tokd),
+        |dup AS (
+        |  SELECT segh FROM segs GROUP BY segh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT s.doc_id, s.source, count(*) AS ns,
+        |    sum(CASE WHEN d.segh IS NOT NULL THEN 1 ELSE 0 END) AS nd
+        |  FROM segs s LEFT JOIN dup d USING (segh)
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ns) AS BIGINT) AS n_segs,
+        |  CAST(sum(nd) AS BIGINT) AS n_dup_segs,
+        |  CAST(sum(CASE WHEN CAST(nd AS DOUBLE) / CAST(ns AS DOUBLE) > 0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+        |  CAST(sum(nd) AS DOUBLE) / CAST(sum(ns) AS DOUBLE) AS dup_ratio
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val segs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """transform(
+              |  sequence(0, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT) - 1),
+              |  i -> md5(array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')))"""
+              .stripMargin)).as("segh"))
+      val dup = segs.groupBy("segh")
+        .agg(count_distinct(col("doc_id")).as("docs"))
+        .filter(col("docs") >= 2)
+        .select(col("segh"), lit(1).as("is_dup"))
+      segs.join(dup, Seq("segh"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("ns"),
+          sum(coalesce(col("is_dup"), lit(0))).as("nd"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ns")).cast("long").as("n_segs"),
+          sum(col("nd")).cast("long").as("n_dup_segs"),
+          sum(when(col("nd").cast("double") / col("ns").cast("double") > 0.5,
+            1L).otherwise(0L)).cast("long").as("flagged_docs"),
+          (sum(col("nd")).cast("double") / sum(col("ns")).cast("double"))
+            .as("dup_ratio"))
+        .orderBy("source")
     }
   )
 }

@@ -669,6 +669,60 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- Stopword INDUCTION + density gating: the corpus derives its
+    //      own stopword list (top-8 tokens by document frequency, the
+    //      language-agnostic trick behind CCNet/Gopher-style filters —
+    //      no hand-curated list survives 100 languages), then every doc
+    //      is scored by stopword density; docs under the floor are the
+    //      "unnatural text" candidates a quality funnel drops. The
+    //      induced list is LIMIT-bounded (8 rows) so the membership join
+    //      broadcasts by construction at any corpus size; density is an
+    //      exact-integer ratio. The df cut is totally ordered (df DESC,
+    //      token ASC) so the induced list — and therefore the hash — is
+    //      deterministic even with df ties. ----
+    Q("q180_stopword_density",
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |stop AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w
+        |    ORDER BY df DESC, w LIMIT 8)),
+        |per AS (
+        |  SELECT t.doc_id, t.source, count(*) AS ntok,
+        |    sum(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS nstop
+        |  FROM tok t LEFT JOIN stop s USING (w)
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nstop) AS BIGINT) AS stop_tokens,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nstop) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)
+        |    AS stop_density,
+        |  CAST(sum(CASE WHEN CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE)
+        |      < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS low_density_docs
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("w"))
+      val stop = tok.groupBy("w")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(8)
+        .select(col("w"), lit(1).as("is_stop"))
+      tok.join(broadcast(stop), Seq("w"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("ntok"),
+          sum(coalesce(col("is_stop"), lit(0))).as("nstop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nstop")).cast("long").as("stop_tokens"),
+          sum(col("ntok")).cast("long").as("total_tokens"),
+          (sum(col("nstop")).cast("double") / sum(col("ntok")).cast("double"))
+            .as("stop_density"),
+          sum(when(col("nstop").cast("double") / col("ntok").cast("double")
+            < 0.25, 1L).otherwise(0L)).cast("long").as("low_density_docs"))
+        .orderBy("source")
+    },
+
     Q("q120_unigram_commonness",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
