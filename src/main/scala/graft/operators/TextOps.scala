@@ -219,6 +219,65 @@ object TextOps {
       Bpe.decodeRoundTrip(Tables.t(s, d, "documents"), "text", rounds = 10)
     },
 
+    // ---- Tokenizer FERTILITY by source: pieces-per-token and
+    //      pieces-per-char under the q134-trained vocab — the number a
+    //      data team reads before committing a tokenizer to a corpus mix
+    //      (a source with high fertility pays proportionally more compute
+    //      per character of signal). The per-TYPE piece counts come from
+    //      the one-pass q141 encode fold over the vocab-sized type table;
+    //      the corpus-sized side is a narrow explode joined to that
+    //      broadcast type table — the token stream itself is never
+    //      re-encoded or shuffled by word. Oracle replays the full
+    //      10-round train + apply chain, then the same join + ratios. ----
+    {
+      import org.apache.spark.sql.DataFrame
+      def body(enc: DataFrame, docs: DataFrame): DataFrame = {
+        val typ = enc.select(array_join(col("syms"), "").as("w"),
+          size(col("syms")).cast("long").as("np"))
+        val tok = docs.select(col("source"),
+            explode(tokensRe(col("text"))).as("w"))
+          .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+        tok.join(broadcast(typ), Seq("w"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("ntok"),
+            sum(col("np")).cast("long").as("pieces"),
+            sum(length(col("w"))).cast("long").as("chars"),
+            (sum(col("np")).cast("double") / count(lit(1)).cast("double"))
+              .as("fertility"),
+            (sum(col("np")).cast("double")
+              / sum(length(col("w"))).cast("double")).as("pieces_per_char"))
+          .orderBy("source")
+      }
+      Q.withBench("q181_bpe_fertility", {
+        val R = 10
+        s"""WITH $bpeBaseCte,
+           |${(1 to R).map(bpeRoundCte).mkString(",\n")},
+           |typ AS (SELECT array_to_string(syms, '') AS w, len(syms) AS np
+           |        FROM s$R),
+           |tokf AS (
+           |  SELECT source, tok AS w FROM (
+           |    SELECT source,
+           |      unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok
+           |    FROM documents) u
+           |  WHERE regexp_matches(tok, '^[A-Za-z0-9]+${"$"}'))
+           |SELECT source, count(*) AS ntok,
+           |  CAST(sum(t.np) AS BIGINT) AS pieces,
+           |  CAST(sum(length(f.w)) AS BIGINT) AS chars,
+           |  CAST(sum(t.np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS fertility,
+           |  CAST(sum(t.np) AS DOUBLE) / CAST(sum(length(f.w)) AS DOUBLE)
+           |    AS pieces_per_char
+           |FROM tokf f JOIN typ t USING (w)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, d) =>
+        body(Bpe.encoded(Tables.t(s, d, "documents"), "text", rounds = 10),
+          Tables.t(s, d, "documents"))
+      } { (s, d) =>
+        body(Bpe.encodedCached(Tables.t(s, d, "documents"), "text",
+          rounds = 10, cacheKey = d), Tables.t(s, d, "documents"))
+      }
+    },
+
     // ---- G1: explode + top-k over generated rows ----
     Q("q31_explode_tokens",
       """SELECT word, count(*) AS num
