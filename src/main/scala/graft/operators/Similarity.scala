@@ -510,4 +510,91 @@ object Similarity {
     scored.dropDuplicates("qid", "nid")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Product-quantization ANN funnel (the memory-bound scale path: at a
+    * billion vectors the full corpus no longer fits executor RAM, but m
+    * small codes per vector do). The vector space splits into `m`
+    * subspaces of dim/m components; each subspace gets a `ksub`-centroid
+    * codebook (the deterministic first-ksub seed — [[seedCentroids]]'
+    * rule applied per subspace; per-subspace Lloyd training drops in
+    * without changing any downstream shape). Encoding a corpus vector =
+    * per-subspace packed argmin against the LITERAL codebook — a NARROW
+    * codegen'd map, zero shuffle at any corpus size. Queries build their
+    * ADC lookup tables (ksub exact integer distances per subspace)
+    * narrowly on the bounded query side, which then BROADCASTS over the
+    * code table; the asymmetric distance is m array lookups + adds per
+    * pair — no vector math touches the corpus in the candidate stage.
+    * Stage 2 exact-reranks only the `candidates` ADC survivors per query
+    * on the original quantized dims (the IVFADC+rerank pattern — ADC
+    * compression alone cannot rank top-5 on an isotropic corpus, the
+    * funnel can; VectorSpec gates the recall claim). All integer math,
+    * so both stages are engine-exact. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+            vecCol: String, k: Int, candidates: Int, m: Int, ksub: Int,
+            dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of range")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val sub = dim / m
+    val p = prepared(corpus, idCol, vecCol)
+    // codebook from the first-ksub corpus vectors: ksub*dim longs to the
+    // driver — bounded by construction, never corpus-sized
+    val seedRows: Map[Long, Seq[Long]] = p.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), col("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    require(seedRows.size == ksub,
+      s"corpus must contain ids 0..${ksub - 1} for the seeded codebook")
+    val cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]] =
+      (0 until m).map { mi =>
+        (0 until ksub).map { cid =>
+          val v = seedRows(cid.toLong).slice(mi * sub, mi * sub + sub)
+          (v, v.map(x => x * x).sum)
+        }
+      }
+    def subCol(c: Column, mi: Int): Column = slice(c, mi * sub + 1, sub)
+    def litArr(v: Seq[Long]): Column = array(v.map(lit(_)): _*)
+    def subDist(mi: Int, cid: Int): Column = {
+      val (cv, cnsq) = cb(mi)(cid)
+      normSq(subCol(col("q"), mi)) + lit(cnsq) -
+        lit(2L) * dot(subCol(col("q"), mi), litArr(cv))
+    }
+    // corpus encode: packed argmin per subspace (dist >= 0, so
+    // dist*ksub + cid is order-preserving; ties break toward low cid)
+    val codes = (0 until m).foldLeft(
+      p.select(col(idCol).as("nid"), col("q"))) { (df, mi) =>
+      val keys = (0 until ksub).map(cid => subDist(mi, cid) * ksub + cid)
+      df.withColumn(s"code$mi", (least(keys: _*) % ksub).cast("int"))
+    }.drop("q")
+    // query-side ADC tables: ksub exact distances per subspace; the query
+    // vector + norm ride along for the stage-2 exact rerank
+    val qp = (0 until m).foldLeft(
+      prepared(queries, idCol, vecCol)
+        .select(col(idCol).as("qid"), col("q"), col("nsq").as("qnsq"))) {
+      (df, mi) =>
+        df.withColumn(s"dt$mi",
+          array((0 until ksub).map(cid => subDist(mi, cid)): _*))
+    }.withColumnRenamed("q", "qq")
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"dt$mi"), col(s"code$mi") + 1)).reduce(_ + _)
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(qp), col("qid") =!= col("nid"))
+      .withColumn("adist", adist.cast("long"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+    // stage 2: exact rerank of the ADC survivors on the original dims —
+    // corpus vectors are fetched ONLY for candidate ids. The CANDIDATE
+    // side broadcasts (bounded: |queries|·candidates rows); the corpus
+    // side must never build a hash table at 100 TB
+    val cp = p.select(col(idCol).as("nid"), col("q").as("nq"),
+      col("nsq").as("nnsq"))
+    val wE = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    broadcast(cand).join(cp, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qnsq") + col("nnsq")
+          - lit(2L) * dot(col("qq"), col("nq"))).cast("long").as("d2"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select("qid", "nid", "d2", "rank")
+  }
 }

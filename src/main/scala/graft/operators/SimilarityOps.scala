@@ -455,6 +455,76 @@ object SimilarityOps {
         .orderBy("qid", "rank")
     },
 
+    // ---- PRODUCT-QUANTIZED ANN funnel (ADC + exact rerank): 64 dims →
+    //      16 subspaces × 4, each coded against an 8-centroid per-
+    //      subspace codebook (first-8 seed rule, the seedCte precedent).
+    //      Stage 1 ranks the corpus by asymmetric lookup distance — Σ of
+    //      16 table reads per pair instead of a 64-dim dot, and at scale
+    //      16 bytes of codes per corpus vector instead of 64 floats
+    //      resident — keeping the top-100; stage 2 exact-reranks only
+    //      those survivors (the IVFADC+rerank pattern). Encode is a
+    //      NARROW map against the literal codebook (zero shuffle —
+    //      PlanSpec pins no Exchange on the corpus side of the ADC
+    //      join); the bounded query side carries its lookup tables and
+    //      broadcasts. The oracle replays codebook derivation, the
+    //      per-subspace packed argmin (same tie-break), the ADC sum, the
+    //      candidate cut AND the exact rerank — all exact integer math.
+    //      Recall-vs-exact-L2 is spec-gated (VectorSpec), as for q139. ----
+    Q("q179_pq_knn",
+      s"""WITH $PreparedCte,
+         |ms AS (SELECT unnest(range(0, 16)) AS m),
+         |sub AS (
+         |  SELECT n.vec_id, ms.m,
+         |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
+         |  FROM n, ms),
+         |subn AS (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
+         |         FROM sub),
+         |cb AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
+         |         snsq AS cnsq
+         |       FROM subn WHERE vec_id < 8),
+         |enc AS (
+         |  SELECT s.vec_id, s.m,
+         |    min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+         |      AS BIGINT) * 8 + c.cid) AS key
+         |  FROM subn s JOIN cb c ON c.m = s.m
+         |  GROUP BY s.vec_id, s.m),
+         |codes AS (SELECT vec_id, m, key % 8 AS cid FROM enc),
+         |qdt AS (
+         |  SELECT s.vec_id AS qid, c.m, c.cid,
+         |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+         |      AS BIGINT) AS pd
+         |  FROM subn s JOIN cb c ON c.m = s.m
+         |  WHERE s.vec_id < 10),
+         |ad AS (
+         |  SELECT d.qid, x.vec_id AS nid, CAST(sum(d.pd) AS BIGINT) AS adist
+         |  FROM codes x JOIN qdt d ON d.m = x.m AND d.cid = x.cid
+         |  WHERE d.qid <> x.vec_id
+         |  GROUP BY d.qid, x.vec_id),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
+         |    FROM ad) t
+         |  WHERE arank <= 100),
+         |scored AS (
+         |  SELECT c.qid, c.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd)
+         |      AS BIGINT) AS d2
+         |  FROM cand c
+         |  JOIN n na ON na.vec_id = c.qid
+         |  JOIN n nb ON nb.vec_id = c.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.pqKnn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 100, m = 16, ksub = 8,
+          dim = Dim)
+        .orderBy("qid", "rank")
+    },
+
     // ---- embedding outliers: the 20 vectors farthest from their assigned
     //      k-means centroid (exact integer squared L2) — the anomaly /
     //      junk-embedding audit of a vector corpus. Same packed-argmin

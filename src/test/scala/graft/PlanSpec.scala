@@ -525,6 +525,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q179: PQ encode is narrow (no Exchange before the ADC join); the " +
+    "bounded sides broadcast at both stages; top-100 cut is map-side") {
+    val p = planOf(q("q179_pq_knn")).split("== Initial Plan ==").head
+    // stage 1: queries broadcast over the corpus code stream — the corpus
+    // side reaches the ADC join straight from its scan, encode is a map
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    val corpusSide = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .split("BroadcastExchange").head
+    assert(!corpusSide.contains("Exchange hashpartitioning"), p)
+    // the candidate cut runs BEFORE the qid shuffle (only ~100·|queries|
+    // rows move), not after it
+    assert("WindowGroupLimit \\[qid#\\d+L\\], \\[adist#\\d+L[\\s\\S]{0,120}100, Partial"
+      .r.findFirstIn(p).isDefined, p)
+    // stage 2: the bounded candidate set is the BUILD side (BuildLeft) —
+    // the corpus never builds a hash table
+    assert(p.contains("BroadcastHashJoin [nid"), p)
+    assert("BroadcastHashJoin \\[nid#\\d+L\\], \\[nid#\\d+L\\], Inner, BuildLeft"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()

@@ -298,4 +298,40 @@ class VectorSpec extends SparkTestBase {
     assert(b1 === b2)
     assert(b1.values.toSet.size > 1) // buckets actually partition the space
   }
+
+  test("PQ ANN recall vs exact L2 (ADC compression must stay informative)") {
+    // PQ approximates SQUARED-L2 ranking (not cosine), so the gold
+    // standard is the exact L2 top-5 over the same integer-quantized
+    // space. The ADC stage alone cannot rank top-5 on this isotropic
+    // fixture (measured 0.04 at m=4, 0.15 at m=16 — quantization noise
+    // swamps the tiny true-neighbor margins), which is exactly why
+    // production PQ reranks: the funnel keeps the top-100 by ADC then
+    // exact-reranks. Picking 100 of 2000 at random recovers 5% of the
+    // true top-5; the funnel measured 0.656 over 50 probes at sf0.1 —
+    // gated at >= 0.2 (4x random, the q139 bar), leaving slack. Fully
+    // deterministic (integer math end to end).
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.t(spark, d, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+    val qp = Similarity.prepared(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    val cp = Similarity.prepared(e, "vec_id", "embedding")
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val gold = qp.join(cp, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qnsq") + col("nsq")
+          - lit(2L) * VectorFunctions.dot(col("qq"), col("q"))).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqKnn(queries, e, "vec_id", "embedding",
+        k = 5, candidates = 100, m = 16, ksub = 8, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & gold).size.toDouble / gold.size
+    info(s"PQ recall@5 over 50 probes: $recall")
+    assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
+  }
 }
