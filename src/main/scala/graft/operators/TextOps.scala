@@ -728,6 +728,56 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- Vocabulary GROWTH curve (Heaps' law audit): cumulative
+    //      distinct types vs cumulative tokens at each corpus decile
+    //      (doc_id order) — the saturation read that tells a data team
+    //      whether more corpus still buys new vocabulary. The single-pass
+    //      trick: distinct types at threshold t == count of types whose
+    //      FIRST-occurrence doc is <= t, so one groupBy(w).min(doc_id)
+    //      (vocab-sized) replaces 10 count-distinct passes over the
+    //      corpus; per-doc token counts aggregate the token side the same
+    //      way. Thresholds derive from max(doc_id) IN-PLAN (broadcast
+    //      1-row aggregate, the q156 pattern — no driver action) with
+    //      truncating integer division, exact in both engines. ----
+    Q("q182_vocab_growth",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM documents),
+        |dec AS (SELECT unnest(range(1, 11)) AS d),
+        |thr AS (SELECT d, (d * m) // 10 AS t FROM dec, mx),
+        |firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+        |ty AS (
+        |  SELECT thr.d, count(*) AS cum_types
+        |  FROM thr JOIN firsts ON firsts.fd <= thr.t GROUP BY thr.d),
+        |dt AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |tk AS (
+        |  SELECT thr.d, CAST(sum(dt.ntok) AS BIGINT) AS cum_tokens
+        |  FROM thr JOIN dt ON dt.doc_id <= thr.t GROUP BY thr.d)
+        |SELECT CAST(ty.d AS INTEGER) AS decile, tk.cum_tokens,
+        |  CAST(ty.cum_types AS BIGINT) AS cum_types,
+        |  CAST(ty.cum_types AS DOUBLE) / CAST(tk.cum_tokens AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM ty JOIN tk ON tk.d = ty.d ORDER BY decile""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      val thr = mx.select(explode(sequence(lit(1), lit(10))).as("d"), col("m"))
+        .select(col("d"), expr("d * m div 10").cast("long").as("t"))
+      val firsts = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      val ty = firsts.join(broadcast(thr), col("fd") <= col("t"))
+        .groupBy("d").agg(count(lit(1)).as("cum_types"))
+      val dt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val tk = dt.join(broadcast(thr), col("doc_id") <= col("t"))
+        .groupBy("d").agg(sum(col("ntok")).cast("long").as("cum_tokens"))
+      ty.join(tk, "d")
+        .select(col("d").cast("int").as("decile"), col("cum_tokens"),
+          col("cum_types").cast("long").as("cum_types"),
+          (col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+            .as("type_token_ratio"))
+        .orderBy("decile")
+    },
+
     // ---- Stopword INDUCTION + density gating: the corpus derives its
     //      own stopword list (top-8 tokens by document frequency, the
     //      language-agnostic trick behind CCNet/Gopher-style filters —
