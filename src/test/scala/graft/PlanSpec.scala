@@ -545,6 +545,30 @@ class PlanSpec extends SparkTestBase {
       .r.findFirstIn(p).isDefined, p)
   }
 
+  test("q180: the LIMIT-bounded induced stop list broadcasts; the df cut " +
+    "is a top-k, not a full sort") {
+    val p = planOf(q("q180_stopword_density")).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin \\[w#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q181: the vocab-sized type table is the build side — the corpus " +
+    "token stream is never shuffled by word") {
+    val p = planOf(q("q181_bpe_fertility")).split("== Initial Plan ==").head
+    assert("BroadcastHashJoin \\[w#".r.findFirstIn(p).isDefined, p)
+    // no exchange keyed by the token column anywhere: the only shuffle
+    // keys are doc/source aggregates
+    assert(!"Exchange hashpartitioning\\(w#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q182: decile thresholds ride broadcast inequality joins — the " +
+    "vocab/doc aggregates are the only shuffles") {
+    val p = planOf(q("q182_vocab_growth")).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
