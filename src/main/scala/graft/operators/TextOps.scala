@@ -783,6 +783,59 @@ object TextOps {
         .orderBy("decile")
     },
 
+    // ---- Collocation mining by LIFT (PMI's monotone integer-safe core:
+    //      lift = c_xy·N / (c_x·c_y), the exp of PMI — same ranking, no
+    //      logs): the classic corpus-analysis pass that surfaces
+    //      multiword units ("New York") a tokenizer or vocab induction
+    //      should treat as one symbol. Both frequency tables are
+    //      corpus-derived, so the unigram joins are ShuffledHashJoin by
+    //      hint (the q175 rule: vocab tables at web scale never
+    //      broadcast); the 1-row total N crosses in broadcast (q156
+    //      pattern); min-support c_xy ≥ 5 prunes the noise tail before
+    //      the joins. Lift is computed by the identical exact-int→double
+    //      formula in both engines; top-20 is a TakeOrderedAndProject. ----
+    Q("q183_collocation_lift",
+      """WITH tokd AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM tokd),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tokd),
+        |bc AS (SELECT bg, count(*) AS cxy FROM bg GROUP BY bg),
+        |uc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM bc)
+        |SELECT b.bg, CAST(b.cxy AS BIGINT) AS cxy,
+        |  CAST(b.cxy AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bc b
+        |CROSS JOIN nn
+        |JOIN uc u1 ON u1.w = string_split(b.bg, ' ')[1]
+        |JOIN uc u2 ON u2.w = string_split(b.bg, ' ')[2]
+        |WHERE b.cxy >= 5
+        |ORDER BY lift DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val bi = docs.select(graft.plans.GraftFunctions
+          .shingleRows(col("text"), 2, distinct = false).as(Seq("bg", "nbg")))
+        .groupBy("bg").agg(count(lit(1)).as("cxy"))
+      val uc = docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nn = bi.agg(sum(col("cxy")).cast("long").as("n"))
+      bi.filter(col("cxy") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uc.select(col("w").as("w1"), col("c").as("c1"))
+          .hint("shuffle_hash"), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("c2"))
+          .hint("shuffle_hash"), Seq("w2"))
+        .crossJoin(broadcast(nn))
+        .select(col("bg"), col("cxy").cast("long").as("cxy"),
+          (col("cxy").cast("double") * col("n").cast("double")
+            / (col("c1").cast("double") * col("c2").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("bg")).limit(20)
+    },
+
     // ---- Stopword INDUCTION + density gating: the corpus derives its
     //      own stopword list (top-8 tokens by document frequency, the
     //      language-agnostic trick behind CCNet/Gopher-style filters —

@@ -569,6 +569,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q183: corpus-derived unigram tables join by shuffle hash (never " +
+    "broadcast); top-20 is a TakeOrderedAndProject") {
+    val p = planOf(q("q183_collocation_lift")).split("== Initial Plan ==").head
+    assert("ShuffledHashJoin \\[w1#".r.findFirstIn(p).isDefined, p)
+    assert("ShuffledHashJoin \\[w2#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
