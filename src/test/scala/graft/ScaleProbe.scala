@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * row-copy would cause. Not a spec; results are recorded in BASELINE.md. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val names = Seq("q74_dedup_keeplist", "q83_embedding_keeplist",
-      "q114_substring_dedup", "q131_kmeans_lloyd", "q134_bpe_merges",
-      "q140_pretrain_pipeline", "q151_stream_stream_join")
+    // args: [sfDir sf1Dir [queryName...]] — extra args select the probed
+    // queries (default: the round-5 heavy families)
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q74_dedup_keeplist", "q83_embedding_keeplist",
+        "q114_substring_dedup", "q131_kmeans_lloyd", "q134_bpe_merges",
+        "q140_pretrain_pipeline", "q151_stream_stream_join")
     val dirs = if (args.length >= 2) args.take(2).toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/sf1")
     val spark = SparkSession.builder().master("local[32]")
