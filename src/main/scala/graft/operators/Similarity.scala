@@ -538,62 +538,92 @@ object Similarity {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val sub = dim / m
     val p = prepared(corpus, idCol, vecCol)
-    // codebook from the first-ksub corpus vectors: ksub*dim longs to the
-    // driver — bounded by construction, never corpus-sized
+    val cb = pqCodebook(p, idCol, m, ksub, sub)
+    val codes = pqCodes(p.select(col(idCol).as("nid"), col("q")), cb, sub)
+      .drop("q").localCheckpoint(false)
+    val qp = pqDtCols(prepared(queries, idCol, vecCol)
+        .select(col(idCol).as("qid"), col("q"), col("nsq").as("qnsq")),
+        cb, sub)
+      .withColumnRenamed("q", "qq")
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(qp), col("qid") =!= col("nid"))
+      .withColumn("adist", pqAdc(cb.length).cast("long"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+    pqRerank(cand, p, idCol, k)
+  }
+
+  /** Codebook from the first-ksub corpus vectors (the [[seedCentroids]]
+    * rule per subspace): ksub·dim longs to the driver — bounded by
+    * construction, never corpus-sized. cb(mi)(cid) = (subvector, normSq). */
+  private def pqCodebook(p: DataFrame, idCol: String, m: Int, ksub: Int,
+      sub: Int): IndexedSeq[IndexedSeq[(Seq[Long], Long)]] = {
     val seedRows: Map[Long, Seq[Long]] = p.filter(col(idCol) < ksub)
       .select(col(idCol).cast("long"), col("q"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     require(seedRows.size == ksub,
       s"corpus must contain ids 0..${ksub - 1} for the seeded codebook")
-    val cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]] =
-      (0 until m).map { mi =>
-        (0 until ksub).map { cid =>
-          val v = seedRows(cid.toLong).slice(mi * sub, mi * sub + sub)
-          (v, v.map(x => x * x).sum)
-        }
+    (0 until m).map { mi =>
+      (0 until ksub).map { cid =>
+        val v = seedRows(cid.toLong).slice(mi * sub, mi * sub + sub)
+        (v, v.map(x => x * x).sum)
       }
-    def subCol(c: Column, mi: Int): Column = slice(c, mi * sub + 1, sub)
-    def litArr(v: Seq[Long]): Column = array(v.map(lit(_)): _*)
-    def subDist(mi: Int, cid: Int): Column = {
-      val (cv, cnsq) = cb(mi)(cid)
-      normSq(subCol(col("q"), mi)) + lit(cnsq) -
-        lit(2L) * dot(subCol(col("q"), mi), litArr(cv))
     }
-    // corpus encode: packed argmin per subspace (dist >= 0, so
-    // dist*ksub + cid is order-preserving; ties break toward low cid).
-    // The code table is MATERIALIZED (localCheckpoint) before the ADC
-    // join: a PQ index is a built artifact by definition, and without the
-    // barrier CollapseProject folds the m·ksub argmin expressions into
-    // the post-join projection — re-encoding every corpus row once PER
-    // QUERY (measured 3.9 s vs 1 s at sf0.1; at scale it multiplies
-    // corpus work by |queries|). In production the same table would be
-    // written to storage once and scanned per query batch.
-    val codes = (0 until m).foldLeft(
-      p.select(col(idCol).as("nid"), col("q"))) { (df, mi) =>
-      val keys = (0 until ksub).map(cid => subDist(mi, cid) * ksub + cid)
+  }
+
+  private def pqLitArr(v: Seq[Long]): Column = array(v.map(lit(_)): _*)
+
+  /** Exact integer squared distance from `q`'s mi-th subvector to
+    * codebook centroid (mi, cid). */
+  private def pqSubDist(cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]],
+      mi: Int, cid: Int, sub: Int): Column = {
+    val (cv, cnsq) = cb(mi)(cid)
+    val sc = slice(col("q"), mi * sub + 1, sub)
+    normSq(sc) + lit(cnsq) - lit(2L) * dot(sc, pqLitArr(cv))
+  }
+
+  /** Corpus encode: one code column per subspace via packed argmin
+    * against the LITERAL codebook (dist >= 0, so dist·ksub + cid is
+    * order-preserving; ties break toward low cid) — a NARROW codegen'd
+    * map, zero shuffle at any corpus size. Callers MATERIALIZE the
+    * result (localCheckpoint) before joining: a PQ index is a built
+    * artifact by definition, and without the barrier CollapseProject
+    * folds the m·ksub argmin expressions into the post-join projection —
+    * re-encoding every corpus row once PER QUERY (measured 3.9 s vs 1 s
+    * at sf0.1). In production the same table would be written to storage
+    * once and scanned per query batch. */
+  private def pqCodes(df0: DataFrame,
+      cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]], sub: Int): DataFrame = {
+    val ksub = cb.head.length
+    cb.indices.foldLeft(df0) { (df, mi) =>
+      val keys = (0 until ksub).map(cid => pqSubDist(cb, mi, cid, sub) * ksub + cid)
       df.withColumn(s"code$mi", (least(keys: _*) % ksub).cast("int"))
-    }.drop("q").localCheckpoint(false)
-    // query-side ADC tables: ksub exact distances per subspace; the query
-    // vector + norm ride along for the stage-2 exact rerank
-    val qp = (0 until m).foldLeft(
-      prepared(queries, idCol, vecCol)
-        .select(col(idCol).as("qid"), col("q"), col("nsq").as("qnsq"))) {
-      (df, mi) =>
-        df.withColumn(s"dt$mi",
-          array((0 until ksub).map(cid => subDist(mi, cid)): _*))
-    }.withColumnRenamed("q", "qq")
-    val adist = (0 until m).map(mi =>
+    }
+  }
+
+  /** Query-side ADC tables: ksub exact distances per subspace. */
+  private def pqDtCols(df0: DataFrame,
+      cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]], sub: Int): DataFrame = {
+    val ksub = cb.head.length
+    cb.indices.foldLeft(df0) { (df, mi) =>
+      df.withColumn(s"dt$mi",
+        array((0 until ksub).map(cid => pqSubDist(cb, mi, cid, sub)): _*))
+    }
+  }
+
+  /** The asymmetric distance: m table lookups + adds per pair. */
+  private def pqAdc(m: Int): Column =
+    (0 until m).map(mi =>
       element_at(col(s"dt$mi"), col(s"code$mi") + 1)).reduce(_ + _)
-    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    val cand = codes.join(broadcast(qp), col("qid") =!= col("nid"))
-      .withColumn("adist", adist.cast("long"))
-      .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))
-      .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= candidates)
-    // stage 2: exact rerank of the ADC survivors on the original dims —
-    // corpus vectors are fetched ONLY for candidate ids. The CANDIDATE
-    // side broadcasts (bounded: |queries|·candidates rows); the corpus
-    // side must never build a hash table at 100 TB
+
+  /** Stage-2 exact rerank of ADC survivors on the original dims — corpus
+    * vectors are fetched ONLY for candidate ids. The CANDIDATE side
+    * broadcasts (bounded: |queries|·candidates rows); the corpus side
+    * must never build a hash table at 100 TB. */
+  private def pqRerank(cand: DataFrame, p: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cp = p.select(col(idCol).as("nid"), col("q").as("nq"),
       col("nsq").as("nnsq"))
     val wE = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
@@ -603,5 +633,72 @@ object Similarity {
           - lit(2L) * dot(col("qq"), col("nq"))).cast("long").as("d2"))
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
       .select("qid", "nid", "d2", "rank")
+  }
+
+  /** IVF-ADC: the complete billion-scale ANN architecture — a trained
+    * coarse quantizer routes queries to nprobe inverted lists
+    * ([[ivfKnn]]'s skeleton), candidates inside the probed lists are
+    * scored by PQ asymmetric lookup distance ([[pqKnn]]'s codes — 16
+    * bytes resident per corpus vector, not dim floats), and only the
+    * ADC survivors get exact reranking. Cell assignment AND PQ encode
+    * are ONE narrow map against literal (trained) centroids — the
+    * materialized frame (nid, cell, codes) IS the IVFADC index, built
+    * with zero corpus shuffle. Candidate generation is an equi-join on
+    * the cell id against the broadcast routed queries, so cost tracks
+    * nprobe·(n/nlist) per query; no stage touches corpus vectors between
+    * encode and the bounded rerank fetch. All integer math end to end. */
+  def ivfAdcKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int, nlist: Int, nprobe: Int,
+      trainRounds: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of range")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(nprobe > 0 && nprobe <= nlist, s"nprobe=$nprobe out of 1..$nlist")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val p = prepared(corpus, idCol, vecCol)
+    val cb = pqCodebook(p, idCol, m, ksub, sub)
+    // trained routing centroids, collected (nlist·dim longs — bounded by
+    // definition, the kmeansTrain invariant)
+    val cents: Seq[(Long, Seq[Long])] =
+      kmeansTrain(corpus, idCol, vecCol, nlist, trainRounds)
+        .select(col("cid"), col("cq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val shift = shiftFor(nlist)
+    // narrow cell assignment against the LITERAL trained centroids —
+    // identical packing/tie-break to assignTo's shuffled argmin
+    val cellKeys = cents.map { case (cid, cq) =>
+      val cnsq = cq.map(x => x * x).sum
+      (col("nsq") + lit(cnsq) - lit(2L) * dot(col("q"), pqLitArr(cq))) *
+        shift + cid
+    }
+    val codes = pqCodes(p.select(col(idCol).as("nid"), col("q"), col("nsq")),
+        cb, sub)
+      .withColumn("cell", least(cellKeys: _*) % shift)
+      .drop("q", "nsq")
+      .localCheckpoint(false)
+    // query side: ADC tables + routing to the nprobe nearest cells
+    val qp0 = pqDtCols(prepared(queries, idCol, vecCol)
+        .select(col(idCol).as("qid"), col("q"), col("nsq").as("qnsq")),
+        cb, sub)
+      .withColumnRenamed("q", "qq")
+    val centF = centroidFrame(spark, cents)
+      .select(col("cid").as("ccid"), col("cq"), col("cnsq"))
+    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
+    val qpp = qp0.crossJoin(broadcast(centF))
+      .withColumn("cdist",
+        col("qnsq") + col("cnsq") - lit(2L) * dot(col("qq"), col("cq")))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .withColumnRenamed("ccid", "cell")
+      .drop("cq", "cnsq", "cdist", "crn")
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(qpp), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", pqAdc(m).cast("long"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+    pqRerank(cand, p, idCol, k)
   }
 }

@@ -60,6 +60,36 @@ object SimilarityOps {
     s
   }
 
+  /** Shared PQ oracle fragments (the q179/q184 codebook + encode + query
+    * lookup-table replica of Similarity's pq* helpers — ONE definition,
+    * the shingleCteN single-owner rule): 16 subspaces × 4 dims, 8
+    * centroids each (first-8 seed), queries vec_id < 10. Emits `codes`
+    * (vec_id, m, cid) and `qdt` (qid, m, cid, pd). */
+  private val PqCtes: String =
+    """ms AS (SELECT unnest(range(0, 16)) AS m),
+      |sub AS (
+      |  SELECT n.vec_id, ms.m,
+      |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
+      |  FROM n, ms),
+      |subn AS (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
+      |         FROM sub),
+      |cbq AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
+      |         snsq AS cnsq
+      |       FROM subn WHERE vec_id < 8),
+      |enc AS (
+      |  SELECT s.vec_id, s.m,
+      |    min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+      |      AS BIGINT) * 8 + c.cid) AS key
+      |  FROM subn s JOIN cbq c ON c.m = s.m
+      |  GROUP BY s.vec_id, s.m),
+      |codes AS (SELECT vec_id, m, key % 8 AS cid FROM enc),
+      |qdt AS (
+      |  SELECT s.vec_id AS qid, c.m, c.cid,
+      |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+      |      AS BIGINT) AS pd
+      |  FROM subn s JOIN cbq c ON c.m = s.m
+      |  WHERE s.vec_id < 10)""".stripMargin
+
   /** First-k seed centroid CTE `c` (dense cid == vec_id on the contiguous
     * fixture id space, exactly Similarity.seedCentroids' relabeling). */
   private def seedCte(k: Int): String =
@@ -472,29 +502,7 @@ object SimilarityOps {
     //      Recall-vs-exact-L2 is spec-gated (VectorSpec), as for q139. ----
     Q("q179_pq_knn",
       s"""WITH $PreparedCte,
-         |ms AS (SELECT unnest(range(0, 16)) AS m),
-         |sub AS (
-         |  SELECT n.vec_id, ms.m,
-         |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
-         |  FROM n, ms),
-         |subn AS (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
-         |         FROM sub),
-         |cb AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
-         |         snsq AS cnsq
-         |       FROM subn WHERE vec_id < 8),
-         |enc AS (
-         |  SELECT s.vec_id, s.m,
-         |    min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
-         |      AS BIGINT) * 8 + c.cid) AS key
-         |  FROM subn s JOIN cb c ON c.m = s.m
-         |  GROUP BY s.vec_id, s.m),
-         |codes AS (SELECT vec_id, m, key % 8 AS cid FROM enc),
-         |qdt AS (
-         |  SELECT s.vec_id AS qid, c.m, c.cid,
-         |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
-         |      AS BIGINT) AS pd
-         |  FROM subn s JOIN cb c ON c.m = s.m
-         |  WHERE s.vec_id < 10),
+         |$PqCtes,
          |ad AS (
          |  SELECT d.qid, x.vec_id AS nid, CAST(sum(d.pd) AS BIGINT) AS adist
          |  FROM codes x JOIN qdt d ON d.m = x.m AND d.cid = x.cid
@@ -522,6 +530,63 @@ object SimilarityOps {
       Similarity.pqKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 100, m = 16, ksub = 8,
           dim = Dim)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
+    //      trained coarse quantizer routes each query to its 2 nearest
+    //      of 8 Lloyd-trained cells, q179's PQ codes score the probed
+    //      lists by asymmetric lookup distance, and only the top-50 ADC
+    //      survivors get exact reranking. The materialized (nid, cell,
+    //      codes) frame IS the IVFADC index, built in ONE narrow map
+    //      (cell argmin + 16 code argmins against literal centroids,
+    //      zero corpus shuffle); candidate generation is an equi-join on
+    //      the cell id against the broadcast routed queries, so per-query
+    //      cost tracks nprobe·(n/nlist) — never the corpus. The oracle
+    //      replays the 2-round Lloyd training, the cell argmin, the
+    //      codebook + encode, the ADC sum within probed lists, the
+    //      candidate cut AND the rerank — a drift anywhere in the
+    //      composed route breaks the hash. ----
+    Q("q184_ivf_adc_knn",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |$PqCtes,
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |ad AS (
+         |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
+         |  FROM pr
+         |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
+         |  JOIN codes x ON x.vec_id = a.vec_id
+         |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
+         |  GROUP BY pr.qid, a.vec_id),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
+         |    FROM ad) t
+         |  WHERE arank <= 50),
+         |scored AS (
+         |  SELECT c2.qid, c2.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd)
+         |      AS BIGINT) AS d2
+         |  FROM cand c2
+         |  JOIN n na ON na.vec_id = c2.qid
+         |  JOIN n nb ON nb.vec_id = c2.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.ivfAdcKnn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 50, nlist = 8,
+          nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim)
         .orderBy("qid", "rank")
     },
 

@@ -577,6 +577,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q184: IVFADC candidates come from a cell equi-join against the " +
+    "broadcast routed queries; the index build is narrow; rerank builds " +
+    "on the candidate side") {
+    val p = planOf(q("q184_ivf_adc_knn")).split("== Initial Plan ==").head
+    // candidate generation: equi-join on the cell id, queries broadcast
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined, p)
+    // no cartesian/BNLJ anywhere except the tiny query-routing cross join
+    assert(!p.contains("CartesianProduct"), p)
+    // rerank: bounded candidate set is the build side
+    assert("BroadcastHashJoin \\[nid#\\d+L\\], \\[nid#\\d+L\\], Inner, BuildLeft"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()

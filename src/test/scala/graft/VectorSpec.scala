@@ -333,5 +333,18 @@ class VectorSpec extends SparkTestBase {
     val recall = (pq & gold).size.toDouble / gold.size
     info(s"PQ recall@5 over 50 probes: $recall")
     assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
+
+    // the composed IVFADC route prunes to nprobe/nlist of the corpus
+    // BEFORE the ADC funnel — recall must not collapse vs flat PQ.
+    // Measured 0.436 (vs 0.656 flat PQ: the 2-of-8-cells routing loss,
+    // exactly the nprobe/recall trade IVF sells); gate leaves slack.
+    val ivfadc = Similarity.ivfAdcKnn(queries, e, "vec_id", "embedding",
+        k = 5, candidates = 100, nlist = 8, nprobe = 2, trainRounds = 2,
+        m = 16, ksub = 8, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIvf = (ivfadc & gold).size.toDouble / gold.size
+    info(s"IVFADC recall@5 over 50 probes: $recallIvf")
+    assert(recallIvf >= 0.15, s"IVFADC recall@5 collapsed: $recallIvf")
   }
 }
