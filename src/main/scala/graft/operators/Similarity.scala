@@ -460,18 +460,9 @@ object Similarity {
     val cp = cp0.join(asg, Seq(idCol))
       .select(col(idCol).as("nid"), col("q").as("nq"),
         col("nsq").as("nnsq"), col("cid"))
-    val cent = centroids
-      .select(col("cid").as("ccid"), col("cq"), col("cnsq"))
     val qp = prepared(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
-    // query routing: rank ALL nlist centroids per query, keep nprobe.
-    // The query side is the small side; nq×nlist rows through one window.
-    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
-    val probes = qp.crossJoin(broadcast(cent))
-      .withColumn("cdist",
-        col("qnsq") + col("cnsq") - lit(2L) * dot(col("qq"), col("cq")))
-      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
-      .select(col("qid"), col("qq"), col("qnsq"), col("ccid").as("cid"))
+    val probes = routeQueries(qp, centroids, nprobe, "cid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     probes.join(cp, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
@@ -554,19 +545,19 @@ object Similarity {
     pqRerank(cand, p, idCol, k)
   }
 
-  /** Codebook from the first-ksub corpus vectors (the [[seedCentroids]]
-    * rule per subspace): ksub·dim longs to the driver — bounded by
-    * construction, never corpus-sized. cb(mi)(cid) = (subvector, normSq). */
+  /** Codebook from the ksub smallest-id corpus vectors, relabeled densely
+    * ([[seedCentroids]]' actual rule, so an offset or non-contiguous id
+    * space still seeds correctly — on the 0-contiguous fixtures this
+    * equals the `vec_id < ksub` filter the oracles replay): ksub·dim
+    * longs to the driver — bounded by construction, never corpus-sized.
+    * cb(mi)(cid) = (subvector, normSq). */
   private def pqCodebook(p: DataFrame, idCol: String, m: Int, ksub: Int,
       sub: Int): IndexedSeq[IndexedSeq[(Seq[Long], Long)]] = {
-    val seedRows: Map[Long, Seq[Long]] = p.filter(col(idCol) < ksub)
-      .select(col(idCol).cast("long"), col("q"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    require(seedRows.size == ksub,
-      s"corpus must contain ids 0..${ksub - 1} for the seeded codebook")
+    val byCid: Map[Long, Seq[Long]] = seedCentroids(p, idCol, ksub).toMap
+    require(byCid.size == ksub, s"corpus smaller than ksub=$ksub")
     (0 until m).map { mi =>
       (0 until ksub).map { cid =>
-        val v = seedRows(cid.toLong).slice(mi * sub, mi * sub + sub)
+        val v = byCid(cid.toLong).slice(mi * sub, mi * sub + sub)
         (v, v.map(x => x * x).sum)
       }
     }
@@ -610,6 +601,26 @@ object Similarity {
       df.withColumn(s"dt$mi",
         array((0 until ksub).map(cid => pqSubDist(cb, mi, cid, sub)): _*))
     }
+  }
+
+  /** Query→cell routing shared by [[ivfKnn]] and [[ivfAdcKnn]] (single
+    * owner — the (cdist, ccid) tie-break is oracle-replayed, so a drift
+    * in either caller would break both gates): ranks ALL centroids per
+    * query (the query side is the small side; nq×nlist rows through one
+    * window), keeps nprobe, appends `outCol` = the probed cell id.
+    * Expects `qid`/`qq`/`qnsq` on the query frame; all other query
+    * columns ride through. */
+  private def routeQueries(qp: DataFrame, centroids: DataFrame,
+      nprobe: Int, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
+    qp.crossJoin(broadcast(centroids
+        .select(col("cid").as("ccid"), col("cq"), col("cnsq"))))
+      .withColumn("cdist",
+        col("qnsq") + col("cnsq") - lit(2L) * dot(col("qq"), col("cq")))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .withColumnRenamed("ccid", outCol)
+      .drop("cq", "cnsq", "cdist", "crn")
   }
 
   /** The asymmetric distance: m table lookups + adds per pair. */
@@ -683,15 +694,7 @@ object Similarity {
         .select(col(idCol).as("qid"), col("q"), col("nsq").as("qnsq")),
         cb, sub)
       .withColumnRenamed("q", "qq")
-    val centF = centroidFrame(spark, cents)
-      .select(col("cid").as("ccid"), col("cq"), col("cnsq"))
-    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
-    val qpp = qp0.crossJoin(broadcast(centF))
-      .withColumn("cdist",
-        col("qnsq") + col("cnsq") - lit(2L) * dot(col("qq"), col("cq")))
-      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
-      .withColumnRenamed("ccid", "cell")
-      .drop("cq", "cnsq", "cdist", "crn")
+    val qpp = routeQueries(qp0, centroidFrame(spark, cents), nprobe, "cell")
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
     val cand = codes.join(broadcast(qpp), Seq("cell"))
       .filter(col("qid") =!= col("nid"))

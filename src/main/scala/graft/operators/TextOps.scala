@@ -820,7 +820,13 @@ object TextOps {
         .groupBy("bg").agg(count(lit(1)).as("cxy"))
       val uc = docs.select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val nn = bi.agg(sum(col("cxy")).cast("long").as("n"))
+      // total bigrams N == Σ per-doc (ntok - 1) — a NARROW aggregate, not
+      // a second pass through the bigram explode+shuffle (every doc emits
+      // exactly ntok-1 bigram occurrences, so this equals the oracle's
+      // sum(cxy))
+      val nn = docs.select(
+          greatest(size(tokens(col("text"))) - 1, lit(0)).as("nb"))
+        .agg(sum(col("nb")).cast("long").as("n"))
       bi.filter(col("cxy") >= 5)
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .withColumn("w2", split(col("bg"), " ").getItem(1))
