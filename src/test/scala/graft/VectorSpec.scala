@@ -347,4 +347,25 @@ class VectorSpec extends SparkTestBase {
     info(s"IVFADC recall@5 over 50 probes: $recallIvf")
     assert(recallIvf >= 0.15, s"IVFADC recall@5 collapsed: $recallIvf")
   }
+
+  test("PQ ANN is id-space invariant (codebook seeds by order statistic, " +
+    "not by literal id filter)") {
+    // an offset id space must yield the SAME neighbor structure shifted —
+    // the regression this pins: an `id < ksub` seed filter finds zero
+    // seeds at offset 1000 and throws, while seedCentroids' order-
+    // statistic rule is invariant
+    val base = Similarity.pqKnn(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5, candidates = 50, m = 16, ksub = 8,
+        dim = 64)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000L)
+    val off = Similarity.pqKnn(shifted.filter(col("vec_id") < 1005), shifted,
+        "vec_id", "embedding", k = 5, candidates = 50, m = 16, ksub = 8,
+        dim = 64)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0) - 1000L, r.getLong(1) - 1000L, r.getInt(2)))
+      .toSet
+    assert(base === off)
+  }
 }
