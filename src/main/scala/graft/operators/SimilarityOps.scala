@@ -63,32 +63,65 @@ object SimilarityOps {
   /** Shared PQ oracle fragments (the q179/q184 codebook + encode + query
     * lookup-table replica of Similarity's pq* helpers — ONE definition,
     * the shingleCteN single-owner rule): 16 subspaces × 4 dims, 8
-    * centroids each (first-8 seed), queries vec_id < 10. Emits `codes`
-    * (vec_id, m, cid) and `qdt` (qid, m, cid, pd). */
-  private val PqCtes: String =
-    """ms AS (SELECT unnest(range(0, 16)) AS m),
-      |sub AS (
-      |  SELECT n.vec_id, ms.m,
-      |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
-      |  FROM n, ms),
-      |subn AS (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
-      |         FROM sub),
-      |cbq AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
-      |         snsq AS cnsq
-      |       FROM subn WHERE vec_id < 8),
-      |enc AS (
-      |  SELECT s.vec_id, s.m,
-      |    min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
-      |      AS BIGINT) * 8 + c.cid) AS key
-      |  FROM subn s JOIN cbq c ON c.m = s.m
-      |  GROUP BY s.vec_id, s.m),
-      |codes AS (SELECT vec_id, m, key % 8 AS cid FROM enc),
-      |qdt AS (
-      |  SELECT s.vec_id AS qid, c.m, c.cid,
-      |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
-      |      AS BIGINT) AS pd
-      |  FROM subn s JOIN cbq c ON c.m = s.m
-      |  WHERE s.vec_id < 10)""".stripMargin
+    * centroids each, queries vec_id < 10. The codebook is seeded first-8
+    * per subspace then per-subspace Lloyd-TRAINED for [[PqRounds]] E/M
+    * rounds, replayed bit-for-bit (the lloydCte rules applied per
+    * subspace: packed argmin with its low-cid tie-break, truncating `//`
+    * centroid update, empty-cell carry-over) — so a drift anywhere in
+    * PQ TRAINING, not just encode, breaks the q179/q184 hashes. Emits
+    * `codes` (vec_id, m, cid) and `qdt` (qid, m, cid, pd). */
+  private val PqRounds = 2
+  private val PqCtes: String = {
+    val seed =
+      """ms AS (SELECT unnest(range(0, 16)) AS m),
+        |sub AS (
+        |  SELECT n.vec_id, ms.m,
+        |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
+        |  FROM n, ms),
+        |subn AS MATERIALIZED (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
+        |         FROM sub),
+        |pc0 AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
+        |         snsq AS cnsq
+        |       FROM subn WHERE vec_id < 8)""".stripMargin
+    val rds = (1 to PqRounds).map { r =>
+      s"""pa$r AS (
+         |  SELECT s.vec_id, s.m,
+         |    CAST(min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+         |      AS BIGINT) * 8 + c.cid) % 8 AS BIGINT) AS cid
+         |  FROM subn s JOIN pc${r - 1} c ON c.m = s.m
+         |  GROUP BY s.vec_id, s.m),
+         |ps$r AS (
+         |  SELECT a.m, a.cid, t.d,
+         |    CAST(sum(s.sq[CAST(t.d AS INTEGER)]) AS BIGINT) AS sm,
+         |    count(*) AS cnt
+         |  FROM pa$r a JOIN subn s ON s.vec_id = a.vec_id AND s.m = a.m
+         |  CROSS JOIN range(1, 5) t(d)
+         |  GROUP BY a.m, a.cid, t.d),
+         |pu$r AS (SELECT m, cid, list(CAST(sm // cnt AS DOUBLE) ORDER BY d) AS cq
+         |        FROM ps$r GROUP BY m, cid),
+         |pc$r AS MATERIALIZED (
+         |  SELECT prev.m, prev.cid, coalesce(u.cq, prev.cq) AS cq,
+         |    coalesce(list_dot_product(u.cq, u.cq), prev.cnsq) AS cnsq
+         |  FROM pc${r - 1} prev
+         |  LEFT JOIN pu$r u ON u.m = prev.m AND u.cid = prev.cid)""".stripMargin
+    }
+    val tail =
+      s"""cbq AS (SELECT m, cid, cq, cnsq FROM pc$PqRounds),
+         |enc AS (
+         |  SELECT s.vec_id, s.m,
+         |    min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+         |      AS BIGINT) * 8 + c.cid) AS key
+         |  FROM subn s JOIN cbq c ON c.m = s.m
+         |  GROUP BY s.vec_id, s.m),
+         |codes AS (SELECT vec_id, m, key % 8 AS cid FROM enc),
+         |qdt AS (
+         |  SELECT s.vec_id AS qid, c.m, c.cid,
+         |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
+         |      AS BIGINT) AS pd
+         |  FROM subn s JOIN cbq c ON c.m = s.m
+         |  WHERE s.vec_id < 10)""".stripMargin
+    (seed +: rds :+ tail).mkString(",\n")
+  }
 
   /** First-k seed centroid CTE `c` (dense cid == vec_id on the contiguous
     * fixture id space, exactly Similarity.seedCentroids' relabeling). */
@@ -487,7 +520,11 @@ object SimilarityOps {
 
     // ---- PRODUCT-QUANTIZED ANN funnel (ADC + exact rerank): 64 dims →
     //      16 subspaces × 4, each coded against an 8-centroid per-
-    //      subspace codebook (first-8 seed rule, the seedCte precedent).
+    //      subspace codebook — first-8 seeded then per-subspace
+    //      Lloyd-TRAINED (2 E/M rounds, the FAISS train() step; the
+    //      oracle replays BOTH rounds — packing, truncating-division
+    //      update, empty-cell carry-over — so a training drift breaks
+    //      the hash, the q131 precedent applied per subspace).
     //      Stage 1 ranks the corpus by asymmetric lookup distance — Σ of
     //      16 table reads per pair instead of a 64-dim dot, and at scale
     //      16 bytes of codes per corpus vector instead of 64 floats
@@ -529,7 +566,7 @@ object SimilarityOps {
       val emb = Tables.t(s, d, "embeddings")
       Similarity.pqKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 100, m = 16, ksub = 8,
-          dim = Dim)
+          dim = Dim, pqTrainRounds = 2)
         .orderBy("qid", "rank")
     },
 
@@ -543,9 +580,10 @@ object SimilarityOps {
     //      zero corpus shuffle); candidate generation is an equi-join on
     //      the cell id against the broadcast routed queries, so per-query
     //      cost tracks nprobe·(n/nlist) — never the corpus. The oracle
-    //      replays the 2-round Lloyd training, the cell argmin, the
-    //      codebook + encode, the ADC sum within probed lists, the
-    //      candidate cut AND the rerank — a drift anywhere in the
+    //      replays the 2-round Lloyd training of the COARSE quantizer,
+    //      the cell argmin, the per-subspace 2-round Lloyd training of
+    //      the PQ codebook + encode, the ADC sum within probed lists,
+    //      the candidate cut AND the rerank — a drift anywhere in the
     //      composed route breaks the hash. ----
     Q("q184_ivf_adc_knn",
       s"""WITH $PreparedCte,
@@ -586,7 +624,8 @@ object SimilarityOps {
       val emb = Tables.t(s, d, "embeddings")
       Similarity.ivfAdcKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 50, nlist = 8,
-          nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim)
+          nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+          pqTrainRounds = 2)
         .orderBy("qid", "rank")
     },
 

@@ -307,9 +307,14 @@ class VectorSpec extends SparkTestBase {
     // swamps the tiny true-neighbor margins), which is exactly why
     // production PQ reranks: the funnel keeps the top-100 by ADC then
     // exact-reranks. Picking 100 of 2000 at random recovers 5% of the
-    // true top-5; the funnel measured 0.656 over 50 probes at sf0.1 —
-    // gated at >= 0.2 (4x random, the q139 bar), leaving slack. Fully
-    // deterministic (integer math end to end).
+    // true top-5. TRAINING IS THE RECALL LEVER (the round-6 verdict's
+    // top item): with seeded codebooks (pqTrainRounds = 0, codewords =
+    // arbitrary corpus points) the funnel measured 0.656 over 50 probes
+    // at sf0.1; 2 rounds of per-subspace Lloyd lift it to 0.792 —
+    // codewords that fit each subspace's distribution make ADC distances
+    // informative. Gated both ways: trained strictly above the seeded
+    // 0.656 watermark AND strictly above the same run's measured seeded
+    // recall. Fully deterministic (integer math end to end).
     import org.apache.spark.sql.expressions.Window
     val d = "/root/testdata/sf0.1"
     val e = Tables.t(spark, d, "embeddings")
@@ -326,26 +331,83 @@ class VectorSpec extends SparkTestBase {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = Similarity.pqKnn(queries, e, "vec_id", "embedding",
-        k = 5, candidates = 100, m = 16, ksub = 8, dim = 64)
-      .select("qid", "nid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (pq & gold).size.toDouble / gold.size
-    info(s"PQ recall@5 over 50 probes: $recall")
-    assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
+    def flatRecall(rounds: Int): Double = {
+      val pq = Similarity.pqKnn(queries, e, "vec_id", "embedding",
+          k = 5, candidates = 100, m = 16, ksub = 8, dim = 64,
+          pqTrainRounds = rounds)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq & gold).size.toDouble / gold.size
+    }
+    val seeded = flatRecall(0)
+    val recall = flatRecall(2)
+    info(s"PQ recall@5 over 50 probes: seeded $seeded, trained $recall")
+    assert(recall > seeded, s"training did not lift recall: $seeded -> $recall")
+    assert(recall > 0.656, s"trained PQ recall@5 below seeded watermark: $recall")
 
     // the composed IVFADC route prunes to nprobe/nlist of the corpus
     // BEFORE the ADC funnel — recall must not collapse vs flat PQ.
-    // Measured 0.436 (vs 0.656 flat PQ: the 2-of-8-cells routing loss,
-    // exactly the nprobe/recall trade IVF sells); gate leaves slack.
+    // Measured 0.464 trained (0.436 seeded; vs 0.792 flat PQ: the
+    // 2-of-8-cells routing loss, exactly the nprobe/recall trade IVF
+    // sells — the nprobe-sweep spec below shows the knob recovering it).
     val ivfadc = Similarity.ivfAdcKnn(queries, e, "vec_id", "embedding",
         k = 5, candidates = 100, nlist = 8, nprobe = 2, trainRounds = 2,
-        m = 16, ksub = 8, dim = 64)
+        m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recallIvf = (ivfadc & gold).size.toDouble / gold.size
     info(s"IVFADC recall@5 over 50 probes: $recallIvf")
-    assert(recallIvf >= 0.15, s"IVFADC recall@5 collapsed: $recallIvf")
+    assert(recallIvf > 0.436,
+      s"trained IVFADC recall@5 below seeded watermark: $recallIvf")
+  }
+
+  test("IVFADC nprobe sweep: recall recovers monotonically to flat PQ") {
+    // nprobe is THE production knob a 100 TB operator turns: probing more
+    // cells reads more inverted lists (cost ∝ nprobe/nlist of the corpus)
+    // and buys recall. This pins the knob actually working: recall@5 is
+    // non-decreasing across nprobe ∈ {1, 2, 4, 8}, and at nprobe = nlist
+    // the route degenerates to flat PQ by construction (every cell
+    // probed → same ADC funnel), so recall must MATCH the flat-PQ recall
+    // exactly — routing loss fully recovered.
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.t(spark, d, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+    val qp = Similarity.prepared(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    val cp = Similarity.prepared(e, "vec_id", "embedding")
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val gold = qp.join(cp, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qnsq") + col("nsq")
+          - lit(2L) * VectorFunctions.dot(col("qq"), col("q"))).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val r = Similarity.ivfAdcKnn(queries, e, "vec_id", "embedding",
+          k = 5, candidates = 100, nlist = 8, nprobe = nprobe,
+          trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (r & gold).size.toDouble / gold.size
+    }
+    val flat = {
+      val pq = Similarity.pqKnn(queries, e, "vec_id", "embedding",
+          k = 5, candidates = 100, m = 16, ksub = 8, dim = 64,
+          pqTrainRounds = 2)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq & gold).size.toDouble / gold.size
+    }
+    val sweep = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info(s"nprobe sweep: ${sweep.map { case (np, r) => s"$np:$r" }.mkString(", ")} (flat $flat)")
+    sweep.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
+      assert(rB >= rA, s"recall fell raising nprobe $npA->$npB: $rA -> $rB")
+    }
+    assert(sweep.last._2 >= flat,
+      s"nprobe=nlist did not recover flat-PQ recall: ${sweep.last._2} < $flat")
   }
 
   test("PQ ANN is id-space invariant (codebook seeds by order statistic, " +
