@@ -226,7 +226,7 @@ object Similarity {
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
-  private def shiftFor(k: Int): Long = {
+  private[operators] def shiftFor(k: Int): Long = {
     var s = 1L
     while (s < k) s <<= 1
     s
@@ -236,7 +236,7 @@ object Similarity {
     * (cid, cq, cnsq). Centroids are O(k·dim) BY DEFINITION, so holding
     * them driver-side is the scale-correct move (the MLlib pattern) — the
     * corpus never ships anywhere for this. */
-  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
                             cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import spark.implicits._
     cents.map { case (cid, cq) => (cid, cq, cq.map(x => x * x).sum) }
@@ -252,7 +252,7 @@ object Similarity {
     * centroid id in the key's low bits, which needs cid < 2^ceil(log2 k)
     * regardless of the corpus id space. On the 0-contiguous fixtures the
     * dense id equals the vector id, which is what the oracles replay. */
-  private def seedCentroids(p: DataFrame, idCol: String, k: Int): Seq[(Long, Seq[Long])] = {
+  private[operators] def seedCentroids(p: DataFrame, idCol: String, k: Int): Seq[(Long, Seq[Long])] = {
     val spark = p.sparkSession
     import spark.implicits._
     p.select(col(idCol).cast("long").as("_id"), col("q"))
@@ -531,6 +531,9 @@ object Similarity {
     val sub = dim / m
     val p = prepared(corpus, idCol, vecCol)
     val cb = pqCodebook(p, idCol, m, ksub, sub, pqTrainRounds)
+    // one-shot materialization: non-fault-tolerant, blocks live until the
+    // session ends — see ivfAdcKnn's note; serving workloads should hold
+    // an [[IvfAdcIndex]] (build once, query many, release)
     val codes = pqCodes(p.select(col(idCol).as("nid"), col("q")), cb, sub)
       .drop("q").localCheckpoint(false)
     val qp = pqDtCols(prepared(queries, idCol, vecCol)
@@ -568,7 +571,7 @@ object Similarity {
     * toward zero — the q131 rule), so the oracle replays training
     * bit-for-bit; a subspace cell left empty keeps its codeword.
     * cb(mi)(cid) = (subvector, normSq). */
-  private def pqCodebook(p: DataFrame, idCol: String, m: Int, ksub: Int,
+  private[operators] def pqCodebook(p: DataFrame, idCol: String, m: Int, ksub: Int,
       sub: Int, trainRounds: Int): IndexedSeq[IndexedSeq[(Seq[Long], Long)]] = {
     require(trainRounds >= 0 && trainRounds <= 64,
       s"trainRounds=$trainRounds out of range")
@@ -625,7 +628,7 @@ object Similarity {
     cb.map(_.map(v => (v, v.map(x => x * x).sum)))
   }
 
-  private def pqLitArr(v: Seq[Long]): Column = array(v.map(lit(_)): _*)
+  private[operators] def pqLitArr(v: Seq[Long]): Column = array(v.map(lit(_)): _*)
 
   /** Exact integer squared distance from `q`'s mi-th subvector to
     * codebook centroid (mi, cid). */
@@ -646,7 +649,7 @@ object Similarity {
     * re-encoding every corpus row once PER QUERY (measured 3.9 s vs 1 s
     * at sf0.1). In production the same table would be written to storage
     * once and scanned per query batch. */
-  private def pqCodes(df0: DataFrame,
+  private[operators] def pqCodes(df0: DataFrame,
       cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]], sub: Int): DataFrame = {
     val ksub = cb.head.length
     cb.indices.foldLeft(df0) { (df, mi) =>
@@ -656,7 +659,7 @@ object Similarity {
   }
 
   /** Query-side ADC tables: ksub exact distances per subspace. */
-  private def pqDtCols(df0: DataFrame,
+  private[operators] def pqDtCols(df0: DataFrame,
       cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]], sub: Int): DataFrame = {
     val ksub = cb.head.length
     cb.indices.foldLeft(df0) { (df, mi) =>
@@ -672,7 +675,7 @@ object Similarity {
     * window), keeps nprobe, appends `outCol` = the probed cell id.
     * Expects `qid`/`qq`/`qnsq` on the query frame; all other query
     * columns ride through. */
-  private def routeQueries(qp: DataFrame, centroids: DataFrame,
+  private[operators] def routeQueries(qp: DataFrame, centroids: DataFrame,
       nprobe: Int, outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("ccid"))
@@ -685,8 +688,31 @@ object Similarity {
       .drop("cq", "cnsq", "cdist", "crn")
   }
 
+  /** Packed cell-assignment keys against LITERAL trained centroids — the
+    * narrow (zero-shuffle) form of [[assignTo]]'s argmin, identical
+    * packing/tie-break, shared by [[ivfAdcKnn]] and [[IvfAdcIndex]]'s
+    * build so the two can never drift. Expects `q`/`nsq` columns. */
+  private[operators] def cellAssignKeys(cents: Seq[(Long, Seq[Long])],
+      shift: Long): Seq[Column] =
+    cents.map { case (cid, cq) =>
+      val cnsq = cq.map(x => x * x).sum
+      (col("nsq") + lit(cnsq) - lit(2L) * dot(col("q"), pqLitArr(cq))) *
+        shift + cid
+    }
+
+  /** Lloyd-trained routing centroids, collected driver-side
+    * (nlist·dim longs — bounded by definition, the kmeansTrain
+    * invariant), id-sorted. Shared by [[ivfAdcKnn]] and
+    * [[IvfAdcIndex.build]]. */
+  private[operators] def collectTrainedCentroids(corpus: DataFrame,
+      idCol: String, vecCol: String, nlist: Int,
+      trainRounds: Int): Seq[(Long, Seq[Long])] =
+    kmeansTrain(corpus, idCol, vecCol, nlist, trainRounds)
+      .select(col("cid"), col("cq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+
   /** The asymmetric distance: m table lookups + adds per pair. */
-  private def pqAdc(m: Int): Column =
+  private[operators] def pqAdc(m: Int): Column =
     (0 until m).map(mi =>
       element_at(col(s"dt$mi"), col(s"code$mi") + 1)).reduce(_ + _)
 
@@ -694,7 +720,7 @@ object Similarity {
     * vectors are fetched ONLY for candidate ids. The CANDIDATE side
     * broadcasts (bounded: |queries|·candidates rows); the corpus side
     * must never build a hash table at 100 TB. */
-  private def pqRerank(cand: DataFrame, p: DataFrame, idCol: String,
+  private[operators] def pqRerank(cand: DataFrame, p: DataFrame, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cp = p.select(col(idCol).as("nid"), col("q").as("nq"),
@@ -733,23 +759,21 @@ object Similarity {
     val spark = corpus.sparkSession
     val p = prepared(corpus, idCol, vecCol)
     val cb = pqCodebook(p, idCol, m, ksub, sub, pqTrainRounds)
-    // trained routing centroids, collected (nlist·dim longs — bounded by
-    // definition, the kmeansTrain invariant)
-    val cents: Seq[(Long, Seq[Long])] =
-      kmeansTrain(corpus, idCol, vecCol, nlist, trainRounds)
-        .select(col("cid"), col("cq")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val cents = collectTrainedCentroids(corpus, idCol, vecCol, nlist,
+      trainRounds)
     val shift = shiftFor(nlist)
     // narrow cell assignment against the LITERAL trained centroids —
-    // identical packing/tie-break to assignTo's shuffled argmin
-    val cellKeys = cents.map { case (cid, cq) =>
-      val cnsq = cq.map(x => x * x).sum
-      (col("nsq") + lit(cnsq) - lit(2L) * dot(col("q"), pqLitArr(cq))) *
-        shift + cid
-    }
+    // identical packing/tie-break to assignTo's shuffled argmin. NOTE
+    // this inline body materializes the code table with a NON-fault-
+    // tolerant localCheckpoint whose blocks live until the session ends
+    // (executor loss fails the query instead of recomputing; repeated
+    // calls accumulate storage) — acceptable for a one-shot query; a
+    // serving workload should hold an [[IvfAdcIndex]] instead, which
+    // persists the same frame ONCE, answers many query batches, and
+    // frees the storage on release().
     val codes = pqCodes(p.select(col(idCol).as("nid"), col("q"), col("nsq")),
         cb, sub)
-      .withColumn("cell", least(cellKeys: _*) % shift)
+      .withColumn("cell", least(cellAssignKeys(cents, shift): _*) % shift)
       .drop("q", "nsq")
       .localCheckpoint(false)
     // query side: ADC tables + routing to the nprobe nearest cells
