@@ -590,40 +590,44 @@ object Similarity {
             slice(col("q"), mi * sub + 1, sub)): _*)).as(Seq("mi", "sq")))
         .withColumn("snsq", normSq(col("sq")))
         .persist()
-      var r = 0
-      while (r < trainRounds) {
-        val cf = cb.zipWithIndex.flatMap { case (cbm, mi) =>
-          cbm.zipWithIndex.map { case (cv, cid) =>
-            (mi, cid.toLong, cv, cv.map(x => x * x).sum)
-          }
-        }.toDF("mi", "cid", "cq", "cnsq")
-        val asg = subs.join(broadcast(cf), Seq("mi"))
-          .select(col("_vid"), col("mi"),
-            ((col("snsq") + col("cnsq") - lit(2L) * dot(col("sq"), col("cq")))
-              * shift + col("cid")).as("key"))
-          .groupBy(col("_vid"), col("mi"))
-          .agg(min(col("key")).as("key"))
-          .select(col("_vid"), col("mi"), (col("key") % shift).as("cid"))
-        val sums = asg.join(subs, Seq("_vid", "mi"))
-          .select(col("mi"), col("cid"), posexplode(col("sq")).as(Seq("d", "v")))
-          .groupBy(col("mi"), col("cid"), col("d"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .as[(Int, Long, Int, Long, Long)].collect()
-        val byKey = sums.groupBy(t => (t._1, t._2))
-        cb = cb.zipWithIndex.map { case (cbm, mi) =>
-          cbm.zipWithIndex.map { case (old, cid) =>
-            byKey.get((mi, cid.toLong)) match {
-              case Some(rows) =>
-                val arr = old.toArray
-                rows.foreach { case (_, _, d, s, n) => arr(d) = s / n }
-                arr.toSeq
-              case None => old // empty cell keeps its codeword
+      // finally-block unpersist: a failure mid-round (e.g. an executor
+      // loss during a collect) must not leak the cached subvector frame
+      // for the rest of the session
+      try {
+        var r = 0
+        while (r < trainRounds) {
+          val cf = cb.zipWithIndex.flatMap { case (cbm, mi) =>
+            cbm.zipWithIndex.map { case (cv, cid) =>
+              (mi, cid.toLong, cv, cv.map(x => x * x).sum)
+            }
+          }.toDF("mi", "cid", "cq", "cnsq")
+          val asg = subs.join(broadcast(cf), Seq("mi"))
+            .select(col("_vid"), col("mi"),
+              ((col("snsq") + col("cnsq") - lit(2L) * dot(col("sq"), col("cq")))
+                * shift + col("cid")).as("key"))
+            .groupBy(col("_vid"), col("mi"))
+            .agg(min(col("key")).as("key"))
+            .select(col("_vid"), col("mi"), (col("key") % shift).as("cid"))
+          val sums = asg.join(subs, Seq("_vid", "mi"))
+            .select(col("mi"), col("cid"), posexplode(col("sq")).as(Seq("d", "v")))
+            .groupBy(col("mi"), col("cid"), col("d"))
+            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+            .as[(Int, Long, Int, Long, Long)].collect()
+          val byKey = sums.groupBy(t => (t._1, t._2))
+          cb = cb.zipWithIndex.map { case (cbm, mi) =>
+            cbm.zipWithIndex.map { case (old, cid) =>
+              byKey.get((mi, cid.toLong)) match {
+                case Some(rows) =>
+                  val arr = old.toArray
+                  rows.foreach { case (_, _, d, s, n) => arr(d) = s / n }
+                  arr.toSeq
+                case None => old // empty cell keeps its codeword
+              }
             }
           }
+          r += 1
         }
-        r += 1
-      }
-      subs.unpersist()
+      } finally subs.unpersist()
     }
     cb.map(_.map(v => (v, v.map(x => x * x).sum)))
   }

@@ -227,6 +227,51 @@ object SimilarityOps {
     (seed +: rds).mkString(",\n") + s",\nc AS (SELECT * FROM kc$rounds)"
   }
 
+  /** The complete IVF-ADC oracle, shared by q184 (inline one-shot body)
+    * and q185 (the [[IvfAdcIndex]] serving path): ONE SQL definition, so
+    * the handle-served hash matching it PROVES handle ≡ inline — the
+    * same single-owner rule the routing/packing CTEs follow. Replays the
+    * 2-round Lloyd training of the coarse quantizer, the cell argmin,
+    * the per-subspace 2-round Lloyd PQ training + encode, the ADC sum
+    * within the 2 probed lists, the top-50 candidate cut AND the exact
+    * rerank. */
+  private val IvfAdcOracleSql: String =
+    s"""WITH $PreparedCte,
+       |${lloydCte(8, 2)},
+       |${asgCte(8)},
+       |$PqCtes,
+       |qr AS (
+       |  SELECT n.vec_id AS qid, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+       |  FROM n, c WHERE n.vec_id < 10),
+       |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+       |ad AS (
+       |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
+       |  FROM pr
+       |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
+       |  JOIN codes x ON x.vec_id = a.vec_id
+       |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
+       |  GROUP BY pr.qid, a.vec_id),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
+       |    FROM ad) t
+       |  WHERE arank <= 50),
+       |scored AS (
+       |  SELECT c2.qid, c2.nid,
+       |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd)
+       |      AS BIGINT) AS d2
+       |  FROM cand c2
+       |  JOIN n na ON na.vec_id = c2.qid
+       |  JOIN n nb ON nb.vec_id = c2.nid)
+       |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // ---- embedding near-dup: top-50 all-pairs cosine ----
@@ -585,47 +630,31 @@ object SimilarityOps {
     //      the PQ codebook + encode, the ADC sum within probed lists,
     //      the candidate cut AND the rerank — a drift anywhere in the
     //      composed route breaks the hash. ----
-    Q("q184_ivf_adc_knn",
-      s"""WITH $PreparedCte,
-         |${lloydCte(8, 2)},
-         |${asgCte(8)},
-         |$PqCtes,
-         |qr AS (
-         |  SELECT n.vec_id AS qid, c.cid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
-         |  FROM n, c WHERE n.vec_id < 10),
-         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
-         |ad AS (
-         |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
-         |  FROM pr
-         |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
-         |  JOIN codes x ON x.vec_id = a.vec_id
-         |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
-         |  GROUP BY pr.qid, a.vec_id),
-         |cand AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
-         |    FROM ad) t
-         |  WHERE arank <= 50),
-         |scored AS (
-         |  SELECT c2.qid, c2.nid,
-         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd)
-         |      AS BIGINT) AS d2
-         |  FROM cand c2
-         |  JOIN n na ON na.vec_id = c2.qid
-         |  JOIN n nb ON nb.vec_id = c2.nid)
-         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT qid, nid, d2,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    Q("q184_ivf_adc_knn", IvfAdcOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.ivfAdcKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 50, nlist = 8,
           nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
           pqTrainRounds = 2)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- the same IVF-ADC query through the SERVING lifecycle: a
+    //      production vector store builds its index ONCE (train
+    //      quantizers, encode the corpus, persist the inverted lists)
+    //      and answers every query batch against the materialized
+    //      artifact — [[IvfAdcIndex]]. Gated against the SAME oracle as
+    //      q184, so the hash proves handle-served ≡ inline rebuild; in
+    //      Bench the memoized build amortizes across the timed passes,
+    //      so q185's number is what serving actually costs (route + ADC
+    //      + rerank, zero training/encode). ----
+    Q("q185_ann_index_serve", IvfAdcOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      idx.query(emb.filter(col("vec_id") < 10), k = 5, candidates = 50,
+          nprobe = 2)
         .orderBy("qid", "rank")
     },
 

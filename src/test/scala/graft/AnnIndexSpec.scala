@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{IvfAdcIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Gates for the [[IvfAdcIndex]] build-once/query-many serving lifecycle
+  * (round-7 verdict item 1): the handle must serve EXACTLY what the
+  * inline one-shot q184 pipeline computes, must never re-pay build work
+  * on later queries, and must actually free its storage on release().
+  * The q185 gate complements this spec cross-engine: handle-served rows
+  * hash-match the same DuckDB oracle as q184 at three SFs.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.t(spark, Sf, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  // one handle shared by the serving tests; the lifecycle test below
+  // builds (and releases) its own
+  private lazy val idx = IvfAdcIndex.build(emb, "vec_id", "embedding",
+    nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64,
+    pqTrainRounds = 2)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "nid", "d2", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+  private def jobsIn(group: String)(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try body finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("handle-served query() ≡ the inline ivfAdcKnn pipeline row-for-row") {
+    val served = rows(idx.query(queries, k = 5, candidates = 50, nprobe = 2))
+    val inline = rows(Similarity.ivfAdcKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 50, nlist = 8, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2))
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("the handle's index plan is a flat scan; query() never re-encodes " +
+    "the corpus") {
+    // the flat-lineage rebase must leave the index a bare scan of the
+    // materialized RDD — if CollapseProject ever folded the m·ksub encode
+    // argmins back in, both plans would carry `least(` expression trees
+    // (encode is the ONLY least() user on this route: routing is a
+    // window, ADC tables are plain arrays)
+    assert(idx.codes.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      s"index plan is not a flat RDD scan:\n${idx.codes.queryExecution.optimizedPlan}")
+    val plan = idx.query(queries, k = 5, candidates = 50, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("least("),
+      s"query plan re-encodes the corpus (encode argmin present):\n$plan")
+  }
+
+  test("second query() launches no more jobs than the first (no hidden rebuild)") {
+    def serve(): Unit =
+      idx.query(queries, k = 5, candidates = 50, nprobe = 2).count()
+    serve() // ensure the shared lazy handle's build cost is fully paid
+    val first = jobsIn("ann-serve-1")(serve())
+    val second = jobsIn("ann-serve-2")(serve())
+    assert(second <= first,
+      s"second query launched MORE jobs ($second) than the first ($first)")
+  }
+
+  test("release() frees every block the build persisted") {
+    // drop the suite's shared handle first: an identical analyzed plan
+    // would otherwise dedupe in the CacheManager and register no new
+    // block, leaving this test nothing to observe
+    idx.release()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val own = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "build() persisted nothing")
+    // results materialized before release stay valid afterwards
+    val served = rows(own.query(queries, k = 5, candidates = 50, nprobe = 2))
+    own.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added & after).isEmpty,
+      s"release() left blocks persisted: ${added & after}")
+    assert(served.nonEmpty)
+  }
+
+  test("buildCached memoizes per (cacheKey, corpus plan, params) — a " +
+    "different corpus under the same key gets its OWN index") {
+    val a = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64)
+    val b = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64)
+    assert(a eq b, "identical build args did not share one handle")
+    // the ADVICE hazard: same cacheKey, filtered corpus — silently
+    // sharing a's index would answer with neighbors the filtered corpus
+    // doesn't contain
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val c = IvfAdcIndex.buildCached(half, Sf, "vec_id", "embedding",
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64)
+    assert(!(c eq a), "a filtered corpus silently shared the full-corpus index")
+    val odd = c.query(queries, k = 5, candidates = 50, nprobe = 2)
+      .filter(col("nid") % 2 =!= 0).count()
+    assert(odd === 0, "index built on the even-id corpus served odd-id neighbors")
+  }
+}

@@ -403,11 +403,20 @@ class VectorSpec extends SparkTestBase {
     }
     val sweep = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
     info(s"nprobe sweep: ${sweep.map { case (np, r) => s"$np:$r" }.mkString(", ")} (flat $flat)")
+    // per-step trend is EMPIRICAL, not structural: with a fixed
+    // candidates=100 ADC cut, probing more cells can displace a true
+    // neighbor from the candidate set, so a small step-to-step dip is
+    // legitimate — assert the trend within a tolerance, not strictly
+    // (measured on this fixture: 0.356/0.464/0.656/0.792, no dips)
+    val StepTol = 0.05
     sweep.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
-      assert(rB >= rA, s"recall fell raising nprobe $npA->$npB: $rA -> $rB")
+      assert(rB >= rA - StepTol,
+        s"recall fell raising nprobe $npA->$npB beyond tolerance: $rA -> $rB")
     }
-    assert(sweep.last._2 >= flat,
-      s"nprobe=nlist did not recover flat-PQ recall: ${sweep.last._2} < $flat")
+    // the nprobe = nlist endpoint IS structural: every cell probed means
+    // the ADC funnel sees the whole corpus — identical to flat PQ
+    assert(sweep.last._2 === flat,
+      s"nprobe=nlist did not equal flat-PQ recall: ${sweep.last._2} vs $flat")
   }
 
   test("PQ ANN is id-space invariant (codebook seeds by order statistic, " +
