@@ -16,16 +16,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by default:
-    // read nanos as long and floor-divide to micros — same truncation DuckDB
-    // applies when it reads nanos into its microsecond TIMESTAMP.
+    // events.ts has shipped as TIMESTAMP(NANOS) (refused by Spark unless
+    // read as long) and as TIMESTAMP(MICROS) NTZ, depending on fixture
+    // generation — normalize BOTH to TimestampType so event-time ops
+    // (and streaming watermarks, which reject NTZ) always see the same
+    // type. The session timezone is UTC, so the NTZ cast preserves wall
+    // values exactly — the same instants DuckDB reads either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Nanos-as-long → floor-divide to micros (DuckDB's truncation);
+    * micros-NTZ → cast (value-preserving under the UTC session tz). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (SQL surface parity with the

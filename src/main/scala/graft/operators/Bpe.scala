@@ -32,19 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Rebase `df` onto a flat LogicalRDD, cutting its LOGICAL lineage.
-    * The per-round persist already caps recompute cost, but the logical
-    * plan still accretes every prior round's fold expressions — and each
-    * action pays O(plan) in driver-side plan-STRING generation alone
-    * (SparkListenerSQLExecutionStart renders the plan whether or not the
-    * UI is on), so a training loop is O(rounds²) in the driver even with
-    * caching. Measured: 32 sequential rounds spent >20 CPU-minutes inside
-    * TreeNode.generateTreeString before this rebase; after it each round's
-    * plan is one LogicalRDD scan and the loop is O(rounds). `df` must be
-    * persisted by the caller first — planning here (`.rdd`) then routes
-    * through its InMemoryRelation, so the flat frame reads the cache. */
-  private def flatLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+  // Per-round state snapshotting — why BOTH lineages must be cut:
+  //
+  //  - LOGICAL: the plan accretes every prior round's fold expressions,
+  //    and each action pays O(plan) in driver-side plan-STRING
+  //    generation alone (SparkListenerSQLExecutionStart renders the
+  //    plan whether or not the UI is on) — measured: 32 sequential
+  //    rounds spent >20 CPU-minutes inside TreeNode.generateTreeString
+  //    before rebasing; after, each round's plan is one LogicalRDD scan.
+  //  - PHYSICAL: a persist-only rebase (createDataFrame(df.rdd, schema))
+  //    leaves the RDD DEPENDENCY chain growing one link per round, and
+  //    task serialization walks it recursively — measured: a 64-pass
+  //    batched run died with StackOverflowError at ~pass 45
+  //    (BpeDeepProbe, round 8). Real tokenizer depth is 100s-1000s of
+  //    passes, so the chain must be truncated, not just cached.
+  //
+  // Graph.snapshot cuts both (checkpoint-style truncation; reliable
+  // checkpoint when a dir is configured, else localCheckpoint) and
+  // returns the storage handle Graph.release frees. The superseded
+  // round is released only AFTER the current round's action has
+  // materialized the new snapshot — a truncated snapshot cannot be
+  // recomputed, so releasing its predecessor early would strand it.
 
   /** Word-TYPE table for `textCol`: (freq, syms) with syms the per-
     * character initial segmentation. ASCII-alnum tokens only (see
@@ -87,14 +95,10 @@ object Bpe {
     require(rounds > 0 && rounds <= 256, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     import spark.implicits._
-    // curCached is the PERSISTED frame (the unpersist handle); cur is its
-    // flat-lineage view, which every downstream plan builds on
-    var curCached = wordTypes(docs, textCol).persist()
-    var cur = curCached
-    // previous round's frame: still cached until the current round's
-    // pair-count action has populated cur's cache (unpersisting earlier
-    // would force a full-lineage recompute of every prior fold)
-    var prevRound: Option[DataFrame] = None
+    var (cur, curSnap) = Graph.snapshot(wordTypes(docs, textCol))
+    // previous round's snapshot: held until the current round's
+    // pair-count action has materialized cur (see the snapshot note)
+    var prevSnap: Option[org.apache.spark.rdd.RDD[_]] = None
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var dry = false
@@ -108,8 +112,8 @@ object Bpe {
         .agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
         .collect()
-      prevRound.foreach(_.unpersist())
-      prevRound = None
+      prevSnap.foreach(Graph.release)
+      prevSnap = None
       if (best.isEmpty) dry = true
       else {
         val l = best.head.getString(0)
@@ -117,18 +121,17 @@ object Bpe {
         val pf = best.head.getLong(2)
         out += ((r, l, rt, pf))
         if (r < rounds) {
-          val nextCached = cur
-            .select(col("freq"), applyMerge(col("syms"), l, rt).as("syms"))
-            .persist()
-          prevRound = Some(curCached)
-          curCached = nextCached
-          cur = flatLineage(nextCached)
+          val (nextDf, nextSnap) = Graph.snapshot(cur
+            .select(col("freq"), applyMerge(col("syms"), l, rt).as("syms")))
+          prevSnap = Some(curSnap)
+          cur = nextDf
+          curSnap = nextSnap
         }
       }
       r += 1
     }
-    curCached.unpersist()
-    prevRound.foreach(_.unpersist())
+    Graph.release(curSnap)
+    prevSnap.foreach(Graph.release)
     out.toSeq.toDF("round", "lft", "rgt", "pair_freq")
   }
 
@@ -213,14 +216,17 @@ object Bpe {
     * pass count is what a static SQL oracle can replay. */
   def mergesBatched(docs: DataFrame, textCol: String, passes: Int,
       batchSize: Int): DataFrame = {
-    require(passes > 0 && passes <= 64, s"passes=$passes out of range")
-    require(batchSize > 0 && batchSize <= 64, s"batchSize=$batchSize out of range")
+    // caps sized for real tokenizer training (~30k merges = 256 passes
+    // × 128, or any equivalent split) — BpeDeepProbe records the
+    // measured wall/jobs-per-merge curve that makes the 30k cost
+    // arithmetic; the per-pass cost model is in BASELINE.md
+    require(passes > 0 && passes <= 1024, s"passes=$passes out of range")
+    require(batchSize > 0 && batchSize <= 256, s"batchSize=$batchSize out of range")
     val spark = docs.sparkSession
     import spark.implicits._
     val topK = batchSize * 4
-    var curCached = wordTypes(docs, textCol).persist()
-    var cur = curCached
-    var prevPass: Option[DataFrame] = None
+    var (cur, curSnap) = Graph.snapshot(wordTypes(docs, textCol))
+    var prevSnap: Option[org.apache.spark.rdd.RDD[_]] = None
     val out = scala.collection.mutable.ListBuffer
       .empty[(Int, Int, String, String, Long)]
     var b = 1
@@ -236,8 +242,8 @@ object Bpe {
         .orderBy(col("pf").desc, col("l"), col("r")).limit(topK)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      prevPass.foreach(_.unpersist())
-      prevPass = None
+      prevSnap.foreach(Graph.release)
+      prevSnap = None
       if (ranked.isEmpty) dry = true
       else {
         val keptLefts = scala.collection.mutable.Set.empty[String]
@@ -262,17 +268,17 @@ object Bpe {
           (b, j + 1, l, rt, pf)
         }
         if (b < passes && kept.nonEmpty) {
-          val nextCached = applyToTypes(cur, kept.map(k => (k._1, k._2)).toSeq)
-            .persist()
-          prevPass = Some(curCached)
-          curCached = nextCached
-          cur = flatLineage(nextCached)
+          val (nextDf, nextSnap) = Graph.snapshot(
+            applyToTypes(cur, kept.map(k => (k._1, k._2)).toSeq))
+          prevSnap = Some(curSnap)
+          cur = nextDf
+          curSnap = nextSnap
         }
       }
       b += 1
     }
-    curCached.unpersist()
-    prevPass.foreach(_.unpersist())
+    Graph.release(curSnap)
+    prevSnap.foreach(Graph.release)
     out.toSeq.toDF("batch", "j", "lft", "rgt", "pair_freq")
   }
 
@@ -310,9 +316,10 @@ object Bpe {
   // cacheKey -> trained merge list (tiny: `rounds` string pairs). Values
   // are small but the map must not grow without bound across arbitrary
   // caller keys (TempDirs/KeepList lifecycle convention): bounded at
-  // MaxCacheEntries, clearing wholesale when full — re-training after a
-  // clear is correct (the merge list is deterministic per dataset), just
-  // un-memoized for one call.
+  // MaxCacheEntries; when full, ONE arbitrary entry is evicted rather
+  // than clearing wholesale (IvfAdcIndex.buildCached's rule — hot
+  // entries survive). Re-training after an eviction is correct (the
+  // merge list is deterministic per dataset), just un-memoized once.
   private val MaxCacheEntries = 64
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
@@ -328,7 +335,7 @@ object Bpe {
     // share one entry (the mediaCache rule)
     val k = s"${new java.io.File(cacheKey).getCanonicalPath}|$textCol|$rounds"
     if (mergeCache.size >= MaxCacheEntries && !mergeCache.containsKey(k))
-      mergeCache.clear()
+      mergeCache.remove(mergeCache.keys().nextElement())
     applyMerges(docs, textCol,
       mergeCache.computeIfAbsent(k, _ =>
         merges(docs, textCol, rounds).orderBy("round").collect()

@@ -28,6 +28,21 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
 
+  /** The uniform 32-bit integer behind the q176 priority draw: the id's
+    * md5 prefix as a long. */
+  def md5Prefix32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The q176 priority over columns named `h` ([[md5Prefix32]]) and `w`
+    * (the weight): pri = (h << 20) div w, the integer-quantized image of
+    * the u^(1/w) exponential key (smaller pri ⟺ larger weighted key), so
+    * a bottom-k cut is a weight-biased reproducible draw. ONE definition
+    * shared by the gated q176 body and SamplingSpec's statistical gate —
+    * the spec measures the formula's DEFINING property (inclusion rate
+    * ∝ w below saturation), so a drift here fails both the q176 hash and
+    * the measured ratios. */
+  val priorityKey: Column = expr("(h * 1048576) div w")
+
   // ---- q137/q140 shared mixing weights (thousandths): ONE owner for the
   //      per-source table, Spark and oracle sides (the drift hazard the
   //      k-means CTE helpers solved for the packed-argmin constants) ----
@@ -233,10 +248,9 @@ object Sampling {
       Tables.t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           greatest(size(tokens(col("text"))).cast("long"), lit(1L)).as("w"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long").as("h"))
+          md5Prefix32(col("doc_id")).as("h"))
         .select(col("doc_id"), col("source"), col("w"),
-          expr("(h * 1048576) div w").as("pri"))
+          priorityKey.as("pri"))
         .orderBy(col("pri"), col("doc_id"))
         .limit(100)
     },

@@ -196,6 +196,33 @@ object TextOps {
         passes = 4, batchSize = 5).orderBy("batch", "j")
     },
 
+    // ---- DEEP batched BPE: the q174 selection/application rules run
+    //      3.2× deeper — 8 passes × up-to-8 merges, 64 of this corpus's
+    //      ~107-merge total pair supply (31 word types, 138 type-chars),
+    //      so the late passes train against a substantially merged state
+    //      q174's 20 merges never reach. Rank window K = 4·batchSize =
+    //      32, as in the engine. Depth beyond the fixture's supply is
+    //      BpeDeepProbe's job (timed ≥1k-merge runs on a derived corpus
+    //      with ~600k-merge supply — BASELINE.md). ----
+    Q("q186_bpe_batched_deep", {
+      val B = 8; val M = 8; val K = 32
+      val raw = s"""WITH RECURSIVE $bpeBaseCte,
+         |${(1 to B).map(b => bpeBatchCte(b, M, K)).mkString(",\n")}
+         |SELECT CAST(batch AS INTEGER) AS batch, CAST(j AS INTEGER) AS j,
+         |  lft, rgt, CAST(pair_freq AS BIGINT) AS pair_freq FROM (
+         |${(1 to B).map(b =>
+             s"  SELECT $b AS batch, j, lft, rgt, pf AS pair_freq FROM bk$b")
+             .mkString("\n  UNION ALL\n")})
+         |ORDER BY batch, j""".stripMargin
+      // same single-evaluation hint as q174 (see the comment there)
+      raw.replaceAll(
+        """\b(t0|s0|bp\d+|bt\d+|w\d+|bk\d+|mj\d+_\d+|ga\d+_\d+|g\d+) AS \(""",
+        "$1 AS MATERIALIZED (")
+    }) { (s, d) =>
+      Bpe.mergesBatched(Tables.t(s, d, "documents"), "text",
+        passes = 8, batchSize = 8).orderBy("batch", "j")
+    },
+
     // ---- BPE DECODE round-trip (pieces → text, the inverse of q141):
     //      re-concatenating every encoded type's symbols must reproduce
     //      the original word-type table exactly — same words, same

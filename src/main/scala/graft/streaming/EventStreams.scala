@@ -62,14 +62,11 @@ object EventStreams {
   }
 
   /** File-source stream of event parquet (same schema as the batch table). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = readParquetStream(spark, dir)
-    // same micros conversion Tables.t applies to the batch table, so
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    // same ts normalization Tables.t applies to the batch table, so
     // watermarks / event-time windows see a real TimestampType column
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+    // (watermarks reject TIMESTAMP_NTZ outright)
+    graft.Tables.normalizeTs(readParquetStream(spark, dir))
 
   /** Watermarked streaming tumbling aggregation: drops events later than
     * the watermark; append-mode emits a window only once it is final. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.functions.lit
 
 /** Batched-BPE scale gates (round-5 verdict item 3): the sequential
   * trainer launches one pair-count Spark job per merge — fine at the
@@ -60,6 +61,23 @@ class BpeBatchedSpec extends SparkTestBase {
       .orderBy("batch").collect()
       .map(r => (r.getString(2), r.getString(3), r.getLong(4)))
     assert(bat.toSeq === seq.toSeq)
+  }
+
+  test("empty corpus: both trainers dry-stop with an empty merge list " +
+    "and leak no cached frames") {
+    // the first round's pair count finds nothing → dry-stop on round 1;
+    // the result must be a well-formed empty frame and every per-round
+    // persist (including the word-type table) must be released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val empty = docs.filter(lit(false))
+    val seq = Bpe.merges(empty, "text", rounds = 4)
+    assert(seq.count() === 0)
+    assert(seq.columns.toSeq === Seq("round", "lft", "rgt", "pair_freq"))
+    val bat = Bpe.mergesBatched(empty, "text", passes = 4, batchSize = 4)
+    assert(bat.count() === 0)
+    assert(bat.columns.toSeq === Seq("batch", "j", "lft", "rgt", "pair_freq"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"dry-round training leaked cached RDDs: $leaked")
   }
 
   test("decode round-trip: every encoded type reconstructs its word and " +
