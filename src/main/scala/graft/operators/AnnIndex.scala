@@ -77,6 +77,36 @@ final class IvfAdcIndex private (
     * the caller stay valid; a query frame still lazy at release time
     * recomputes through lineage instead of failing. */
   def release(): Unit = { codesCached.unpersist(); () }
+
+  /** Extend the index with `delta` rows encoded under the FROZEN trained
+    * quantizers — the incremental (nightly-delta) maintenance a
+    * production vector store runs: no retraining, no re-encode of the
+    * existing corpus, ONE narrow encode map over the delta. Returns a
+    * NEW handle serving base ∪ delta; this handle is untouched and both
+    * share no storage obligations (release them independently). The
+    * semantic contract — identical to an index whose quantizers were
+    * trained on the base corpus but whose encode saw every row — is
+    * exactly what the q187 oracle replays (training CTEs restricted to
+    * the base, encode/serve over the union), and FAISS's
+    * train-on-sample/add-everything split. Quantization drift (a delta
+    * distribution the frozen codebooks fit poorly) shows up as ADC
+    * recall loss, not wrong results: the exact rerank stage is
+    * quantizer-independent. */
+  def append(delta: DataFrame): IvfAdcIndex = {
+    val p = Similarity.prepared(delta, idCol, vecCol)
+    val shift = Similarity.shiftFor(cents.length)
+    val deltaCodes = Similarity.pqCodes(
+        p.select(col(idCol).as("nid"), col("q"), col("nsq")), cb, sub)
+      .withColumn("cell",
+        least(Similarity.cellAssignKeys(cents, shift): _*) % shift)
+      .drop("q", "nsq")
+    val combined = codes.union(deltaCodes).persist()
+    combined.count() // materialize while the base blocks are still hot
+    val flat = spark.createDataFrame(combined.rdd, combined.schema)
+    val union = corpus.select(col(idCol), col(vecCol))
+      .union(delta.select(col(idCol), col(vecCol)))
+    new IvfAdcIndex(flat, combined, cb, cents, union, idCol, vecCol, sub)
+  }
 }
 
 object IvfAdcIndex {

@@ -71,7 +71,13 @@ object SimilarityOps {
     * PQ TRAINING, not just encode, breaks the q179/q184 hashes. Emits
     * `codes` (vec_id, m, cid) and `qdt` (qid, m, cid, pd). */
   private val PqRounds = 2
-  private val PqCtes: String = {
+  private val PqCtes: String = pqCtes()
+  /** [[PqCtes]] with the TRAINING reads (codebook seed E/M rounds)
+    * optionally restricted — `trainWhere` must reference alias `s`
+    * (e.g. "\n  WHERE s.vec_id < 400"). Encode (`codes`) and the query
+    * tables (`qdt`) always read the full corpus: the q187 contract —
+    * train on the base, encode everything. */
+  private def pqCtes(trainWhere: String = ""): String = {
     val seed =
       """ms AS (SELECT unnest(range(0, 16)) AS m),
         |sub AS (
@@ -88,7 +94,7 @@ object SimilarityOps {
          |  SELECT s.vec_id, s.m,
          |    CAST(min(CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
          |      AS BIGINT) * 8 + c.cid) % 8 AS BIGINT) AS cid
-         |  FROM subn s JOIN pc${r - 1} c ON c.m = s.m
+         |  FROM subn s JOIN pc${r - 1} c ON c.m = s.m$trainWhere
          |  GROUP BY s.vec_id, s.m),
          |ps$r AS (
          |  SELECT a.m, a.cid, t.d,
@@ -200,7 +206,7 @@ object SimilarityOps {
     * centroid (the LEFT JOIN coalesce). Emits a final CTE `c`, the trained
     * centroid frame, so downstream fragments ([[argminCte]] etc.) compose
     * unchanged. */
-  private def lloydCte(k: Int, rounds: Int): String = {
+  private def lloydCte(k: Int, rounds: Int, trainWhere: String = ""): String = {
     val shift = shiftFor(k)
     val seed =
       s"""kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
@@ -210,7 +216,7 @@ object SimilarityOps {
          |  SELECT n.vec_id, CAST(min(
          |      CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * $shift
          |        + c.cid) % $shift AS BIGINT) AS cid
-         |  FROM n, kc${r - 1} c GROUP BY n.vec_id),
+         |  FROM n, kc${r - 1} c$trainWhere GROUP BY n.vec_id),
          |ks$r AS (
          |  SELECT a.cid, t.d, CAST(sum(n.qd[CAST(t.d AS INTEGER)]) AS BIGINT) AS s,
          |    count(*) AS cnt
@@ -227,19 +233,21 @@ object SimilarityOps {
     (seed +: rds).mkString(",\n") + s",\nc AS (SELECT * FROM kc$rounds)"
   }
 
-  /** The complete IVF-ADC oracle, shared by q184 (inline one-shot body)
-    * and q185 (the [[IvfAdcIndex]] serving path): ONE SQL definition, so
-    * the handle-served hash matching it PROVES handle ≡ inline — the
-    * same single-owner rule the routing/packing CTEs follow. Replays the
-    * 2-round Lloyd training of the coarse quantizer, the cell argmin,
-    * the per-subspace 2-round Lloyd PQ training + encode, the ADC sum
-    * within the 2 probed lists, the top-50 candidate cut AND the exact
-    * rerank. */
-  private val IvfAdcOracleSql: String =
+  /** The complete IVF-ADC oracle, shared by q184 (inline one-shot body),
+    * q185 (the [[IvfAdcIndex]] serving path) and — with the training
+    * reads restricted to a base subset — q187 (incremental append):
+    * ONE SQL definition, so a handle-served hash matching it PROVES
+    * handle ≡ inline — the same single-owner rule the routing/packing
+    * CTEs follow. Replays the 2-round Lloyd training of the coarse
+    * quantizer, the cell argmin, the per-subspace 2-round Lloyd PQ
+    * training + encode, the ADC sum within the 2 probed lists, the
+    * top-50 candidate cut AND the exact rerank. */
+  private def ivfAdcOracle(trainLloyd: String = "",
+      trainPq: String = ""): String =
     s"""WITH $PreparedCte,
-       |${lloydCte(8, 2)},
+       |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
-       |$PqCtes,
+       |${pqCtes(trainPq)},
        |qr AS (
        |  SELECT n.vec_id AS qid, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -271,6 +279,14 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
        |  FROM scored) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val IvfAdcOracleSql: String = ivfAdcOracle()
+
+  /** The q187 split point: quantizers train on vec_id < [[AppendBase]],
+    * the index serves every vector — one value owned here, used by the
+    * gated body AND the oracle restrictions. Every fixture SF has ≥ 500
+    * vectors, so base (400) and delta (≥ 100) are both non-trivial. */
+  private val AppendBase = 400
 
   val defs: Seq[Q] = Seq(
 
@@ -656,6 +672,33 @@ object SimilarityOps {
       idx.query(emb.filter(col("vec_id") < 10), k = 5, candidates = 50,
           nprobe = 2)
         .orderBy("qid", "rank")
+    },
+
+    // ---- INCREMENTAL index maintenance (the nightly-delta pattern —
+    //      FAISS's train-on-sample/add-everything split): quantizers
+    //      train on the base corpus (vec_id < 400) and are then FROZEN;
+    //      the delta is encoded with one narrow map and unioned into the
+    //      inverted lists — no retraining, no re-encode of the base.
+    //      The oracle restricts ONLY the training CTE reads (coarse
+    //      Lloyd E/M + per-subspace PQ E/M) to the base and replays
+    //      encode/route/ADC/rerank over the union, so the hash proves
+    //      append ≡ train-on-base-encode-everything exactly. Handles
+    //      are released before returning (results recompute through
+    //      lineage) — q185 owns the resident-serving story. ----
+    Q("q187_ann_index_append", ivfAdcOracle(
+        trainLloyd = s"\n  WHERE n.vec_id < $AppendBase",
+        trainPq = s"\n    AND s.vec_id < $AppendBase")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val baseIdx = IvfAdcIndex.build(emb.filter(col("vec_id") < AppendBase),
+        "vec_id", "embedding", nlist = 8, trainRounds = 2, m = 16, ksub = 8,
+        dim = Dim, pqTrainRounds = 2)
+      val idx = baseIdx.append(emb.filter(col("vec_id") >= AppendBase))
+      baseIdx.release()
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 50, nprobe = 2)
+        .orderBy("qid", "rank")
+      idx.release()
+      out
     },
 
     // ---- embedding outliers: the 20 vectors farthest from their assigned

@@ -86,6 +86,31 @@ class AnnIndexSpec extends SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("append: frozen-quantizer delta encode — empty delta is a no-op, " +
+    "counts add up, the base handle is untouched") {
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val baseIdx = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val baseRows = rows(baseIdx.query(queries, k = 5, candidates = 50,
+      nprobe = 2))
+    // empty delta: same inverted lists, same answers
+    val noop = baseIdx.append(delta.filter(lit(false)))
+    assert(rows(noop.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === baseRows)
+    noop.release()
+    // real delta: the index holds base + delta codes (no row lost or
+    // re-encoded twice), and the ORIGINAL handle still serves the
+    // base-only answers — append returns a new handle, never mutates
+    val appended = baseIdx.append(delta)
+    assert(appended.codes.count() === emb.count())
+    assert(appended.codes.filter(col("nid") >= 400).count() === delta.count())
+    assert(rows(baseIdx.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === baseRows)
+    appended.release()
+    baseIdx.release()
+  }
+
   test("buildCached memoizes per (cacheKey, corpus plan, params) — a " +
     "different corpus under the same key gets its OWN index") {
     val a = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",

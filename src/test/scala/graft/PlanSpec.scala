@@ -589,6 +589,23 @@ class PlanSpec extends SparkTestBase {
       .r.findFirstIn(p).isDefined, p)
   }
 
+  test("q185: handle-served ANN reads the materialized index (flat RDD " +
+    "scan, no corpus re-encode), same join shapes as the inline q184") {
+    val p = planOf(q("q185_ann_index_serve")).split("== Initial Plan ==").head
+    // the index side is the persisted (nid, cell, codes) artifact — a
+    // bare scan, NOT a parquet scan + encode projection
+    assert(p.contains("Scan ExistingRDD"), p)
+    // encode is the only least() user on this route (routing is a
+    // window, ADC tables are plain arrays): any least() in the serving
+    // plan means the optimizer folded the corpus re-encode back in
+    assert(!p.contains("least("), p)
+    // candidate generation + rerank keep q184's shapes
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin \\[nid#\\d+L\\], \\[nid#\\d+L\\], Inner, BuildLeft"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
