@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 final class IvfAdcIndex private (
     /** The materialized index: (nid, cell, code0..m-1), flat-lineage. */
     val codes: DataFrame,
-    codesCached: DataFrame,
+    releaseStorage: () => Unit,
     cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]],
     cents: Seq[(Long, Seq[Long])],
     corpus: DataFrame, idCol: String, vecCol: String, sub: Int) {
@@ -73,10 +73,12 @@ final class IvfAdcIndex private (
       Similarity.prepared(corpus, idCol, vecCol), idCol, k)
   }
 
-  /** Free the persisted index storage. Results already materialized by
-    * the caller stay valid; a query frame still lazy at release time
-    * recomputes through lineage instead of failing. */
-  def release(): Unit = { codesCached.unpersist(); () }
+  /** Free the index storage (persisted blocks for a built index,
+    * snapshot storage + checkpoint files for an appended one). Results
+    * already materialized by the caller stay valid; a still-lazy query
+    * frame over a BUILT index recomputes through lineage, over an
+    * APPENDED one only when a reliable checkpoint backs it. */
+  def release(): Unit = releaseStorage()
 
   /** Extend the index with `delta` rows encoded under the FROZEN trained
     * quantizers — the incremental (nightly-delta) maintenance a
@@ -100,12 +102,21 @@ final class IvfAdcIndex private (
       .withColumn("cell",
         least(Similarity.cellAssignKeys(cents, shift): _*) % shift)
       .drop("q", "nsq")
-    val combined = codes.union(deltaCodes).persist()
-    combined.count() // materialize while the base blocks are still hot
-    val flat = spark.createDataFrame(combined.rdd, combined.schema)
+    // Graph.snapshot, NOT persist + rebase: a persist chain leaves the
+    // physical RDD dependency graph growing per append, and ~45-60
+    // chained appends overflow the stack during task serialization —
+    // the exact failure BpeDeepProbe measured for the BPE trainers
+    // (BASELINE.md round 8; AnnIndexSpec's 60-append gate pins it here).
+    // Snapshotting truncates the chain at every append, so a year of
+    // nightly deltas serializes the same as day one; with a checkpoint
+    // dir configured the snapshot is RELIABLE (survives executor loss),
+    // matching the persisted-base story at production scale.
+    val (flat, snap) = Graph.snapshot(codes.union(deltaCodes))
+    flat.count() // materialize while the base blocks are still hot
     val union = corpus.select(col(idCol), col(vecCol))
       .union(delta.select(col(idCol), col(vecCol)))
-    new IvfAdcIndex(flat, combined, cb, cents, union, idCol, vecCol, sub)
+    new IvfAdcIndex(flat, () => Graph.release(snap), cb, cents, union,
+      idCol, vecCol, sub)
   }
 }
 
@@ -137,7 +148,8 @@ object IvfAdcIndex {
     // materialized RDD (reads the cache blocks; recomputes through the
     // cached plan's lineage only if released or an executor is lost)
     val flat = corpus.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    new IvfAdcIndex(flat, cached, cb, cents, corpus, idCol, vecCol, sub)
+    new IvfAdcIndex(flat, () => { cached.unpersist(); () }, cb, cents,
+      corpus, idCol, vecCol, sub)
   }
 
   // cacheKey -> built index handle (the q141/q173 bench-memoization

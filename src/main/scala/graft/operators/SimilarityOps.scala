@@ -682,9 +682,12 @@ object SimilarityOps {
     //      The oracle restricts ONLY the training CTE reads (coarse
     //      Lloyd E/M + per-subspace PQ E/M) to the base and replays
     //      encode/route/ADC/rerank over the union, so the hash proves
-    //      append ≡ train-on-base-encode-everything exactly. Handles
-    //      are released before returning (results recompute through
-    //      lineage) — q185 owns the resident-serving story. ----
+    //      append ≡ train-on-base-encode-everything exactly. The body
+    //      serves, materializes its BOUNDED top-k result (k·|queries|
+    //      rows — the merge-list-collect class), then decommissions
+    //      both handles: an appended index is snapshot-backed, so
+    //      nothing may stay lazy past release() — q185 owns the
+    //      resident-serving story. ----
     Q("q187_ann_index_append", ivfAdcOracle(
         trainLloyd = s"\n  WHERE n.vec_id < $AppendBase",
         trainPq = s"\n    AND s.vec_id < $AppendBase")) { (s, d) =>
@@ -697,8 +700,9 @@ object SimilarityOps {
       val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 50, nprobe = 2)
         .orderBy("qid", "rank")
+      val served = out.collect()
       idx.release()
-      out
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     // ---- embedding outliers: the 20 vectors farthest from their assigned

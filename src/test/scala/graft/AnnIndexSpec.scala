@@ -111,6 +111,33 @@ class AnnIndexSpec extends SparkTestBase {
     baseIdx.release()
   }
 
+  test("append chains stay serviceable at nightly-delta depth (60 appends)") {
+    // a year of nightly deltas is ~365 sequential appends — the same
+    // depth regime where the BPE trainer's persist chain overflowed the
+    // stack (BASELINE.md round 8). Each append must truncate, not grow,
+    // the serialized lineage; superseded handles release as they go.
+    val base = emb.filter(col("vec_id") < 140)
+    var idx = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val expected = rows(Similarity.ivfAdcKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 50, nlist = 8, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2))
+    for (i <- 0 until 60) {
+      val lo = 140 + i * 6
+      val next = idx.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 6))
+      idx.release()
+      idx = next
+    }
+    // after 60 appends the index serves base ∪ all deltas = vec_id < 500
+    assert(idx.codes.count() === emb.filter(col("vec_id") < 500).count())
+    val served = rows(idx.query(queries, k = 5, candidates = 50, nprobe = 2))
+    idx.release()
+    // NOTE the quantizers differ (trained on 140 rows, not the corpus),
+    // so only sanity is asserted on results, not equality with `expected`
+    assert(served.nonEmpty && served.map(_._1).toSet === expected.map(_._1).toSet)
+  }
+
   test("buildCached memoizes per (cacheKey, corpus plan, params) — a " +
     "different corpus under the same key gets its OWN index") {
     val a = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",
