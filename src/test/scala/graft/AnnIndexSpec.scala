@@ -156,4 +156,40 @@ class AnnIndexSpec extends SparkTestBase {
       .filter(col("nid") % 2 =!= 0).count()
     assert(odd === 0, "index built on the even-id corpus served odd-id neighbors")
   }
+
+  test("streaming query batches served via foreachBatch against the " +
+    "resident index match batch serving") {
+    // the online-ANN serving composition: query vectors ARRIVE as a
+    // stream, each micro-batch is answered against the memoized
+    // build-once index — per-query top-k is independent of co-arriving
+    // queries, so the union over micro-batches must equal one batch
+    // serve of the same queries
+    val sidx = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64)
+    val expected = rows(sidx.query(queries, k = 5, candidates = 50,
+      nprobe = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-annserve")
+    dir.toFile.deleteOnExit()
+    // three single-file arrivals; maxFilesPerTrigger=1 → 3 micro-batches
+    Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val served = scala.collection.mutable.Set.empty[(Long, Long, Long, Int)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = rows(sidx.query(batch, k = 5, candidates = 50, nprobe = 2))
+        served.synchronized { served ++= r }
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() >= 3, s"expected ≥3 micro-batches, got ${nBatches.get()}")
+    assert(served.toSet === expected)
+  }
 }
