@@ -738,6 +738,27 @@ object Similarity {
       .select("qid", "nid", "d2", "rank")
   }
 
+  /** Exact squared-L2 top-k — the gold standard the q188 recall canary
+    * scores the served index against. Same shape as [[bruteForceKnn]]
+    * (bounded query side broadcasts, corpus scanned once, per-qid rank
+    * window) with the d2 metric and tie-break the IVF-ADC route ranks
+    * by, so recall compares like with like. Brute force by design: the
+    * canary runs on a SAMPLED query set, never the corpus. */
+  def exactL2Knn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+    val cp = prepared(corpus, idCol, vecCol)
+      .select(col(idCol).as("nid"), col("q").as("nq"), col("nsq").as("nnsq"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    cp.join(broadcast(qp), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qnsq") + col("nnsq")
+          - lit(2L) * dot(col("qq"), col("nq"))).cast("long").as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-ADC: the complete billion-scale ANN architecture — a trained
     * coarse quantizer routes queries to nprobe inverted lists
     * ([[ivfKnn]]'s skeleton), candidates inside the probed lists are

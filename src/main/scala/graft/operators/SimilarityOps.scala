@@ -244,7 +244,16 @@ object SimilarityOps {
     * top-50 candidate cut AND the exact rerank. */
   private def ivfAdcOracle(trainLloyd: String = "",
       trainPq: String = ""): String =
-    s"""WITH $PreparedCte,
+    s"""WITH ${ivfAdcCtes(trainLloyd, trainPq)}
+       |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin
+
+  /** The IVF-ADC route as a reusable CTE chain ending in `appr`
+    * (qid, nid, d2, rank ≤ 5) — composed by [[ivfAdcOracle]] (q184/q185/
+    * q187's full statement) and the q188 recall canary (appr joined
+    * against the exact top-k). */
+  private def ivfAdcCtes(trainLloyd: String = "",
+      trainPq: String = ""): String =
+    s"""$PreparedCte,
        |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
        |${pqCtes(trainPq)},
@@ -273,12 +282,13 @@ object SimilarityOps {
        |      AS BIGINT) AS d2
        |  FROM cand c2
        |  JOIN n na ON na.vec_id = c2.qid
-       |  JOIN n nb ON nb.vec_id = c2.nid)
-       |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
-       |  SELECT qid, nid, d2,
-       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
-       |  FROM scored) t
-       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |  JOIN n nb ON nb.vec_id = c2.nid),
+       |appr AS (
+       |  SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |    SELECT qid, nid, d2,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 5)""".stripMargin
 
   private val IvfAdcOracleSql: String = ivfAdcOracle()
 
@@ -703,6 +713,49 @@ object SimilarityOps {
       val served = out.collect()
       idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- ANN recall CANARY: per-query recall@5 of the SERVED index
+    //      against the exact squared-L2 top-5 on a sampled query set —
+    //      the continuous quality monitor a production vector store
+    //      schedules (quantizer drift after appends shows up HERE, as a
+    //      falling recall, never as wrong exact-rerank results). The
+    //      oracle replays the full IVF-ADC route (appr) AND the exact
+    //      gold, then the left-join hit count — ratios are exact-int /
+    //      small-int in DOUBLE, identical in both engines. Exact side is
+    //      brute force BY DESIGN: the canary runs on k·|sample| rows,
+    //      never the corpus against itself. Serves from the same
+    //      memoized handle as q185 (no extra storage). ----
+    Q("q188_ann_recall_canary",
+      s"""WITH ${ivfAdcCtes()},
+         |exact AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
+         |        b.vec_id) AS rk
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= 5)
+         |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+         |  CAST(count(a.nid) AS DOUBLE) / 5 AS recall
+         |FROM exact e
+         |LEFT JOIN appr a ON a.qid = e.qid AND a.nid = e.nid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      val appr = idx.query(queries, k = 5, candidates = 50, nprobe = 2)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      Similarity.exactL2Knn(queries, emb, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+        .join(appr, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(col("qid"), col("hits"),
+          (col("hits").cast("double") / 5).as("recall"))
+        .orderBy("qid")
     },
 
     // ---- embedding outliers: the 20 vectors farthest from their assigned

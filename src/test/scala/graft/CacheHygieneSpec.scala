@@ -14,7 +14,11 @@ package graft
   */
 class CacheHygieneSpec extends SparkTestBase {
 
-  private val ResidentByDesign = Set("q185_ann_index_serve")
+  // q188 serves from the SAME memoized handle as q185 (identical
+  // cacheKey + corpus plan + params), so the accretion companion below
+  // covers both
+  private val ResidentByDesign = Set("q185_ann_index_serve",
+    "q188_ann_recall_canary")
 
   test("no gated query leaves a resident Dataset cache after running") {
     val cm = spark.sharedState.cacheManager
@@ -29,14 +33,15 @@ class CacheHygieneSpec extends SparkTestBase {
     assert(leaks.isEmpty, s"queries leaking caches: $leaks")
   }
 
-  test("q185's resident index is bounded: a second call accretes no storage") {
-    val run = SparkEntry.queries("q185_ann_index_serve")
-    run(spark, Sf).count()
+  test("the resident index is bounded: repeat q185 and q188 calls " +
+    "accrete no storage") {
+    SparkEntry.queries("q185_ann_index_serve")(spark, Sf).count()
     val after1 = spark.sparkContext.getPersistentRDDs.keySet
-    run(spark, Sf).count()
+    for (name <- ResidentByDesign; _ <- 1 to 2)
+      SparkEntry.queries(name)(spark, Sf).count()
     val after2 = spark.sparkContext.getPersistentRDDs.keySet
     assert(after2 === after1,
-      s"second q185 call accreted storage: ${after2 -- after1}")
+      s"resident-index queries accreted storage: ${after2 -- after1}")
     // release semantics (handle ≡ inline, release frees the blocks) are
     // AnnIndexSpec's gates; the suite-shared session keeps the memoized
     // handle — by design, it is the serving artifact
