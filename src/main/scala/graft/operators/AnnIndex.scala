@@ -74,11 +74,41 @@ final class IvfAdcIndex private (
   }
 
   /** Free the index storage (persisted blocks for a built index,
-    * snapshot storage + checkpoint files for an appended one). Results
-    * already materialized by the caller stay valid; a still-lazy query
-    * frame over a BUILT index recomputes through lineage, over an
-    * APPENDED one only when a reliable checkpoint backs it. */
+    * snapshot storage + checkpoint files for an appended one, cache
+    * blocks for a loaded one). Results already materialized by the
+    * caller stay valid. A still-lazy query frame over a BUILT index
+    * recomputes through lineage and over a LOADED one re-reads the
+    * saved parquet; over an APPENDED index NOTHING backs a lazy frame
+    * past release() in either snapshot mode — [[Graph.release]] both
+    * unpersists and deletes reliable-checkpoint files — so callers
+    * must materialize appended-index results first (the rule q187's
+    * body follows). */
   def release(): Unit = releaseStorage()
+
+  /** Persist the index as an on-disk artifact — the FAISS
+    * `write_index` analog, split Spark-style: the corpus-sized codes
+    * frame (nid, cell, code0..m-1) as parquet, the driver-held trained
+    * artifacts (PQ codebooks, coarse centroids) plus binding params as
+    * tiny single-row-group parquet tables. [[IvfAdcIndex.load]] in a
+    * LATER session rebuilds a serving handle from this with zero
+    * training or encode work — the persistence the in-memory handle
+    * (which dies with its SparkSession) can't provide. Overwrites any
+    * prior save at `path`; layout: codes/ codebook/ centroids/ params/. */
+  def save(path: String): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // m·ksub rows / nlist rows / 1 row — bounded by definition, so the
+    // single-file coalesce is the right write shape
+    cb.zipWithIndex.flatMap { case (cbm, mi) =>
+      cbm.zipWithIndex.map { case ((cv, _), cid) => (mi, cid, cv) }
+    }.toDF("mi", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    cents.toDF("cid", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((IvfAdcIndex.FormatVersion, idCol, vecCol, sub, m))
+      .toDF("version", "id_col", "vec_col", "sub", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
 
   /** Extend the index with `delta` rows encoded under the FROZEN trained
     * quantizers — the incremental (nightly-delta) maintenance a
@@ -121,6 +151,58 @@ final class IvfAdcIndex private (
 }
 
 object IvfAdcIndex {
+
+  /** Artifact layout version stamped by [[IvfAdcIndex.save]]; [[load]]
+    * refuses anything else rather than mis-reading a future layout. */
+  val FormatVersion = 1
+
+  /** Rebuild a serving handle from a [[IvfAdcIndex.save]] artifact —
+    * the FAISS `read_index` analog: reads the tiny trained artifacts
+    * (codebooks, centroids, params) driver-side, loads + persists the
+    * codes frame, and binds the caller-supplied `corpus` for the exact
+    * rerank stage (an IVF-ADC index stores CODES, not vectors — the
+    * original corpus is a separate artifact, exactly as FAISS indexes
+    * with external storage / a tokenizer's training corpus). ZERO
+    * training or encode jobs: everything quantized was read back, and
+    * AnnIndexSpec pins the loaded handle's query plan encode-free.
+    * `corpus` must be the frame the saved index encoded (same ids,
+    * same vectors) — a mismatched corpus surfaces as missing rerank
+    * rows, never silently wrong distances, because candidates join
+    * corpus vectors BY id. Release() drops the cache blocks; a lazy
+    * frame past release re-reads the saved parquet. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame): IvfAdcIndex = {
+    val params = spark.read.parquet(s"$path/params").collect()
+    require(params.length == 1, s"malformed index artifact at $path")
+    val p = params.head
+    val version = p.getAs[Int]("version")
+    require(version == FormatVersion,
+      s"index artifact version $version != supported $FormatVersion")
+    val idCol = p.getAs[String]("id_col")
+    val vecCol = p.getAs[String]("vec_col")
+    val sub = p.getAs[Int]("sub")
+    val m = p.getAs[Int]("m")
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("cid"),
+        r.getSeq[Long](r.fieldIndex("cv"))))
+    val ksub = cbRows.map(_._2).max + 1
+    require(cbRows.length == m * ksub,
+      s"codebook has ${cbRows.length} rows, expected $m x $ksub")
+    val byMi = cbRows.groupBy(_._1)
+    val cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]] = (0 until m).map { mi =>
+      byMi(mi).sortBy(_._2).map { case (_, _, cv) =>
+        (cv, cv.map(x => x * x).sum)
+      }.toIndexedSeq
+    }
+    val cents: Seq[(Long, Seq[Long])] = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getSeq[Long](r.fieldIndex("cq"))))
+      .sortBy(_._1).toSeq
+    val codes = spark.read.parquet(s"$path/codes").persist()
+    codes.count() // materialize: queries must never pay the read twice
+    new IvfAdcIndex(codes, () => { codes.unpersist(); () }, cb, cents,
+      corpus, idCol, vecCol, sub)
+  }
 
   /** Train quantizers, encode the corpus, and materialize the inverted
     * lists — every parameter as in [[Similarity.ivfAdcKnn]]. Costs the
@@ -170,29 +252,47 @@ object IvfAdcIndex {
     * asserts handle-served ≡ inline).
     *
     * The key folds in the corpus's canonicalized plan hash and the
-    * owning session, not just the caller-supplied `cacheKey`: two
-    * callers passing the same key with different corpus frames (one
-    * filtered, say) get their own indexes rather than silently sharing
-    * whichever corpus arrived first, and a handle built on a stopped
-    * session can never be served to a new one. */
+    * owning session's UUID, not just the caller-supplied `cacheKey`:
+    * two callers passing the same key with different corpus frames
+    * (one filtered, say) get their own indexes rather than silently
+    * sharing whichever corpus arrived first, and a handle built on a
+    * stopped session can never be served to a new one — the UUID is
+    * unique per session object, where an identity hash could collide
+    * between a stopped session and its successor.
+    *
+    * Locking is PER KEY ([[java.util.concurrent.ConcurrentHashMap]]
+    * `computeIfAbsent` blocks only same-bin callers), so concurrent
+    * builds for different datasets proceed in parallel instead of
+    * serializing behind one global monitor. Eviction runs before the
+    * compute without a global lock: two racing first-time callers can
+    * transiently overshoot MaxCacheEntries by one — bounded and
+    * self-correcting on the next call, the right trade against
+    * serializing every build. */
   def buildCached(corpus: DataFrame, cacheKey: String, idCol: String,
       vecCol: String, nlist: Int, trainRounds: Int, m: Int, ksub: Int,
       dim: Int, pqTrainRounds: Int = 2): IvfAdcIndex = {
+    val sessionToken =
+      org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(
+        corpus.sparkSession)
     val k = s"${new java.io.File(cacheKey).getCanonicalPath}|$idCol|$vecCol" +
       s"|$nlist|$trainRounds|$m|$ksub|$dim|$pqTrainRounds" +
       s"|${corpus.queryExecution.analyzed.semanticHash()}" +
-      s"|${System.identityHashCode(corpus.sparkSession)}"
-    handleCache.synchronized {
-      if (handleCache.size >= MaxCacheEntries && !handleCache.containsKey(k)) {
-        val victim = handleCache.keys().nextElement()
+      s"|$sessionToken"
+    if (handleCache.size >= MaxCacheEntries && !handleCache.containsKey(k)) {
+      val it = handleCache.keys()
+      if (it.hasMoreElements) {
+        val victim = it.nextElement()
+        val evicted = handleCache.remove(victim)
         // a victim whose session has since stopped can't unpersist —
-        // dropping the handle is the right outcome either way
-        try handleCache.remove(victim).release()
-        catch { case _: IllegalStateException => () }
+        // dropping the handle is the right outcome either way; null
+        // means another evictor won the race, equally fine
+        if (evicted != null)
+          try evicted.release()
+          catch { case _: IllegalStateException => () }
       }
-      handleCache.computeIfAbsent(k, _ =>
-        build(corpus, idCol, vecCol, nlist, trainRounds, m, ksub, dim,
-          pqTrainRounds))
     }
+    handleCache.computeIfAbsent(k, _ =>
+      build(corpus, idCol, vecCol, nlist, trainRounds, m, ksub, dim,
+        pqTrainRounds))
   }
 }

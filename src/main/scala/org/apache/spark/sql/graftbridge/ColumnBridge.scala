@@ -16,6 +16,11 @@ object ColumnBridge {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+  /** `sessionUUID` is `private[sql]`: the unique-per-session token the
+    * IvfAdcIndex handle cache keys on (an identity hash can collide
+    * between a stopped session and its successor). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
 
 /** Bridge for constructing a DataFrame from a raw (already-resolved)

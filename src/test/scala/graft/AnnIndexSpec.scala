@@ -138,6 +138,56 @@ class AnnIndexSpec extends SparkTestBase {
     assert(served.nonEmpty && served.map(_._1).toSet === expected.map(_._1).toSet)
   }
 
+  test("save→load round-trip: the loaded handle serves row-for-row " +
+    "identical results with zero training/encode work, and releases cleanly") {
+    val own = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val expected = rows(own.query(queries, k = 5, candidates = 50, nprobe = 2))
+    val dir = TempDirs.create("graft-annidx-spec").toString
+    own.save(dir)
+    own.release()
+    // the load path must never train or encode: a build is ~20 jobs of
+    // Lloyd/PQ collects plus a corpus encode; a load is four bounded
+    // artifact reads plus one materializing count
+    var loaded: IvfAdcIndex = null
+    val loadJobs = jobsIn("ann-load")({
+      loaded = IvfAdcIndex.load(spark, dir, emb)
+    })
+    assert(loadJobs <= 10,
+      s"load launched $loadJobs jobs — artifact reads should be bounded")
+    val plan = loaded.query(queries, k = 5, candidates = 50, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("least("),
+      s"loaded-handle query plan re-encodes the corpus:\n$plan")
+    val served = rows(loaded.query(queries, k = 5, candidates = 50, nprobe = 2))
+    assert(served === expected)
+    // release frees the cache blocks; the on-disk artifact survives, so
+    // a second load serves the same answers again
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    loaded.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((before -- after).nonEmpty, "release() freed no loaded blocks")
+    val reloaded = IvfAdcIndex.load(spark, dir, emb)
+    assert(rows(reloaded.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === expected)
+    reloaded.release()
+  }
+
+  test("save is idempotent: a second save overwrites in place and a load " +
+    "of the re-saved artifact still matches") {
+    val own = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val expected = rows(own.query(queries, k = 5, candidates = 50, nprobe = 2))
+    val dir = TempDirs.create("graft-annidx-spec2").toString
+    own.save(dir)
+    own.save(dir)
+    own.release()
+    val loaded = IvfAdcIndex.load(spark, dir, emb)
+    assert(rows(loaded.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === expected)
+    loaded.release()
+  }
+
   test("buildCached memoizes per (cacheKey, corpus plan, params) — a " +
     "different corpus under the same key gets its OWN index") {
     val a = IvfAdcIndex.buildCached(emb, Sf, "vec_id", "embedding",
