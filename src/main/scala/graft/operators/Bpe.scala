@@ -330,15 +330,66 @@ object Bpe {
     * executes in full. Semantics identical to [[encoded]] (the merge
     * list is deterministic per dataset); MultimodalSpec asserts it. */
   def encodedCached(docs: DataFrame, textCol: String, rounds: Int,
-      cacheKey: String): DataFrame = {
+      cacheKey: String): DataFrame =
+    applyMerges(docs, textCol, trainedMerges(docs, textCol, rounds, cacheKey))
+
+  /** The trained merge list itself, memoized per `cacheKey` — the
+    * driver-side artifact [[saveMerges]] persists and every encode
+    * applies. Deterministic per dataset (the [[merges]] contract). */
+  def trainedMerges(docs: DataFrame, textCol: String, rounds: Int,
+      cacheKey: String): Seq[(String, String)] = {
     // cacheKey is a data dir in practice — canonicalize so '/x' and '/x/'
     // share one entry (the mediaCache rule)
     val k = s"${new java.io.File(cacheKey).getCanonicalPath}|$textCol|$rounds"
     if (mergeCache.size >= MaxCacheEntries && !mergeCache.containsKey(k))
       mergeCache.remove(mergeCache.keys().nextElement())
-    applyMerges(docs, textCol,
-      mergeCache.computeIfAbsent(k, _ =>
-        merges(docs, textCol, rounds).orderBy("round").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq))
+    mergeCache.computeIfAbsent(k, _ =>
+      merges(docs, textCol, rounds).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
   }
+
+  /** ---- tokenizer-artifact persistence (the tokenizer.json analog of
+    * IvfAdcIndex.save/load): a trained BPE tokenizer IS its ordered
+    * merge list — rounds-many string pairs, driver-sized by definition —
+    * so the artifact is a small versioned text file: one header line,
+    * then one TAB-separated `lft<TAB>rgt` line per merge IN TRAINING
+    * ORDER (application order is the semantics; a reordered list is a
+    * different tokenizer). Symbols are the corpus's word characters —
+    * the gated queries restrict to ASCII alnum, and [[merges]] already
+    * excludes '|'; a TAB can never appear inside a symbol because
+    * [[wordTypes]] tokenizes on non-word boundaries. UTF-8 on both
+    * sides. ---- */
+  private val ArtifactHeader = "graft-bpe-merges v1"
+
+  /** Persist a trained merge list at `path` (a plain file). */
+  def saveMerges(ms: Seq[(String, String)], path: String): Unit = {
+    val body = (ArtifactHeader +: ms.map { case (l, r) => s"$l\t$r" })
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[saveMerges]] artifact; refuses an unversioned/foreign file
+    * rather than silently mis-encoding with a wrong merge list. */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(!lines.isEmpty && lines.get(0) == ArtifactHeader,
+      s"$path is not a $ArtifactHeader artifact")
+    import scala.jdk.CollectionConverters._
+    lines.asScala.drop(1).filter(_.nonEmpty).map { ln =>
+      val i = ln.indexOf('\t')
+      require(i > 0 && ln.indexOf('\t', i + 1) < 0,
+        s"malformed merge line in $path: '$ln'")
+      (ln.substring(0, i), ln.substring(i + 1))
+    }.toSeq
+  }
+
+  /** Encode with a LOADED artifact (no training): the word-type table
+    * re-segmented by the artifact's merges in order — what a production
+    * corpus encode runs nightly against a tokenizer trained once. */
+  def encodedWith(docs: DataFrame, textCol: String,
+      ms: Seq[(String, String)]): DataFrame =
+    applyMerges(docs, textCol, ms)
 }

@@ -111,6 +111,36 @@ object TextOps {
        |g$b AS (SELECT * FROM ga${b}_$m)""".stripMargin
   }
 
+  /** q141/q191's shared oracle: the full train-then-apply replay rolled
+    * up to the top-50 subword vocabulary — ONE definition, so the
+    * artifact-round-trip gate (q191) proves save→load loses nothing
+    * against EXACTLY the statement the direct encode (q141) is held to. */
+  private lazy val BpeEncodeTop50Sql: String = {
+    val R = 10
+    s"""WITH $bpeBaseCte,
+       |${(1 to R).map(bpeRoundCte).mkString(",\n")}
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS total FROM (
+       |  SELECT freq, unnest(syms) AS sym FROM s$R) u
+       |GROUP BY sym ORDER BY total DESC, sym LIMIT 50""".stripMargin
+  }
+
+  /** The shared q141/q191 rollup over an encoded type table. */
+  private def subwordTop50(enc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    enc.select(explode(col("syms")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").cast("long").as("total"))
+      .orderBy(col("total").desc, col("sym"))
+      .limit(50)
+
+  // data dir -> the ONE tokenizer-artifact file this JVM round-trips
+  // through (overwrite per invocation — the save is the operator under
+  // test; the SimilarityOps.idxDirs rule)
+  private val bpeArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeArtifact(d: String): String =
+    bpeArtifacts.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-bpe").resolve("merges.txt").toString)
+
   val defs: Seq[Q] = Seq(
 
     // ---- BPE merge induction (tokenizer training, Sennrich shape): 10
@@ -142,27 +172,31 @@ object TextOps {
     //      to match. Scale: train cost is q134; the apply itself is
     //      `rounds` folds over the vocab-sized type table in ONE pass,
     //      then a two-phase subword agg + top-k. ----
-    {
-      def body(enc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        enc.select(explode(col("syms")).as("sym"), col("freq"))
-          .groupBy("sym").agg(sum("freq").cast("long").as("total"))
-          .orderBy(col("total").desc, col("sym"))
-          .limit(50)
-      Q.withBench("q141_bpe_encode", {
-        val R = 10
-        s"""WITH $bpeBaseCte,
-           |${(1 to R).map(bpeRoundCte).mkString(",\n")}
-           |SELECT sym, CAST(sum(freq) AS BIGINT) AS total FROM (
-           |  SELECT freq, unnest(syms) AS sym FROM s$R) u
-           |GROUP BY sym ORDER BY total DESC, sym LIMIT 50""".stripMargin
-      }) { (s, d) =>
-        body(Bpe.encoded(Tables.t(s, d, "documents"), "text", rounds = 10))
-      } { (s, d) =>
-        // bench body: training memoized per data dir (training cost is
-        // q134's operator); the timed work is the one-pass encode fold
-        body(Bpe.encodedCached(Tables.t(s, d, "documents"), "text",
-          rounds = 10, cacheKey = d))
-      }
+    Q.withBench("q141_bpe_encode", BpeEncodeTop50Sql) { (s, d) =>
+      subwordTop50(Bpe.encoded(Tables.t(s, d, "documents"), "text",
+        rounds = 10))
+    } { (s, d) =>
+      // bench body: training memoized per data dir (training cost is
+      // q134's operator); the timed work is the one-pass encode fold
+      subwordTop50(Bpe.encodedCached(Tables.t(s, d, "documents"), "text",
+        rounds = 10, cacheKey = d))
+    },
+
+    // ---- tokenizer-ARTIFACT round-trip (the tokenizer.json analog of
+    //      q189's index persistence): the trained merge list is saved to
+    //      a versioned text artifact, loaded back, and the corpus is
+    //      encoded FROM THE LOADED ARTIFACT — the nightly corpus-encode
+    //      a production pipeline runs against a tokenizer trained once.
+    //      Gated against the SAME oracle as q141, so the hash proves the
+    //      artifact round-trip loses nothing (order, symbols, count).
+    //      Training memoizes per dataset (q141's bench rule); the timed
+    //      work is save + load + the one-pass encode fold. ----
+    Q("q191_bpe_artifact_roundtrip", BpeEncodeTop50Sql) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val path = bpeArtifact(d)
+      Bpe.saveMerges(
+        Bpe.trainedMerges(docs, "text", rounds = 10, cacheKey = d), path)
+      subwordTop50(Bpe.encodedWith(docs, "text", Bpe.loadMerges(path)))
     },
 
     // ---- BATCHED BPE training (the 100 TB trainer shape): 4 corpus

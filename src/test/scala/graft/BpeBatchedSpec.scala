@@ -80,6 +80,31 @@ class BpeBatchedSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"dry-round training leaked cached RDDs: $leaked")
   }
 
+  test("merge-artifact round-trip: save→load preserves the list exactly " +
+    "and the loaded artifact encodes identically to direct training") {
+    val ms = Bpe.trainedMerges(docs, "text", rounds = 10, cacheKey = Sf)
+    assert(ms.nonEmpty)
+    val path = TempDirs.create("graft-bpe-spec").resolve("merges.txt").toString
+    Bpe.saveMerges(ms, path)
+    assert(Bpe.loadMerges(path) === ms)
+    // overwrite-idempotent (the q191 body re-saves per invocation)
+    Bpe.saveMerges(ms, path)
+    assert(Bpe.loadMerges(path) === ms)
+    val direct = Bpe.encoded(docs, "text", rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    val viaArtifact = Bpe.encodedWith(docs, "text", Bpe.loadMerges(path))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    assert(viaArtifact === direct)
+    // a foreign/unversioned file must be refused, not mis-applied
+    val bad = TempDirs.create("graft-bpe-bad").resolve("x.txt")
+    java.nio.file.Files.writeString(bad, "a\tb\n")
+    assertThrows[IllegalArgumentException](Bpe.loadMerges(bad.toString))
+    // empty merge list round-trips (a 0-merge tokenizer is identity)
+    val empty = TempDirs.create("graft-bpe-empty").resolve("m.txt").toString
+    Bpe.saveMerges(Seq.empty, empty)
+    assert(Bpe.loadMerges(empty).isEmpty)
+  }
+
   test("decode round-trip: every encoded type reconstructs its word and " +
     "frequency (n_types = n_roundtrip > 0)") {
     val row = Bpe.decodeRoundTrip(docs, "text", rounds = 10).collect().head
