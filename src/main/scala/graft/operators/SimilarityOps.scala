@@ -48,16 +48,19 @@ object SimilarityOps {
        |            THEN 1 ELSE -1 END) * q[CAST(i AS INTEGER) + 1])) AS BIGINT))""".stripMargin
 
   /** DuckDB side of VectorFunctions.quantize + exact norms: integer-valued
-    * doubles, so list_dot_product sums are exact in any order. */
-  private val PreparedCte =
-    """e AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |p AS (
-      |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM e),
-      |n AS (
-      |  SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM p)""".stripMargin
+    * doubles, so list_dot_product sums are exact in any order. `src` lets
+    * the q190 drift oracle read a transformed source CTE instead of the
+    * raw table; every other gate keeps the default. */
+  private def preparedCte(src: String = "embeddings"): String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM $src),
+       |p AS (
+       |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM e),
+       |n AS (
+       |  SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM p)""".stripMargin
+  private val PreparedCte = preparedCte()
 
   // ---- shared k-means-family oracle fragments (ONE definition for the
   //      packing constants — the drift hazard shingleCteN already solved
@@ -86,8 +89,10 @@ object SimilarityOps {
     * optionally restricted — `trainWhere` must reference alias `s`
     * (e.g. "\n  WHERE s.vec_id < 400"). Encode (`codes`) and the query
     * tables (`qdt`) always read the full corpus: the q187 contract —
-    * train on the base, encode everything. */
-  private def pqCtes(trainWhere: String = ""): String = {
+    * train on the base, encode everything. `qdtWhere` selects the query
+    * set (default: the q179/q184 first-10 sample). */
+  private def pqCtes(trainWhere: String = "",
+      qdtWhere: String = "s.vec_id < 10"): String = {
     val seed =
       """ms AS (SELECT unnest(range(0, 16)) AS m),
         |sub AS (
@@ -135,7 +140,7 @@ object SimilarityOps {
          |    CAST(s.snsq + c.cnsq - 2 * list_dot_product(s.sq, c.cq)
          |      AS BIGINT) AS pd
          |  FROM subn s JOIN cbq c ON c.m = s.m
-         |  WHERE s.vec_id < 10)""".stripMargin
+         |  WHERE $qdtWhere)""".stripMargin
     (seed +: rds :+ tail).mkString(",\n")
   }
 
@@ -262,16 +267,18 @@ object SimilarityOps {
     * q187's full statement) and the q188 recall canary (appr joined
     * against the exact top-k). */
   private def ivfAdcCtes(trainLloyd: String = "",
-      trainPq: String = ""): String =
-    s"""$PreparedCte,
+      trainPq: String = "", src: String = "embeddings",
+      qrWhere: String = "n.vec_id < 10",
+      qdtWhere: String = "s.vec_id < 10"): String =
+    s"""${preparedCte(src)},
        |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
-       |${pqCtes(trainPq)},
+       |${pqCtes(trainPq, qdtWhere)},
        |qr AS (
        |  SELECT n.vec_id AS qid, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
-       |  FROM n, c WHERE n.vec_id < 10),
+       |  FROM n, c WHERE $qrWhere),
        |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
        |ad AS (
        |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
@@ -307,6 +314,76 @@ object SimilarityOps {
     * gated body AND the oracle restrictions. Every fixture SF has ≥ 500
     * vectors, so base (400) and delta (≥ 100) are both non-trivial. */
   private val AppendBase = 400
+
+  /** q190's canary sample: 5 base-distribution queries + 5 drifted-delta
+    * queries — drift only shows when the monitor queries the drifted
+    * region, so the sample straddles the split point. */
+  private val CanaryQrWhere =
+    s"(n.vec_id < 5 OR (n.vec_id >= $AppendBase AND n.vec_id < ${AppendBase + 5}))"
+  private val CanaryQdtWhere =
+    s"(s.vec_id < 5 OR (s.vec_id >= $AppendBase AND s.vec_id < ${AppendBase + 5}))"
+
+  /** q190's retrain threshold (percent mean recall@5). Measured frozen-
+    * quantizer recall on the negated-delta fixture sits well below this
+    * at every SF, so the gate deterministically exercises the RETRAIN
+    * path; the decision compare itself is oracle-replayed integer math
+    * either way. */
+  private val DriftMinRecallPct = 80
+
+  /** The q190 oracle: the COMPLETE maintenance loop in one statement —
+    * a drifted source (delta = embeddings scaled by 2^-4; a
+    * power-of-two scale is EXACT in both engines' float math — pure
+    * exponent shift — and collapses the delta toward the origin, where
+    * the base-trained PQ codebooks can't resolve it: every drifted
+    * subvector argmins to the same near-zero codeword, ADC ranking
+    * degenerates to the nid tie-break, and frozen-quantizer recall
+    * craters — a distribution shift an ISOMETRY like negation can't
+    * plant, since consistent negation preserves every intra-delta
+    * distance), the frozen-quantizer route (training CTEs restricted
+    * to the base — q187's contract), the exact gold, the integer
+    * threshold decision, and whichever serve chain the decision picks
+    * (the retrained chain trains on ALL of demb). The two IVF-ADC
+    * chains nest as scoped sub-WITH blocks over the shared `demb`, so
+    * one statement carries both without CTE-name collisions. */
+  private lazy val DriftMaintOracleSql: String = {
+    val frozenChain = ivfAdcCtes(
+      trainLloyd = s"\n  WHERE n.vec_id < $AppendBase",
+      trainPq = s"\n    AND s.vec_id < $AppendBase",
+      src = "demb", qrWhere = CanaryQrWhere, qdtWhere = CanaryQdtWhere)
+    val retrChain = ivfAdcCtes("", "", "demb", CanaryQrWhere, CanaryQdtWhere)
+    s"""WITH demb AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id < $AppendBase THEN embedding
+       |         ELSE list_transform(embedding,
+       |                x -> x * CAST(0.0625 AS DOUBLE)) END AS embedding
+       |  FROM embeddings),
+       |frozen AS (SELECT * FROM (WITH $frozenChain
+       |  SELECT qid, nid, d2, rank FROM appr) z),
+       |retr AS (SELECT * FROM (WITH $retrChain
+       |  SELECT qid, nid, d2, rank FROM appr) z),
+       |gold AS (SELECT qid, nid FROM (
+       |  WITH ${preparedCte("demb")}
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
+       |      b.vec_id) AS rk
+       |  FROM n a JOIN n b
+       |    ON (a.vec_id < 5 OR (a.vec_id >= $AppendBase AND a.vec_id < ${AppendBase + 5}))
+       |    AND a.vec_id <> b.vec_id) t
+       |  WHERE rk <= 5),
+       |dec AS (
+       |  SELECT CAST(hits AS DOUBLE) / total AS mean_recall,
+       |    hits * 100 < $DriftMinRecallPct * total AS retrained
+       |  FROM (SELECT count(f.nid) AS hits, count(*) AS total
+       |        FROM gold g LEFT JOIN frozen f
+       |          ON f.qid = g.qid AND f.nid = g.nid) h)
+       |SELECT t.qid, t.nid, t.d2, t.rank, dec.mean_recall, dec.retrained
+       |FROM dec, (
+       |  SELECT * FROM frozen WHERE NOT (SELECT retrained FROM dec)
+       |  UNION ALL
+       |  SELECT * FROM retr WHERE (SELECT retrained FROM dec)) t
+       |ORDER BY t.qid, t.rank""".stripMargin
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -796,6 +873,36 @@ object SimilarityOps {
       val served = out.collect()
       loaded.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- DRIFT-TRIGGERED RETRAIN (the maintenance loop q187/q188/q184
+    //      exist for): append a PLANTED-DRIFT delta (embeddings scaled
+    //      by 2^-4 — exact in both engines' float math, and a real
+    //      distribution shift: the collapsed delta defeats the frozen
+    //      base-trained codebooks, see DriftMaintOracleSql) under
+    //      frozen quantizers, run the recall canary against exact gold
+    //      on a sample that straddles the drift boundary, and REBUILD
+    //      with retrained quantizers because the canary trips (measured
+    //      frozen recall sits well under the threshold at every SF).
+    //      The oracle replays the ENTIRE loop — frozen route, gold,
+    //      integer decision, retrained route — so the hash proves both
+    //      the decision and the served rows. Decision audit columns
+    //      ride on every row. ----
+    Q("q190_ann_drift_retrain", DriftMaintOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < AppendBase)
+        .select(col("vec_id"), col("embedding"))
+      val delta = emb.filter(col("vec_id") >= AppendBase)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.0625f)).as("embedding"))
+      val union = base.union(delta)
+      val queries = union.filter(col("vec_id") < 5 ||
+        (col("vec_id") >= AppendBase && col("vec_id") < AppendBase + 5))
+      AnnMaintenance.appendServeWithCanary(base, delta, queries,
+        "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2, minRecallPct = DriftMinRecallPct)
+        .orderBy("qid", "rank")
     },
 
     // ---- embedding outliers: the 20 vectors farthest from their assigned

@@ -207,6 +207,48 @@ class AnnIndexSpec extends SparkTestBase {
     assert(odd === 0, "index built on the even-id corpus served odd-id neighbors")
   }
 
+  test("maintenance loop: an in-distribution delta passes the canary and " +
+    "serves the appended index; a drifted delta trips it and retrains") {
+    import graft.operators.AnnMaintenance
+    val base = emb.filter(col("vec_id") < 400).select(col("vec_id"), col("embedding"))
+    val cleanDelta = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+    val driftDelta = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"),
+        // 2^-4 scale: collapses the delta toward the origin — a real
+        // distribution shift (an isometry like negation preserves every
+        // intra-delta distance and leaves recall untouched)
+        transform(col("embedding"), x => x * lit(0.0625f)).as("embedding"))
+    val canary = (u: org.apache.spark.sql.DataFrame) =>
+      u.filter(col("vec_id") < 5 ||
+        (col("vec_id") >= 400 && col("vec_id") < 405))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    def run(delta: org.apache.spark.sql.DataFrame, pct: Int) =
+      AnnMaintenance.appendServeWithCanary(base, delta,
+        canary(base.union(delta)), "vec_id", "embedding", k = 5,
+        candidates = 50, nprobe = 2, nlist = 8, trainRounds = 2, m = 16,
+        ksub = 8, dim = 64, pqTrainRounds = 2, minRecallPct = pct)
+    // no drift, permissive threshold: the cheap append path serves
+    val clean = run(cleanDelta, 50).collect()
+    assert(clean.nonEmpty && clean.forall(!_.getAs[Boolean]("retrained")))
+    val cleanRecall = clean.head.getAs[Double]("mean_recall")
+    assert(cleanRecall > 0.5, s"undrifted canary recall $cleanRecall")
+    // planted drift, the q190 threshold: the canary trips and retrains
+    val drifted = run(driftDelta, 80).collect()
+    assert(drifted.nonEmpty && drifted.forall(_.getAs[Boolean]("retrained")))
+    val driftRecall = drifted.head.getAs[Double]("mean_recall")
+    assert(driftRecall < 0.8, s"drifted canary recall $driftRecall")
+    assert(driftRecall < cleanRecall,
+      "planted drift did not reduce canary recall")
+    // decision audit columns are constant across the served rows, and
+    // every query in the sample is answered with a full top-5
+    assert(drifted.map(_.getAs[Double]("mean_recall")).distinct.length === 1)
+    assert(drifted.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    // all intermediate handles released: the loop must not leak index
+    // storage beyond whatever was resident before it ran
+    assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore)
+  }
+
   test("streaming query batches served via foreachBatch against the " +
     "resident index match batch serving") {
     // the online-ANN serving composition: query vectors ARRIVE as a
