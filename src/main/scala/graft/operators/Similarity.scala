@@ -771,6 +771,37 @@ object Similarity {
     * the cell id against the broadcast routed queries, so cost tracks
     * nprobe·(n/nlist) per query; no stage touches corpus vectors between
     * encode and the bounded rerank fetch. All integer math end to end. */
+  /** Occupancy-scaled IVF cell count — [[adaptivePlanes]]'s rule applied
+    * to the coarse quantizer (round-8 verdict item 5): the smallest
+    * POWER-OF-TWO nlist with targetCell·nlist >= n, clamped to
+    * [8, 2^20], so inverted lists stay ~targetCell vectors regardless
+    * of corpus size — a fixed nlist that is right at 10^3 vectors
+    * leaves 10^8-vector lists at 10^9 (every probe scans the corpus),
+    * and sqrt-style rules can't be replayed without libm. Power-of-two
+    * by construction, so the packed-argmin shift EQUALS nlist — one
+    * dynamic scalar for a SQL oracle to replay (the q192 nl CTE mirrors
+    * this loop in pure integer arithmetic). */
+  def adaptiveNlist(n: Long, targetCell: Int = 64): Int = {
+    require(targetCell > 0, s"targetCell=$targetCell must be positive")
+    var k = 8
+    while (k < (1 << 20) && targetCell.toLong * k < n) k <<= 1
+    k
+  }
+
+  /** [[ivfAdcKnn]] with the cell count OCCUPANCY-SCALED from the corpus
+    * size instead of pinned by the caller — the q83 adaptive-planes
+    * precedent applied to IVF, so the same call sites the right index
+    * at any scale factor. One count() job to size the quantizer — the
+    * same price [[nearDupKeepListAdaptive]] pays. */
+  def ivfAdcKnnAdaptive(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int, nprobe: Int,
+      trainRounds: Int, m: Int, ksub: Int, dim: Int,
+      pqTrainRounds: Int = 2, targetCell: Int = 64): DataFrame = {
+    val nlist = adaptiveNlist(corpus.count(), targetCell)
+    ivfAdcKnn(queries, corpus, idCol, vecCol, k, candidates, nlist,
+      nprobe, trainRounds, m, ksub, dim, pqTrainRounds)
+  }
+
   def ivfAdcKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, candidates: Int, nlist: Int, nprobe: Int,
       trainRounds: Int, m: Int, ksub: Int, dim: Int,

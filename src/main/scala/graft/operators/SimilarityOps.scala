@@ -274,7 +274,15 @@ object SimilarityOps {
        |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
        |${pqCtes(trainPq, qdtWhere)},
-       |qr AS (
+       |${ivfAdcTail(qrWhere)}""".stripMargin
+
+  /** The nlist-INDEPENDENT back half of the IVF-ADC route (query
+    * routing → in-list ADC → candidate cut → exact rerank → appr),
+    * shared by [[ivfAdcCtes]] (static nlist = 8) and the q192
+    * adaptive-nlist oracle — every stage here only reads `c`/`asg`/
+    * `codes`/`qdt`, so ONE definition serves both cell-count modes. */
+  private def ivfAdcTail(qrWhere: String = "n.vec_id < 10"): String =
+    s"""qr AS (
        |  SELECT n.vec_id AS qid, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
@@ -308,6 +316,78 @@ object SimilarityOps {
        |  WHERE rank <= 5)""".stripMargin
 
   private val IvfAdcOracleSql: String = ivfAdcOracle()
+
+  /** Occupancy-scaled nlist CTE `nl` (one column `k`) — the DuckDB
+    * replica of [[Similarity.adaptiveNlist]], the q83 pl-CTE pattern
+    * applied to IVF: smallest power-of-two k with 64·k >= count(*),
+    * clamped [8, 2^20], pure integer arithmetic (a float log could
+    * round a power-of-two boundary differently across engines). */
+  private def nlCte(src: String = "embeddings"): String =
+    s"""icnt AS (SELECT count(*) AS n FROM $src),
+       |nl AS (SELECT GREATEST(CAST(8 AS BIGINT), COALESCE(
+       |  (SELECT min(CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+       |   FROM range(0, 21) t(p), icnt
+       |   WHERE (CAST(64 AS BIGINT) << CAST(p AS INTEGER)) >= n),
+       |  CAST(1 AS BIGINT) << 20)) AS k)""".stripMargin
+
+  /** [[lloydCte]] with the cell count DYNAMIC from the `nl` CTE: the
+    * packing shift IS k (power of two by [[Similarity.adaptiveNlist]]'s
+    * construction), so every literal shift becomes one uncorrelated
+    * scalar subselect and the training replay stays bit-exact at ANY
+    * corpus size. Emits `c` like the static variant. */
+  private def lloydCteDyn(rounds: Int): String = {
+    val kSel = "(SELECT k FROM nl)"
+    val seed =
+      s"""kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
+         |       FROM n WHERE vec_id < $kSel)""".stripMargin
+    val rds = (1 to rounds).map { r =>
+      s"""ka$r AS (
+         |  SELECT n.vec_id, CAST(min(
+         |      CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * $kSel
+         |        + c.cid) % $kSel AS BIGINT) AS cid
+         |  FROM n, kc${r - 1} c GROUP BY n.vec_id),
+         |ks$r AS (
+         |  SELECT a.cid, t.d, CAST(sum(n.qd[CAST(t.d AS INTEGER)]) AS BIGINT) AS s,
+         |    count(*) AS cnt
+         |  FROM ka$r a JOIN n USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(d)
+         |  GROUP BY a.cid, t.d),
+         |ku$r AS (
+         |  SELECT cid, list(CAST(s // cnt AS DOUBLE) ORDER BY d) AS cqd
+         |  FROM ks$r GROUP BY cid),
+         |kc$r AS (
+         |  SELECT prev.cid, coalesce(u.cqd, prev.cqd) AS cqd,
+         |    coalesce(list_dot_product(u.cqd, u.cqd), prev.cnsq) AS cnsq
+         |  FROM kc${r - 1} prev LEFT JOIN ku$r u USING (cid))""".stripMargin
+    }
+    (seed +: rds).mkString(",\n") + s",\nc AS (SELECT * FROM kc$rounds)"
+  }
+
+  /** [[asgCte]] with the dynamic shift — same packed argmin, `k` from
+    * the `nl` CTE. */
+  private def asgCteDyn(): String = {
+    val kSel = "(SELECT k FROM nl)"
+    s"""d AS (
+       |  SELECT n.vec_id,
+       |    CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * $kSel
+       |      + c.cid AS key
+       |  FROM n, c),
+       |m AS (SELECT vec_id, min(key) AS key FROM d GROUP BY vec_id),
+       |asg AS (SELECT vec_id, CAST(key % $kSel AS BIGINT) AS cid FROM m)""".stripMargin
+  }
+
+  /** q192's oracle: the full IVF-ADC route with the cell count computed
+    * FROM THE CORPUS SIZE on both sides — nl in SQL,
+    * [[Similarity.adaptiveNlist]] in Spark — so the gate stays in sync
+    * at any scale factor instead of pinning the tuned-for-sf constant
+    * (8 cells at 500 vectors, 32 at sf0.1's 2000, growing with n). */
+  private lazy val AdaptiveIvfAdcOracleSql: String =
+    s"""WITH ${nlCte()},
+       |$PreparedCte,
+       |${lloydCteDyn(2)},
+       |${asgCteDyn()},
+       |${pqCtes()},
+       |${ivfAdcTail()}
+       |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin
 
   /** The q187 split point: quantizers train on vec_id < [[AppendBase]],
     * the index serves every vector — one value owned here, used by the
@@ -902,6 +982,26 @@ object SimilarityOps {
         "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
         nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
         pqTrainRounds = 2, minRecallPct = DriftMinRecallPct)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- ADAPTIVE-nlist IVF-ADC (the q83 occupancy-scaling precedent
+    //      applied to the coarse quantizer): the cell count comes from
+    //      the corpus size on BOTH sides — adaptiveNlist(count) in the
+    //      body, the nl CTE's integer formula in the oracle — so
+    //      inverted lists stay ~64 vectors at any SF (8 cells for the
+    //      500-vector fixtures, 32 at sf0.1's 2000) and the gate keeps
+    //      training/assignment/serving hash-exact as the cell count
+    //      CHANGES across SFs, not just at one tuned constant. Power-
+    //      of-two counts make the packing shift equal k — the property
+    //      that lets a static SQL statement replay a dynamic-k Lloyd
+    //      train bit-for-bit. ----
+    Q("q192_ivf_adaptive_nlist", AdaptiveIvfAdcOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.ivfAdcKnnAdaptive(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
+        trainRounds = 2, m = 16, ksub = 8, dim = Dim, pqTrainRounds = 2,
+        targetCell = 64)
         .orderBy("qid", "rank")
     },
 

@@ -207,6 +207,30 @@ class AnnIndexSpec extends SparkTestBase {
     assert(odd === 0, "index built on the even-id corpus served odd-id neighbors")
   }
 
+  test("adaptiveNlist scales by occupancy (power-of-two, clamped) and the " +
+    "adaptive route equals the fixed route at the computed cell count") {
+    import graft.operators.Similarity.adaptiveNlist
+    // smallest power-of-two k with 64·k >= n, floor 8 — the integer
+    // formula the q192 nl CTE replays
+    assert(adaptiveNlist(1) === 8)
+    assert(adaptiveNlist(512) === 8)
+    assert(adaptiveNlist(513) === 16)
+    assert(adaptiveNlist(2000) === 32)
+    assert(adaptiveNlist(64L << 19) === 1 << 19)
+    assert(adaptiveNlist(Long.MaxValue) === 1 << 20) // cap
+    assert(adaptiveNlist(100, targetCell = 4) === 32)
+    val n = emb.count()
+    val k = adaptiveNlist(n)
+    val adaptive = rows(Similarity.ivfAdcKnnAdaptive(queries, emb,
+      "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64))
+    val fixed = rows(Similarity.ivfAdcKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 50, nlist = k, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64))
+    assert(adaptive === fixed)
+    assert(adaptive.nonEmpty)
+  }
+
   test("maintenance loop: an in-distribution delta passes the canary and " +
     "serves the appended index; a drifted delta trips it and retrains") {
     import graft.operators.AnnMaintenance
