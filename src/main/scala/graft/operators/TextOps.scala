@@ -1207,63 +1207,82 @@ object TextOps {
     //      token (q129 — never broadcast), dl is corpus-keyed and
     //      equi-joined, and the 1-row corpus constants broadcast. ----
     Q("q142_bm25_retrieve",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |cfg AS (SELECT n, (1000 * t) // n AS a FROM (
-        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl)),
-        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-        |probes AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id < 30),
-        |terms AS (
-        |  SELECT p.qid, t.doc_id AS nid,
-        |    CAST(CAST(44 * t.c * cfg.a AS DOUBLE)
-        |           / CAST(20 * t.c * cfg.a + 6 * cfg.a + 18000 * d.dl AS DOUBLE)
-        |         * (CAST(2 * cfg.n - 2 * f.df + 1 AS DOUBLE)
-        |           / CAST(2 * f.df + 1 AS DOUBLE))
-        |      AS DECIMAL(18,4)) AS term
-        |  FROM probes p
-        |  JOIN tf t ON t.w = p.w AND t.doc_id <> p.qid
-        |  JOIN dfq f ON f.w = p.w
-        |  JOIN dl d ON d.doc_id = t.doc_id
-        |  CROSS JOIN cfg),
-        |scored AS (
-        |  SELECT qid, nid, CAST(sum(term) AS DOUBLE) AS score
-        |  FROM terms GROUP BY 1, 2),
-        |r AS (SELECT qid, nid, score,
-        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
-        |  FROM scored)
+      s"""WITH ${bm25Ctes("doc_id < 30")}
         |SELECT qid, CAST(rn AS INTEGER) AS rank, nid, score
-        |FROM r WHERE rn <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val tf = Tables.t(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      val dl = tf.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
-      val cfg = dl.agg(count(lit(1)).as("n"), sum("dl").cast("long").as("t"))
-        .withColumn("a", expr("(1000 * t) div n"))
-        .select("n", "a")
-      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val probes = tf.filter(col("doc_id") < 30)
-        .select(col("doc_id").as("qid"), col("w"))
-      val tfp = (lit(44) * col("c") * col("a")).cast("double") /
-        (lit(20) * col("c") * col("a") + lit(6) * col("a") +
-          lit(18000) * col("dl")).cast("double")
-      val idf = (lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double") /
-        (lit(2) * col("df") + lit(1)).cast("double")
-      val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
-      tf.join(broadcast(probes), Seq("w"))
-        .filter(col("doc_id") =!= col("qid"))
-        .join(dfq.hint("shuffle_hash"), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(cfg))
-        .select(col("qid"), col("doc_id").as("nid"),
-          (tfp * idf).cast("decimal(18,4)").as("term"))
-        .groupBy("qid", "nid")
-        .agg(sum("term").cast("double").as("score"))
-        .withColumn("rank", row_number().over(rw))
+        |FROM bmr WHERE rn <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      bm25Ranked(s, d, col("doc_id") < 30)
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"), col("score"))
         .orderBy("qid", "rank")
     }
   )
+
+  /** BM25 ranking CTE chain ending in `bmr` (qid, nid, score, rn) —
+    * ONE definition shared by the q142 oracle and SimilarityOps' q194
+    * hybrid-RRF oracle, so the lexical ranker cannot drift between its
+    * standalone and fused uses. All term math in exact 100ths
+    * (k1=1.2, b=0.75) over integer tf/df/len, per-term value cast to
+    * DECIMAL(18,4) before the sum (the decimal-sum determinism rule). */
+  private[operators] def bm25Ctes(probeWhere: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |cfg AS (SELECT n, (1000 * t) // n AS a FROM (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl)),
+       |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |probes AS (SELECT doc_id AS qid, w FROM tf WHERE $probeWhere),
+       |terms AS (
+       |  SELECT p.qid, t.doc_id AS nid,
+       |    CAST(CAST(44 * t.c * cfg.a AS DOUBLE)
+       |           / CAST(20 * t.c * cfg.a + 6 * cfg.a + 18000 * d.dl AS DOUBLE)
+       |         * (CAST(2 * cfg.n - 2 * f.df + 1 AS DOUBLE)
+       |           / CAST(2 * f.df + 1 AS DOUBLE))
+       |      AS DECIMAL(18,4)) AS term
+       |  FROM probes p
+       |  JOIN tf t ON t.w = p.w AND t.doc_id <> p.qid
+       |  JOIN dfq f ON f.w = p.w
+       |  JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN cfg),
+       |scored AS (
+       |  SELECT qid, nid, CAST(sum(term) AS DOUBLE) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |bmr AS (SELECT qid, nid, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |  FROM scored)""".stripMargin
+
+  /** The Spark twin of [[bm25Ctes]]: full BM25 ranking (qid, nid, score,
+    * rank — uncut) for the probe docs selected by `probeFilter`. Probes
+    * and the tiny cfg frame broadcast; the corpus-sized df table joins
+    * shuffle-hash (never broadcast); candidates come only from
+    * shared-token postings — the corpus text is never self-joined. */
+  private[operators] def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+      d: String, probeFilter: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
+    val cfg = dl.agg(count(lit(1)).as("n"), sum("dl").cast("long").as("t"))
+      .withColumn("a", expr("(1000 * t) div n"))
+      .select("n", "a")
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val probes = tf.filter(probeFilter)
+      .select(col("doc_id").as("qid"), col("w"))
+    val tfp = (lit(44) * col("c") * col("a")).cast("double") /
+      (lit(20) * col("c") * col("a") + lit(6) * col("a") +
+        lit(18000) * col("dl")).cast("double")
+    val idf = (lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double") /
+      (lit(2) * col("df") + lit(1)).cast("double")
+    val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    tf.join(broadcast(probes), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfq.hint("shuffle_hash"), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(cfg))
+      .select(col("qid"), col("doc_id").as("nid"),
+        (tfp * idf).cast("decimal(18,4)").as("term"))
+      .groupBy("qid", "nid")
+      .agg(sum("term").cast("double").as("score"))
+      .withColumn("rank", row_number().over(rw))
+  }
 }
