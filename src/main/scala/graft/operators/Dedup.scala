@@ -505,6 +505,59 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** Exact-substring RUN dedup (token-granular diagonal consolidation —
+    * the suffix-array-free form of Lee et al. 2021's "Deduplicating
+    * Training Data Makes Language Models Better"): for every doc pair
+    * sharing at least one k-token shingle, the LONGEST verbatim shared
+    * token span. Matching shingles at positions (pa, pb) lie on the
+    * diagonal pa − pb; c consecutive shingles on one diagonal are ONE
+    * verbatim run of c + k − 1 tokens. Output (da, db, max_run_tokens,
+    * n_runs) for pairs whose longest run >= minRunTokens — the pairs a
+    * span-level deduper would actually cut, where q114's window stats
+    * only say "some 40-char window collided".
+    *
+    * Scale shape: candidates come ONLY from the shingle equi-join, and
+    * shingles occurring in more than dfCap docs are dropped FIRST (the
+    * q97/q105 df-cap rule — one stop-shingle pairs every doc with every
+    * doc; pair fan-out is bounded by Σ_h df(h)² ≤ dfCap · Σ df). The
+    * run-consolidation window partitions by (pair, diagonal) — never
+    * wider than one pair's matches — and the uniform md5 shingle key
+    * spreads both shuffles. Nothing touches the driver. */
+  def substringRunStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int, minRunTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k=$k too small for a shingle")
+    require(minRunTokens >= k, s"minRunTokens=$minRunTokens < k=$k")
+    val sh = docs.select(col(idCol), split(col(textCol), " ").as("sp"))
+      .filter(size(col("sp")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("sp")) - (k - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ",
+            (0 until k).map(o => element_at(col("sp"), i + lit(o))): _*))
+            .as("h"))))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.h").as("h"))
+    val keep = sh.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") <= dfCap && col("nd") >= 2)
+      .select("h")
+    val shk = sh.join(keep, Seq("h"))
+    val a = shk.select(col("h"), col(idCol).as("da"), col("pos").as("pa"))
+    val b = shk.select(col("h"), col(idCol).as("db"), col("pos").as("pb"))
+    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    a.join(b, Seq("h")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(count(lit(1)).as("run_shingles"))
+      .groupBy("da", "db")
+      .agg((max("run_shingles") + (k - 1)).cast("long").as("max_run_tokens"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
   /** Cross-source substring leakage: per source, how many DISTINCT window
     * hashes it contains that also occur in at least one other source — the
     * "is snapshot B contaminated with snapshot A's text?" audit. Output

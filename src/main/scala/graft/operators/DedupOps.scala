@@ -562,6 +562,46 @@ object DedupOps {
           (sum(col("nd")).cast("double") / sum(col("ns")).cast("double"))
             .as("dup_ratio"))
         .orderBy("source")
+    },
+
+    // ---- exact-substring RUN dedup (Lee et al. 2021, suffix-array-free):
+    //      per doc pair, the LONGEST verbatim shared token span —
+    //      consecutive matching 4-token shingles on one (posA − posB)
+    //      diagonal consolidate into a run of shingles + 3 tokens. The
+    //      span-level answer q114's window stats can't give: WHICH pairs
+    //      share HOW LONG a verbatim stretch (the thing a span cutter
+    //      actually removes). df-capped at 8 docs per shingle (the
+    //      q97/q105 rule) so a template shingle never drives the pair
+    //      fan-out; the run windows partition by (pair, diagonal). The
+    //      oracle replays shingling, cap, diagonals, island grouping and
+    //      the threshold — a one-token drift in any stage breaks the
+    //      hash. ----
+    Q("q195_substring_run_dedup",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) AS h
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(sp) - 2)) AS i) s
+        |  WHERE len(sp) >= 4),
+        |dfc AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8),
+        |shk AS (SELECT sh.* FROM sh JOIN dfc USING (h)),
+        |mt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+        |    a.pos - b.pos AS diag
+        |  FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (SELECT da, db, diag, pa,
+        |  pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        |  FROM mt),
+        |runs AS (SELECT da, db, diag, grp, count(*) AS rs
+        |  FROM isl GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT da, db, CAST(max(rs) + 3 AS BIGINT) AS max_run_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_runs FROM runs GROUP BY 1, 2)
+        |SELECT da, db, max_run_tokens, n_runs FROM agg
+        |WHERE max_run_tokens >= 8 ORDER BY da, db""".stripMargin) { (s, d) =>
+      Dedup.substringRunStats(Tables.t(s, d, "documents"), "doc_id", "text",
+          k = 4, dfCap = 8, minRunTokens = 8)
+        .orderBy("da", "db")
     }
   )
 }
