@@ -371,6 +371,75 @@ object Sampling {
           min_by(col("doc_id"), col("h")).as("first_doc"),
           max_by(col("doc_id"), col("h")).as("last_doc"))
         .orderBy("shard")
+    },
+
+    // ---- token-budget WATER-FILLING: allocate a global token budget
+    //      (60% of the corpus) across sources with a single per-source
+    //      cap T — the largest integer T with Σ min(tokens_s, T) ≤ B —
+    //      so small sources keep everything and oversized sources are
+    //      capped to the common water line (the mixture-rebalancing
+    //      step between q137's fixed upsample weights and a raw
+    //      proportional cut, cf. the per-source caps in Pile/LLaMA-style
+    //      mixes). Closed form, no iteration: sort sources by tokens
+    //      asc; with prefix sums P_k, T lives in the segment after the
+    //      LAST k where P_{k-1} + (n−k+1)·t_k ≤ B, then
+    //      T = (B − P_K) div (n − K). All integer arithmetic; every
+    //      window runs over the |sources|-row aggregate (the q111
+    //      bounded-window rule), the corpus is touched by exactly one
+    //      two-phase count agg. Audit columns (cap, budget) ride on
+    //      every row; the oracle replays prefix sums, feasibility,
+    //      segment choice and the division. ----
+    Q("q196_token_budget_waterfill",
+      """WITH ps AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, t,
+        |  row_number() OVER (ORDER BY t, source) AS k,
+        |  sum(t) OVER (ORDER BY t, source ROWS UNBOUNDED PRECEDING) AS pk,
+        |  count(*) OVER () AS n,
+        |  sum(t) OVER () AS total FROM ps),
+        |r2 AS (SELECT *, (total * 6) // 10 AS b,
+        |  CASE WHEN pk - t + (n - k + 1) * t <= (total * 6) // 10
+        |    THEN k ELSE 0 END AS feask FROM r),
+        |r3 AS (SELECT *, max(feask) OVER () AS kk FROM r2),
+        |r4 AS (SELECT *, max(CASE WHEN k = kk THEN pk END) OVER () AS pkk,
+        |  max(t) OVER () AS tmax FROM r3),
+        |r5 AS (SELECT *, CASE WHEN kk = n THEN tmax
+        |  ELSE (b - coalesce(pkk, 0)) // (n - kk) END AS cap FROM r4)
+        |SELECT source, t AS tokens, CAST(LEAST(t, cap) AS BIGINT) AS allocated,
+        |  t > cap AS capped, CAST(cap AS BIGINT) AS cap,
+        |  CAST(b AS BIGINT) AS budget
+        |FROM r5 ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.orderBy(col("t"), col("source"))
+      val wAll = Window.partitionBy()
+      // every window below runs over the |sources|-row aggregate — the
+      // single-partition sort touches a handful of rows, never the corpus
+      Tables.t(s, d, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("t"))
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("pk", sum("t").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("total", sum("t").over(wAll))
+        .withColumn("b", expr("(total * 6) div 10"))
+        .withColumn("feask",
+          when(col("pk") - col("t") + (col("n") - col("k") + 1) * col("t")
+            <= col("b"), col("k")).otherwise(lit(0L)))
+        .withColumn("kk", max("feask").over(wAll))
+        .withColumn("pkk",
+          max(when(col("k") === col("kk"), col("pk"))).over(wAll))
+        .withColumn("tmax", max("t").over(wAll))
+        .withColumn("cap", when(col("kk") === col("n"), col("tmax"))
+          .otherwise(expr("(b - coalesce(pkk, 0L)) div (n - kk)")))
+        .select(col("source"), col("t").as("tokens"),
+          least(col("t"), col("cap")).as("allocated"),
+          (col("t") > col("cap")).as("capped"),
+          col("cap").cast("long").as("cap"),
+          col("b").cast("long").as("budget"))
+        .orderBy("source")
     }
   )
 }
