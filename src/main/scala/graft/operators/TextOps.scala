@@ -1214,8 +1214,113 @@ object TextOps {
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"), col("score"))
         .orderBy("qid", "rank")
+    },
+
+    // ---- TRAINED quality/language classifier: a batch perceptron over
+    //      integer marker-token counts (bias + 5 features), y = ±1 on
+    //      lang = 'en'. Each round computes the misclassified-set update
+    //      Σ y·x per feature as ONE two-phase agg over the corpus —
+    //      integer adds, order-independent (the Lloyd rounding rule) —
+    //      collects the |features|+1 row driver-side (the
+    //      collectTrainedCentroids pattern) and re-embeds the weights as
+    //      literals for the next round. The oracle replays all 3 rounds,
+    //      the final margins, predictions AND the corpus accuracy, so
+    //      the hash pins the whole training trajectory — the in-engine
+    //      analog of training a fastText-style quality filter on the
+    //      corpus it will filter. Scale: each round is one narrow map +
+    //      one 6-column agg; the model is O(features) on the driver by
+    //      definition; nothing shuffles but the agg's partials. ----
+    Q("q197_perceptron_langid", perceptronOracleSql) { (s, d) =>
+      val nf = PerceptronMarkers.length
+      val featCols = PerceptronMarkers.zipWithIndex.map { case (m, i) =>
+        size(filter(split(col("text"), " "), t => t === m)).as(s"x${i + 1}")
+      }
+      val feats = Tables.t(s, d, "documents")
+        .select(Seq(col("doc_id"),
+          when(col("lang") === "en", 1).otherwise(-1).as("y"),
+          lit(1).as("x0")) ++ featCols: _*)
+        .persist() // 3 training rounds + final scoring reread it
+      try {
+        var w = Array.fill(nf + 1)(0L)
+        def margin = (0 to nf).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+        for (_ <- 1 to PerceptronRounds) {
+          val aggs = (0 to nf).map(i =>
+            coalesce(sum(col("y") * col(s"x$i")), lit(0L)).cast("long")
+              .as(s"u$i"))
+          val upd = feats.filter((col("y") * margin) <= 0)
+            .agg(aggs.head, aggs.tail: _*).collect()(0)
+          w = (0 to nf).map(i => w(i) + upd.getLong(i)).toArray
+        }
+        val scored = feats.select(col("doc_id"), col("y"),
+            margin.cast("long").as("margin"))
+          .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
+        val acc = scored.agg(
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("c"),
+            count(lit(1)).as("n"))
+          .select(expr("(1000000 * c) div n").cast("long").as("acc_ppm"))
+        val wCols = (0 to nf).map(i => lit(w(i)).as(s"w$i"))
+        scored.filter(col("doc_id") < 30)
+          .select(Seq(col("doc_id"), col("y").as("label"), col("margin"),
+            col("pred")) ++ wCols: _*)
+          .crossJoin(broadcast(acc))
+          .orderBy("doc_id")
+      } finally { feats.unpersist(); () }
     }
   )
+
+  // ---- q197 batch-perceptron helpers ----
+  /** The 5 marker-token count features (plus bias) behind q197 — ONE
+    * list so the Spark body and the oracle builder cannot drift. */
+  // defs, not vals: referenced from inside `defs`'s eager Q construction,
+  // which runs before this point in the object initializer
+  private def PerceptronMarkers = Seq("the", "a", "data", "spark", "fast")
+  private def PerceptronRounds = 3
+
+  private def perceptronMarginSql: String =
+    (0 to PerceptronMarkers.length)
+      .map(i => s"w.b$i * f.x$i").mkString(" + ")
+
+  /** One DuckDB batch-perceptron round: misclassified-set update sums
+    * under the previous round's weights, then the integer weight add —
+    * the Lloyd-style oracle replay of an iterative trainer. */
+  private def perceptronRoundCte(r: Int): String = {
+    val nf = PerceptronMarkers.length
+    val upd = (0 to nf).map(i =>
+      s"CAST(coalesce(sum(CASE WHEN f.y * ($perceptronMarginSql) <= 0 " +
+        s"THEN f.y * f.x$i ELSE 0 END), 0) AS BIGINT) AS b$i").mkString(",\n    ")
+    val add = (0 to nf).map(i => s"w.b$i + u.b$i AS b$i").mkString(", ")
+    s"""u$r AS (SELECT
+       |    $upd
+       |  FROM f, w${r - 1} w),
+       |w$r AS (SELECT $add FROM w${r - 1} w, u$r u)""".stripMargin
+  }
+
+  private def perceptronOracleSql: String = {
+    val nf = PerceptronMarkers.length
+    val feats = PerceptronMarkers.zipWithIndex.map { case (m, i) =>
+      s"len(list_filter(string_split(text, ' '), t -> t = '$m')) AS x${i + 1}"
+    }.mkString(",\n  ")
+    val w0 = (0 to nf).map(i => s"CAST(0 AS BIGINT) AS b$i").mkString(", ")
+    val rounds = (1 to PerceptronRounds).map(perceptronRoundCte).mkString(",\n")
+    val wOut = (0 to nf).map(i => s"w.b$i AS w$i").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |  1 AS x0,
+       |  $feats
+       |  FROM documents),
+       |w0 AS (SELECT $w0),
+       |$rounds,
+       |scored AS (SELECT f.doc_id, f.y,
+       |  CAST($perceptronMarginSql AS BIGINT) AS margin
+       |  FROM f, w$PerceptronRounds w),
+       |pred AS (SELECT doc_id, y, margin,
+       |  CASE WHEN margin > 0 THEN 1 ELSE -1 END AS pred FROM scored),
+       |acc AS (SELECT CAST(1000000 * sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+       |  // count(*) AS BIGINT) AS acc_ppm FROM pred)
+       |SELECT p.doc_id, p.y AS label, p.margin, p.pred, $wOut, a.acc_ppm
+       |FROM pred p, w$PerceptronRounds w, acc a
+       |WHERE p.doc_id < 30 ORDER BY p.doc_id""".stripMargin
+  }
 
   /** BM25 ranking CTE chain ending in `bmr` (qid, nid, score, rn) —
     * ONE definition shared by the q142 oracle and SimilarityOps' q194
