@@ -549,6 +549,61 @@ object Similarity {
     pqRerank(cand, p, idCol, k)
   }
 
+  /** Scalar-quantized (SQ8) two-stage kNN — the FAISS ScalarQuantizer
+    * analog and the simplest member of the quantized-ANN family next to
+    * the PQ route ([[pqKnn]]): TRAIN per-dimension [min, max] bounds over
+    * the corpus (one two-phase agg of 2·dim partial min/max columns —
+    * the only corpus-wide pass; the trained artifact is O(dim) and
+    * driver-held, the k-means-centroid argument), ENCODE every vector to
+    * dim uint8 codes in one narrow map against the literal bounds
+    * (`(v − mn)·255 div (mx − mn)`, clamped — truncating integer
+    * division, the q131 cross-engine rule), then rank stage-1 candidates
+    * by exact integer L2 on the CODES (8 bits/dim moved and multiplied
+    * instead of 64 — at 100 TB the resident index is dim bytes per
+    * vector, 8× less than the quantized floats) and exact-rerank only
+    * the ≤ candidates survivors per query on the original dims
+    * ([[pqRerank]]). Code distance reuses the codegen'd LongArrayDot via
+    * d²(a,b) = |a|² + |b|² − 2⟨a,b⟩ — identical integers to Σ(aᵢ−bᵢ)².
+    * All-integer throughout, so the DuckDB oracle replays training,
+    * encode, the candidate cut and the rerank bit-for-bit. */
+  def sq8Knn(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, candidates: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val p = prepared(corpus, idCol, vecCol)
+    // train: per-dimension bounds — ONE agg row to the driver, O(dim)
+    val boundAggs = (0 until dim).flatMap(i => Seq(
+      min(col("q").getItem(i)).as(s"mn$i"),
+      max(col("q").getItem(i)).as(s"mx$i")))
+    val row = p.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val mns = (0 until dim).map(i => row.getLong(2 * i))
+    val mxs = (0 until dim).map(i => row.getLong(2 * i + 1))
+    // encode: narrow per-row map, dim literal-bound div/clamp lanes
+    def codeCol: Column = array((0 until dim).map { i =>
+      val span = mxs(i) - mns(i)
+      if (span > 0L)
+        least(greatest(
+          expr(s"((q[$i] - ${mns(i)}L) * 255L) div ${span}L"), lit(0L)),
+          lit(255L))
+      else lit(0L)
+    }: _*)
+    val codes = p.select(col(idCol).as("nid"), codeCol.as("code"))
+      .withColumn("cnsq", normSq(col("code")))
+    val qcodes = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"),
+        codeCol.as("qcode"))
+      .withColumn("qcnsq", normSq(col("qcode")))
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(qcodes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"),
+        (col("qcnsq") + col("cnsq")
+          - lit(2L) * dot(col("qcode"), col("code"))).cast("long").as("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+      .select("qid", "nid", "qq", "qnsq")
+    pqRerank(cand, p, idCol, k)
+  }
+
   /** Codebook seeded from the ksub smallest-id corpus vectors, relabeled
     * densely ([[seedCentroids]]' rule, so an offset or non-contiguous id
     * space still seeds correctly — on the 0-contiguous fixtures this

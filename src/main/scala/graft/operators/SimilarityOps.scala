@@ -815,6 +815,55 @@ object SimilarityOps {
         .orderBy("qid", "rank")
     },
 
+    // ---- SCALAR-quantized (SQ8) ANN funnel — the FAISS ScalarQuantizer
+    //      analog and the remaining classic member of the quantized
+    //      family next to PQ (q179) and random projection (q139): train
+    //      per-dimension [min, max] bounds (ONE two-phase agg, O(dim)
+    //      driver-held artifact), encode every vector to dim uint8 codes
+    //      in one narrow literal-bound map, rank stage-1 candidates by
+    //      exact integer L2 on the CODES (8 bits/dim resident instead of
+    //      64 — the 8× memory cut that makes a billion-vector index fit),
+    //      exact-rerank only the survivors. The oracle replays bounds
+    //      training, the div/clamp encode, the code-distance ranking with
+    //      its tie-break, the candidate cut AND the rerank — all integer.
+    //      Recall-vs-exact is spec-gated (VectorSpec), as for q139/q179. ----
+    Q("q198_sq8_knn",
+      s"""WITH $PreparedCte,
+         |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e),
+         |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
+         |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+         |c AS (SELECT vec_id,
+         |    list_transform(range(0, $Dim), j ->
+         |      CASE WHEN mxs[CAST(j + 1 AS INTEGER)] > mns[CAST(j + 1 AS INTEGER)]
+         |           THEN least(greatest(((q[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]) * 255)
+         |                  // (mxs[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]), 0), 255)
+         |           ELSE 0 END) AS code
+         |  FROM e, sa),
+         |cn AS (SELECT vec_id, code,
+         |    CAST(list_dot_product(list_transform(code, x -> CAST(x AS DOUBLE)),
+         |                          list_transform(code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS cnsq
+         |  FROM c),
+         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    a.cnsq + b.cnsq - 2 * CAST(list_dot_product(
+         |      list_transform(a.code, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS adist
+         |  FROM cn a JOIN cn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10),
+         |cand AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+         |  WHERE arank <= 100),
+         |scored AS (SELECT cc.qid, cc.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+         |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.sq8Knn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 100, dim = Dim)
+        .orderBy("qid", "rank")
+    },
+
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
     //      trained coarse quantizer routes each query to its 2 nearest
     //      of 8 Lloyd-trained cells, q179's PQ codes score the probed

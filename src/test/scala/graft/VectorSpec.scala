@@ -439,4 +439,22 @@ class VectorSpec extends SparkTestBase {
       .toSet
     assert(base === off)
   }
+
+  test("SQ8 k-NN recall vs exact L2 (8-bit codes must be near-lossless)") {
+    // the q198 oracle gates determinism; this gates QUALITY — per-dim
+    // 8-bit quantization keeps ~8 significant bits per component, so the
+    // code-distance candidate stage should rarely evict a true top-5
+    // neighbor before the exact rerank. Measured 1.00 on this fixture;
+    // the floor leaves slack for fixture reshuffles.
+    val queries = emb.filter(col("vec_id") < 10)
+    val sq = Similarity.sq8Knn(queries, emb, "vec_id", "embedding",
+        k = 5, candidates = 100, dim = 64)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.exactL2Knn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@5 collapsed: $recall")
+  }
 }
