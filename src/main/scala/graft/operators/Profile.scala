@@ -145,6 +145,39 @@ object Profile {
     }
   }
 
+  /** Deterministic HyperLogLog register table over a string key column:
+    * md5-hash 60 bits → 8-bit register index + 52-bit rank field,
+    * rho = 53 − bit_length(field) (position of the leftmost 1-bit),
+    * register value = max rho. One narrow map + one 256-group two-phase
+    * agg — partial registers max-merge per partition, so the shuffle
+    * carries ≤ 256 rows per partition at ANY cardinality; that same
+    * max-merge distributivity (asserted in ProfileSketchSpec) is what
+    * lets per-executor sketches of a 100 TB stream combine driver-side.
+    * n_obs (observations per register) rides along for auditability.
+    * Estimation from the registers is [[hllEstimate]] — float math kept
+    * OUT of the gated register state. */
+  def hllRegisters(keyed: DataFrame, key: Column): DataFrame =
+    keyed
+      .select(conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("h"))
+      .select((col("h") % 256).cast("int").as("reg"),
+        expr("h div 256").as("wv"))
+      .select(col("reg"),
+        when(col("wv") > 0, lit(53) - length(conv(col("wv"), 10, 2)))
+          .otherwise(lit(53)).cast("int").as("rho"))
+      .groupBy("reg")
+      .agg(max("rho").as("maxrho"), count(lit(1)).as("n_obs"))
+
+  /** Standard HLL estimator (Flajolet et al. 2007) over a driver-collected
+    * register map — m = 256, alpha correction + small-range linear
+    * counting. Driver-side by design: the register table is 256 rows. */
+  def hllEstimate(registers: Map[Int, Int], m: Int = 256): Double = {
+    val s = (0 until m).map(j => math.pow(2.0, -registers.getOrElse(j, 0))).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val e = alpha * m * m / s
+    val v = (0 until m).count(j => !registers.contains(j))
+    if (e <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else e
+  }
+
   def fkViolations(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String): DataFrame = {
     val orphans = child

@@ -152,6 +152,37 @@ object ProfileOps {
         .orderBy(col("true_count").desc, col("token"))
     },
 
+    // ---- DETERMINISTIC HyperLogLog registers over the token stream:
+    //      the distinct-count sketch q96's approx_count_distinct uses
+    //      internally, rebuilt from public math on md5 so BOTH engines
+    //      derive identical registers — 60 hash bits split 8 (register
+    //      index) + 52 (rank field), rho = 53 − bit_length(w), register
+    //      = max rho. The gate pins the ENTIRE sketch state, not an
+    //      estimate: hash split, rank rule, and the max-merge (which is
+    //      what makes HLL distributive — partial registers from any
+    //      partitioning max-merge to the same state, so the shuffle
+    //      carries ≤ 256 rows per partition regardless of corpus size;
+    //      the same property lets 1000 executors sketch 100 TB and merge
+    //      driver-side). Estimate accuracy + mergeability are spec-gated
+    //      (ProfileSketchSpec) — the float alpha correction has no
+    //      cross-engine-exact form, the registers do. ----
+    Q("q199_hll_registers",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+        |r AS (SELECT CAST(h % 256 AS INTEGER) AS reg, h // 256 AS wv FROM h),
+        |x AS (SELECT reg,
+        |  CAST(CASE WHEN wv > 0 THEN 53 - length(bin(wv)) ELSE 53 END AS INTEGER) AS rho
+        |FROM r)
+        |SELECT reg, CAST(max(rho) AS INTEGER) AS maxrho, count(*) AS n_obs
+        |FROM x GROUP BY reg ORDER BY reg""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      Profile.hllRegisters(
+          Tables.t(s, d, "documents")
+            .select(explode(tokens(col("text"))).as("w")),
+          col("w"))
+        .orderBy("reg")
+    },
+
     // ---- Benford first-digit profile: leading-digit counts of a
     //      positive measure — the fraud/synthetic-data smell test (real
     //      multiplicative data skews toward low digits; uniform synthetic

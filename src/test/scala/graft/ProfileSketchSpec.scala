@@ -53,4 +53,42 @@ class ProfileSketchSpec extends SparkTestBase {
       .select("sketch_ok").collect().map(_.getBoolean(0))
     assert(verdicts.nonEmpty && verdicts.forall(identity))
   }
+
+  // ---- q199 HLL properties the register-state hash gate can't express ----
+
+  private def regMap(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+    df.select("reg", "maxrho").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("HLL estimate from the q199 registers lands within 10% at 10k cardinality") {
+    import spark.implicits._
+    val keys = spark.range(10000)
+      .select(concat(lit("key_"), col("id")).as("w"))
+    val regs = regMap(graft.operators.Profile.hllRegisters(keys, $"w"))
+    val est = graft.operators.Profile.hllEstimate(regs)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10,
+      s"HLL estimate off: $est vs 10000")
+  }
+
+  test("HLL registers are duplicate-invariant and max-merge distributively") {
+    import spark.implicits._
+    val keys = spark.range(5000)
+      .select(concat(lit("key_"), col("id")).as("w"), (col("id") % 4).as("g"))
+    val direct = regMap(graft.operators.Profile.hllRegisters(keys, $"w"))
+    // duplicate-invariance: the sketch state ignores multiplicity
+    val doubled = regMap(graft.operators.Profile.hllRegisters(
+      keys.union(keys), $"w"))
+    assert(doubled === direct)
+    // distributivity: per-group sketches max-merge to the direct sketch —
+    // the property that lets 1000 executors sketch independently and
+    // combine driver-side
+    val merged = (0 until 4)
+      .map(g => regMap(graft.operators.Profile.hllRegisters(
+        keys.filter($"g" === g), $"w")))
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet)
+          .map(k => k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+      }
+    assert(merged === direct)
+  }
 }
