@@ -1040,6 +1040,72 @@ object TextOps {
         .limit(50)
     },
 
+    // ---- bigram-LM LOG-likelihood filter (the CCNet shape: train an
+    //      n-gram LM on the corpus, perplexity-score every doc, keep the
+    //      fluent half) in cross-engine-exact integer math: per doc
+    //      bigram, ll = bit_length(floor(2^20 · P(r|l))) — an integer
+    //      log2 of the conditional probability at 1-bit resolution
+    //      (bit_length(floor(2^20·p)) = 21 + floor(log2 p)); the doc
+    //      score is the summed log-likelihood, per-bigram-averaged in
+    //      integer millis; kept = score ≥ the corpus integer MEAN (one
+    //      1-row agg cross-joined back — deliberately NOT a global
+    //      median, which would need a single-partition rank over every
+    //      doc; the mean is shuffle-free and replayable). Differs from
+    //      q175's coherence (linear-domain frequency ratio): the log
+    //      domain is what perplexity filters actually threshold, and the
+    //      summed-ll form weights rare continuations the way an LM does.
+    //      Freq tables are corpus-sized → shuffle_hash, never broadcast
+    //      (the q124 rule). ----
+    Q("q200_lm_loglik_filter",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)])) AS l,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)+1])) AS r
+        |  FROM t WHERE len(toks) >= 2),
+        |uf AS (SELECT w, count(*) AS uc FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |bf AS (SELECT l, r, count(*) AS bc FROM bg GROUP BY l, r),
+        |sc AS (SELECT g.doc_id, count(*) AS nbg,
+        |        sum(CASE WHEN (bf.bc * 1048576) // uf.uc > 0
+        |                 THEN length(bin((bf.bc * 1048576) // uf.uc)) ELSE 0 END) AS ll_sum
+        |      FROM bg g
+        |      JOIN bf ON g.l = bf.l AND g.r = bf.r
+        |      JOIN uf ON g.l = uf.w
+        |      GROUP BY g.doc_id),
+        |x AS (SELECT doc_id, CAST(nbg AS BIGINT) AS nbg, CAST(ll_sum AS BIGINT) AS ll_sum,
+        |        CAST((ll_sum * 1000) // nbg AS BIGINT) AS ll_milli FROM sc),
+        |m AS (SELECT CAST(sum(ll_milli) // count(*) AS BIGINT) AS mu FROM x)
+        |SELECT doc_id, nbg, ll_sum, ll_milli, ll_milli >= mu AS kept
+        |FROM x, m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val docs = Tables.t(s, d, "documents")
+      val bg = docs
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("pr"))
+        .select(col("doc_id"), col("pr.l").as("l"), col("pr.r").as("r"))
+      val uf = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("uc"))
+      val bf = bg.groupBy("l", "r").agg(count(lit(1)).as("bc"))
+      val ll = expr("(bc * 1048576L) div uc")
+      val x = bg.join(bf.hint("shuffle_hash"), Seq("l", "r"))
+        .join(uf.hint("shuffle_hash"), col("l") === col("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nbg"),
+          sum(when(ll > 0, length(conv(ll, 10, 2))).otherwise(0))
+            .cast("long").as("ll_sum"))
+        .select(col("doc_id"), col("nbg"), col("ll_sum"),
+          expr("(ll_sum * 1000) div nbg").as("ll_milli"))
+      val mu = x.agg(expr("sum(ll_milli) div count(*)").as("mu"))
+      x.crossJoin(broadcast(mu))
+        .select(col("doc_id"), col("nbg"), col("ll_sum"), col("ll_milli"),
+          (col("ll_milli") >= col("mu")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- Gopher-style composite quality filter as a funnel report:
     //      four rules (length, stopword presence, distinct-token
     //      repetition, mean word length) evaluated per doc, per-source
