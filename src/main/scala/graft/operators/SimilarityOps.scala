@@ -864,6 +864,103 @@ object SimilarityOps {
         .orderBy("qid", "rank")
     },
 
+    // ---- HARD-NEGATIVE mining — the contrastive-training-pair generator
+    //      (the data-prep step behind every embedding-model finetune):
+    //      per query, the top-3 highest-cosine DIFFERENT-label neighbors
+    //      (the negatives that actually move the loss) plus the top-1
+    //      same-label positive. ONE scored pass over the corpus with the
+    //      bounded query side broadcast; both role rankings come from a
+    //      single window partitioned by (qid, same-label) — no second
+    //      shuffle. At 100 TB the same body runs per IVF cell or LSH
+    //      bucket (candidates from the equi-join, exactly q81/q109's
+    //      skeleton) — the mining logic is unchanged. ----
+    Q("q201_hard_negative_mining",
+      s"""WITH $PreparedCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |        list_dot_product(q.qd, c.qd) / sqrt(q.nsq * c.nsq) AS cos,
+         |        lq.label = lc.label AS same
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |      JOIN lab lq ON lq.vec_id = q.vec_id
+         |      JOIN lab lc ON lc.vec_id = c.vec_id
+         |      WHERE q.vec_id < 10),
+         |r AS (SELECT qid, nid, cos, same,
+         |        row_number() OVER (PARTITION BY qid, same ORDER BY cos DESC, nid) AS rank
+         |      FROM s)
+         |SELECT qid, CASE WHEN same THEN 'pos' ELSE 'hard_neg' END AS role,
+         |  nid, cos, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE (same AND rank <= 1) OR (NOT same AND rank <= 3)
+         |ORDER BY qid, role, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{cosine, dot}
+      val emb = Tables.t(s, d, "embeddings")
+      val p = Similarity.prepared(emb, "vec_id", "embedding")
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val qp = p.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("nsq").as("qnsq"), col("label").as("qlabel"))
+      val w = Window.partitionBy("qid", "same")
+        .orderBy(col("cos").desc, col("nid"))
+      p.join(broadcast(qp), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(dot(col("qq"), col("q")), col("qnsq"), col("nsq")).as("cos"),
+          (col("qlabel") === col("label")).as("same"))
+        .withColumn("rank", row_number().over(w))
+        .filter((col("same") && col("rank") <= 1) ||
+          (!col("same") && col("rank") <= 3))
+        .select(col("qid"),
+          when(col("same"), lit("pos")).otherwise(lit("hard_neg")).as("role"),
+          col("nid"), col("cos"), col("rank"))
+        .orderBy("qid", "role", "rank")
+    },
+
+    // ---- k-NN LABEL evaluation — the embedding-quality probe a pipeline
+    //      runs before trusting vectors for dedup/retrieval: predict each
+    //      sampled query's label by 5-NN majority vote (ties toward the
+    //      smaller label), emit per-query verdicts. The vote is integer
+    //      counting over the k·|sample| neighbor frame — the corpus pays
+    //      ONE scored pass (bounded sample broadcast), every later stage
+    //      is sample-sized. The oracle replays neighbor ranking, the vote
+    //      histogram and the deterministic tie-break. ----
+    Q("q202_knn_label_eval",
+      s"""WITH $PreparedCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |kn AS (SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.qd, c.qd) / sqrt(q.nsq * c.nsq) DESC, c.vec_id) AS rank
+         |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 50) t WHERE rank <= 5),
+         |votes AS (SELECT kn.qid, lab.label, count(*) AS v
+         |          FROM kn JOIN lab ON lab.vec_id = kn.nid GROUP BY kn.qid, lab.label),
+         |pick AS (SELECT qid, label AS pred_label, CAST(v AS BIGINT) AS votes,
+         |           row_number() OVER (PARTITION BY qid ORDER BY v DESC, label) AS pr
+         |         FROM votes)
+         |SELECT p.qid, lq.label AS true_label, p.pred_label, p.votes,
+         |  lq.label = p.pred_label AS correct
+         |FROM pick p JOIN lab lq ON lq.vec_id = p.qid
+         |WHERE p.pr = 1 ORDER BY p.qid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.t(s, d, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val kn = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 50), emb,
+          "vec_id", "embedding", 5)
+        .select("qid", "nid")
+      val wV = Window.partitionBy("qid")
+        .orderBy(col("v").desc, col("label"))
+      kn.join(lab.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+        .groupBy("qid", "label").agg(count(lit(1)).as("v"))
+        .withColumn("pr", row_number().over(wV))
+        .filter(col("pr") === 1)
+        .select(col("qid"), col("label").as("pred_label"),
+          col("v").as("votes"))
+        .join(lab.withColumnRenamed("vec_id", "qid")
+          .withColumnRenamed("label", "true_label"), Seq("qid"))
+        .select(col("qid"), col("true_label"), col("pred_label"),
+          col("votes"), (col("true_label") === col("pred_label")).as("correct"))
+        .orderBy("qid")
+    },
+
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
     //      trained coarse quantizer routes each query to its 2 nearest
     //      of 8 Lloyd-trained cells, q179's PQ codes score the probed
