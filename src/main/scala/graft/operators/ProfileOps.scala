@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 /** Oracle-checked profiling queries. */
 object ProfileOps {
 
+  /** DuckDB replica of [[Profile.hllRegisters]] over the documents token
+    * stream — ONE definition shared by the q199 batch gate and the q203
+    * streaming gate (WindowingOps), the shingleCteN single-owner rule. */
+  private[operators] val HllOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+      |r AS (SELECT CAST(h % 256 AS INTEGER) AS reg, h // 256 AS wv FROM h),
+      |x AS (SELECT reg,
+      |  CAST(CASE WHEN wv > 0 THEN 53 - length(bin(wv)) ELSE 53 END AS INTEGER) AS rho
+      |FROM r)
+      |SELECT reg, CAST(max(rho) AS INTEGER) AS maxrho, count(*) AS n_obs
+      |FROM x GROUP BY reg ORDER BY reg""".stripMargin
+
   private val OrderCols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
 
   val defs: Seq[Q] = Seq(
@@ -166,15 +179,7 @@ object ProfileOps {
     //      driver-side). Estimate accuracy + mergeability are spec-gated
     //      (ProfileSketchSpec) — the float alpha correction has no
     //      cross-engine-exact form, the registers do. ----
-    Q("q199_hll_registers",
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |h AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
-        |r AS (SELECT CAST(h % 256 AS INTEGER) AS reg, h // 256 AS wv FROM h),
-        |x AS (SELECT reg,
-        |  CAST(CASE WHEN wv > 0 THEN 53 - length(bin(wv)) ELSE 53 END AS INTEGER) AS rho
-        |FROM r)
-        |SELECT reg, CAST(max(rho) AS INTEGER) AS maxrho, count(*) AS n_obs
-        |FROM x GROUP BY reg ORDER BY reg""".stripMargin) { (s, d) =>
+    Q("q199_hll_registers", ProfileOps.HllOracleSql) { (s, d) =>
       import graft.functions.TextFunctions.tokens
       Profile.hllRegisters(
           Tables.t(s, d, "documents")

@@ -170,6 +170,27 @@ object WindowingOps {
       s.table(name).orderBy("purchase_id", "click_id")
     },
 
+    // ---- STREAMING HyperLogLog: the q199 register sketch as live stream
+    //      state — tokens explode statelessly per micro-batch, the
+    //      256-register groupBy holds max(rho)/count in complete mode, so
+    //      the final table must equal the batch sketch (gated by the SAME
+    //      oracle as q199 — the q82/q193 batch≡stream precedent). This is
+    //      the distinct-count shape an ingest front door actually runs:
+    //      state is O(256) FOREVER regardless of stream length — the
+    //      max-merge distributivity ProfileSketchSpec proves is exactly
+    //      why the incremental update needs no per-key memory. ----
+    Q("q203_stream_hll", ProfileOps.HllOracleSql) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val stream = EventStreams.readParquetStream(s, s"$d/documents.parquet")
+        .select(explode(tokens(col("text"))).as("w"))
+      val regs = Profile.hllRegisters(stream, col("w"))
+      val name = freshSink(s, "q203_stream_sink")
+      val query = regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).orderBy("reg")
+    },
+
     // ---- late-arrival audit: how out-of-order is the stream, per key?
     //      Arrival order is event_id; an event is LATE when it sits more
     //      than 10 minutes behind the running event-time high-water mark
