@@ -246,6 +246,54 @@ object Dedup {
       .select("id_a", "id_b", "inter", "jac")
   }
 
+  /** MinHash fidelity audit — the q188-recall-canary analog for the dedup
+    * family: for every LSH candidate pair, the signature-estimated
+    * Jaccard (matching minhash components / numHashes, in exact ppm)
+    * next to the TRUE shingle Jaccard, with the absolute error. This is
+    * the calibration a production dedup monitors: if estimate and truth
+    * drift apart (bad hash family, wrong band geometry for the corpus's
+    * similarity profile), thresholds silently mis-cut. Cost shape: the
+    * candidate list comes from the banded equi-join (bucket occupancy,
+    * never n²); signatures and shingle intersections join candidates BY
+    * DOC ID — the corpus is never self-joined. All integer (ppm via
+    * truncating div), so both engines agree bit-for-bit. */
+  def minhashFidelity(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sig = signaturesFromShingles(sh, idCol, numHashes)
+    val cand = candidatesFromBands(lshBands(sig, idCol, numHashes, rowsPerBand),
+      idCol)
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val matchSig = (0 until numHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val shA = sh.select(col(idCol).as("id_a"), col("s"))
+    val shB = sh.select(col(idCol).as("id_b"), col("s"))
+    val inter = cand.select("id_a", "id_b")
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    // per-doc shingle counts from the SAME sh scan (always present, so a
+    // zero-intersection candidate still gets jac_ppm = 0, not null)
+    val nDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
+    val ppmPerMatch = 1000000L / numHashes
+    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_bands"),
+        matchSig.as("match_sig"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(nDoc.select(col(idCol).as("id_a"), col("ns").as("na")), Seq("id_a"))
+      .join(nDoc.select(col(idCol).as("id_b"), col("ns").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_bands"), col("match_sig"),
+        (col("match_sig") * lit(ppmPerMatch)).as("est_ppm"),
+        expr("coalesce(inter, 0L) * 1000000L div (na + nb - coalesce(inter, 0L))")
+          .as("jac_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("jac_ppm")))
+  }
+
   /** End-to-end near-dup removal, LSH-routed (the 100 TB shape): shingles →
     * MinHash signatures → LSH band-bucket candidates → exact Jaccard on the
     * CANDIDATE pairs only → transitive clusters (connected components) →

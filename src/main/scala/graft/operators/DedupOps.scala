@@ -311,6 +311,54 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // ---- MinHash FIDELITY canary (the q188 analog for the dedup family):
+    //      per LSH candidate pair, the signature-estimated Jaccard
+    //      (matching components / 16, exact ppm) next to the TRUE shingle
+    //      Jaccard and the absolute error — the calibration a production
+    //      dedup watches so a bad hash family or wrong band geometry
+    //      can't silently mis-cut thresholds. Candidates from the banded
+    //      equi-join; signatures and intersections join BY DOC ID; all
+    //      integer ppm (truncating div) — the oracle replays the hash
+    //      family, banding, component matching and the exact overlap. ----
+    Q("q204_minhash_fidelity", {
+      val matchSql = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.id_a
+         |  JOIN sh sb ON sb.doc_id = cand.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT c.id_a, c.id_b, c.shared_bands, $matchSql AS match_sig
+         |  FROM cand c JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b)
+         |SELECT m.id_a, m.id_b, CAST(m.shared_bands AS BIGINT) AS shared_bands,
+         |  CAST(m.match_sig AS BIGINT) AS match_sig,
+         |  CAST(m.match_sig * ${1000000 / NumHashes} AS BIGINT) AS est_ppm,
+         |  CAST(coalesce(iv.inter, 0) * 1000000 // (na.ns + nb.ns - coalesce(iv.inter, 0)) AS BIGINT) AS jac_ppm,
+         |  CAST(abs(m.match_sig * ${1000000 / NumHashes}
+         |    - coalesce(iv.inter, 0) * 1000000 // (na.ns + nb.ns - coalesce(iv.inter, 0))) AS BIGINT) AS err_ppm
+         |FROM m LEFT JOIN iv ON iv.id_a = m.id_a AND iv.id_b = m.id_b
+         |JOIN n na ON na.doc_id = m.id_a JOIN n nb ON nb.doc_id = m.id_b
+         |ORDER BY m.id_a, m.id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.minhashFidelity(Tables.t(s, d, "documents"), "doc_id", "text",
+          3, NumHashes, RowsPerBand)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- exact substring dedup (Lee et al. 2022 shape): 40-char windows
     //      at stride 10, md5'd; a window shared by >= 2 docs is duplicated
     //      text. Per-doc duplicated-window counts + ratio. All md5/integer
