@@ -606,6 +606,59 @@ class PlanSpec extends SparkTestBase {
       .r.findFirstIn(p).isDefined, p)
   }
 
+  test("q198: SQ8 encode is narrow (no Exchange before the code-distance " +
+    "join); bounded sides broadcast at both stages; top-100 cut is map-side") {
+    val p = planOf(q("q198_sq8_knn")).split("== Initial Plan ==").head
+    // stage 1: encoded queries broadcast over the corpus code stream —
+    // the corpus side reaches the code-distance join straight from its
+    // scan (encode is a literal-bound projection, never a shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    val corpusSide = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .split("BroadcastExchange").head
+    assert(!corpusSide.contains("Exchange hashpartitioning"), p)
+    // the candidate cut runs BEFORE the qid shuffle
+    assert("WindowGroupLimit \\[qid#\\d+L\\], \\[adist#\\d+L[\\s\\S]{0,120}100, Partial"
+      .r.findFirstIn(p).isDefined, p)
+    // stage 2: bounded candidates are the build side
+    assert("BroadcastHashJoin \\[nid#\\d+L\\], \\[nid#\\d+L\\], Inner, BuildLeft"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q200: LM freq tables hash-join (never broadcast); the 1-row mean " +
+    "is the only nested-loop side") {
+    val p = planOf(q("q200_lm_loglik_filter")).split("== Initial Plan ==").head
+    // bigram- and unigram-frequency tables grow with the corpus — q175's
+    // broadcast-would-OOM rule
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the threshold join is the broadcast 1-row mean — and nothing else
+    // nested-loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q201: both role rankings (pos + hard-neg) share ONE qid window " +
+    "partitioning; queries broadcast over the corpus") {
+    val p = planOf(q("q201_hard_negative_mining")).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    // a second hashpartitioning on qid would mean the two roles ranked in
+    // separate shuffles
+    assert("Exchange hashpartitioning\\(qid#".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q204: fidelity candidates come from the band equi-join — no join " +
+    "keyed by the raw shingle alone, signatures join by doc id") {
+    val p = planOf(q("q204_minhash_fidelity")).split("== Initial Plan ==").head
+    // band-bucket equi-join present
+    assert("ShuffledHashJoin \\[band_idx#|SortMergeJoin \\[band_idx#|BroadcastHashJoin \\[band_idx#"
+      .r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the shingle-intersection join is keyed (id, s) — never s alone,
+    // which would be the quadratic stopword blow-up
+    assert(!"Exchange hashpartitioning\\(s#\\d+, 32\\)".r.findFirstIn(p).isDefined, p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
