@@ -148,6 +148,52 @@ final class IvfAdcIndex private (
     new IvfAdcIndex(flat, () => Graph.release(snap), cb, cents, union,
       idCol, vecCol, sub)
   }
+
+  /** Inverted-list occupancy profile — the index-introspection endpoint
+    * a serving deployment monitors (FAISS's `invlists` stats): one row
+    * per cell with its code count, plus whole-index summary columns
+    * (total, max, imbalance in ppm of the uniform share) attached via a
+    * window over the ≤ nlist-row aggregate — bounded by definition, so
+    * the global window is free. Reads the MATERIALIZED codes frame (one
+    * ≤ nlist-group agg, zero encode/training work); imbalance_ppm =
+    * max·nlist·10⁶ div total is the number that says when per-list skew
+    * defeats the nprobe·(n/nlist) cost model and a retrain or
+    * [[compact]] is due. */
+  def stats: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nlist = cents.length
+    val w = Window.partitionBy()
+    codes.groupBy(col("cell")).agg(count(lit(1)).as("n_codes"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_codes"),
+        sum(col("n_codes")).over(w).as("total_codes"),
+        max(col("n_codes")).over(w).as("max_codes"))
+      .withColumn("imbalance_ppm",
+        expr(s"max_codes * ${nlist}L * 1000000L div total_codes"))
+  }
+
+  /** Rewrite the materialized index into freshly-balanced storage — the
+    * LSM-compaction step that completes the append lifecycle
+    * ([[append]] is the memtable flush, this is the merge): after N
+    * nightly appends the inverted lists are spread across N+1 block
+    * sets, one per union leg. Compaction shuffles the codes ONCE by
+    * cell id so each inverted list is colocated in one partition's
+    * blocks (the cell equi-join then touches one block set per probed
+    * cell instead of N+1), persists the result as independent storage,
+    * and returns a NEW handle; this handle and its storage are
+    * untouched — release them independently, in either order. Pure
+    * storage reorganization: same rows, same frozen quantizers, so
+    * serving is identical by construction — q205 gates compacted
+    * serving against the SAME oracle as q187 (append ≡
+    * train-on-base-encode-everything), and AnnIndexSpec pins
+    * row-for-row equality plus storage independence. */
+  def compact(): IvfAdcIndex = {
+    val re = codes.repartition(col("cell")).persist()
+    re.count() // materialize before the caller releases the source handle
+    val flat = spark.createDataFrame(re.rdd, re.schema)
+    new IvfAdcIndex(flat, () => { re.unpersist(); () }, cb, cents, corpus,
+      idCol, vecCol, sub)
+  }
 }
 
 object IvfAdcIndex {

@@ -111,6 +111,34 @@ class AnnIndexSpec extends SparkTestBase {
     baseIdx.release()
   }
 
+  test("compact: serving is row-for-row identical, storage is independent " +
+    "of the fragmented source, release frees the compacted blocks") {
+    val base = emb.filter(col("vec_id") < 400)
+    val baseIdx = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val appended = baseIdx.append(emb.filter(col("vec_id") >= 400))
+    baseIdx.release()
+    val appendedRows = rows(appended.query(queries, k = 5, candidates = 50,
+      nprobe = 2))
+    val compacted = appended.compact()
+    // pure storage reorganization: same rows served
+    assert(rows(compacted.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === appendedRows)
+    assert(compacted.codes.count() === emb.count())
+    // storage independence: releasing the fragmented source must not
+    // invalidate the compacted handle (its blocks were materialized by
+    // compact() itself)
+    appended.release()
+    assert(rows(compacted.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === appendedRows)
+    // release accounting: the compacted blocks disappear from the
+    // persistent-RDD registry
+    val held = spark.sparkContext.getPersistentRDDs.keySet
+    compacted.release()
+    val freed = held -- spark.sparkContext.getPersistentRDDs.keySet
+    assert(freed.nonEmpty, "compacted.release() freed no blocks")
+  }
+
   test("append chains stay serviceable at nightly-delta depth (60 appends)") {
     // a year of nightly deltas is ~365 sequential appends — the same
     // depth regime where the BPE trainer's persist chain overflowed the
