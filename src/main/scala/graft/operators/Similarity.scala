@@ -604,6 +604,41 @@ object Similarity {
     pqRerank(cand, p, idCol, k)
   }
 
+  /** Two-stage kNN through the vector PREFIX — the Matryoshka (MRL)
+    * serving pattern: embeddings trained so any prefix is itself a valid
+    * lower-dim embedding let the candidate stage score only the first
+    * `prefixDim` components (prefixDim/dim of the bytes and multiplies
+    * per pair — and at scale a prefix-only columnar index resident in
+    * prefixDim/dim of the memory), with the exact rerank on the full
+    * dims for the ≤ candidates survivors. The third width-reduction
+    * route next to random projection ([[projectedKnn]] — needs no
+    * training but scrambles axes) and SQ8 ([[sq8Knn]] — keeps all dims
+    * at lower precision): slicing is free, axis-aligned, and composable
+    * with both. All-integer; the oracle replays the slice, the prefix-L2
+    * ranking with its tie-break, the cut and the rerank. */
+  def matryoshkaKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int, prefixDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val p = prepared(corpus, idCol, vecCol)
+    val pre = p.select(col(idCol).as("nid"),
+        slice(col("q"), 1, prefixDim).as("pq"))
+      .withColumn("pnsq", normSq(col("pq")))
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"),
+        slice(col("q"), 1, prefixDim).as("qpq"))
+      .withColumn("qpnsq", normSq(col("qpq")))
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = pre.join(broadcast(qp), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"),
+        (col("qpnsq") + col("pnsq")
+          - lit(2L) * dot(col("qpq"), col("pq"))).cast("long").as("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+      .select("qid", "nid", "qq", "qnsq")
+    pqRerank(cand, p, idCol, k)
+  }
+
   /** Codebook seeded from the ksub smallest-id corpus vectors, relabeled
     * densely ([[seedCentroids]]' rule, so an offset or non-contiguous id
     * space still seeds correctly — on the 0-contiguous fixtures this

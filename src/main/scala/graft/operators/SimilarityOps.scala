@@ -961,6 +961,67 @@ object SimilarityOps {
         .orderBy("qid")
     },
 
+    // ---- MATRYOSHKA (MRL) two-stage kNN: candidates ranked on the
+    //      FIRST 16 of 64 dims — the prefix-is-a-valid-embedding serving
+    //      pattern modern embedding APIs expose — then exact rerank on
+    //      the full dims. The third width-reduction route next to random
+    //      projection (q139: no training, scrambled axes) and SQ8 (q198:
+    //      all dims, lower precision): slicing is free and axis-aligned,
+    //      and at scale the prefix-only index is resident in 1/4 the
+    //      memory. Oracle replays the slice, prefix-L2 ranking with its
+    //      tie-break, the cut and the rerank. ----
+    Q("q206_matryoshka_rerank",
+      s"""WITH $PreparedCte,
+         |pn AS (SELECT vec_id, qd[1:16] AS pqd,
+         |         list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM n),
+         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT) AS adist
+         |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10),
+         |cand AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+         |  WHERE arank <= 100),
+         |scored AS (SELECT cc.qid, cc.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+         |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.matryoshkaKnn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 100, prefixDim = 16)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- index INTROSPECTION: per-cell occupancy of the resident
+    //      IVF-ADC index plus whole-index summary (total, max,
+    //      imbalance in ppm of the uniform share) — the FAISS invlists
+    //      stats a serving deployment monitors to know when per-list
+    //      skew defeats the nprobe·(n/nlist) cost model and a retrain
+    //      or compaction is due. Runs against the MEMOIZED q185 handle
+    //      (one ≤ nlist-group agg over the materialized codes — zero
+    //      training or encode); the oracle replays the coarse-quantizer
+    //      training and cell assignment, so the gate pins that the
+    //      SERVED index's list structure is exactly the trained
+    //      assignment. ----
+    Q("q207_ann_index_stats", {
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |g AS (SELECT CAST(cid AS BIGINT) AS cell, count(*) AS n FROM asg GROUP BY cid)
+         |SELECT cell, CAST(n AS BIGINT) AS n_codes,
+         |  CAST(sum(n) OVER () AS BIGINT) AS total_codes,
+         |  CAST(max(n) OVER () AS BIGINT) AS max_codes,
+         |  CAST((max(n) OVER ()) * 8 * 1000000 // (sum(n) OVER ()) AS BIGINT) AS imbalance_ppm
+         |FROM g ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      idx.stats.orderBy("cell")
+    },
+
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
     //      trained coarse quantizer routes each query to its 2 nearest
     //      of 8 Lloyd-trained cells, q179's PQ codes score the probed
@@ -1027,6 +1088,36 @@ object SimilarityOps {
         dim = Dim, pqTrainRounds = 2)
       val idx = baseIdx.append(emb.filter(col("vec_id") >= AppendBase))
       baseIdx.release()
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 50, nprobe = 2)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- index COMPACTION after append — the LSM merge completing the
+    //      q187 lifecycle: the appended index's inverted lists live in
+    //      one block set per union leg; compact() shuffles the codes
+    //      ONCE by cell so each list is colocated, persists independent
+    //      storage, and the fragmented source handle is released before
+    //      serving. Gated against the SAME oracle as q187 — compaction
+    //      is pure storage reorganization, so the hash proves
+    //      compacted ≡ appended ≡ train-on-base-encode-everything.
+    //      AnnIndexSpec pins row-for-row equality, storage
+    //      independence (source released, compacted still serves) and
+    //      release accounting. ----
+    Q("q205_ann_index_compact", ivfAdcOracle(
+        trainLloyd = s"\n  WHERE n.vec_id < $AppendBase",
+        trainPq = s"\n    AND s.vec_id < $AppendBase")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val baseIdx = IvfAdcIndex.build(emb.filter(col("vec_id") < AppendBase),
+        "vec_id", "embedding", nlist = 8, trainRounds = 2, m = 16, ksub = 8,
+        dim = Dim, pqTrainRounds = 2)
+      val appended = baseIdx.append(emb.filter(col("vec_id") >= AppendBase))
+      baseIdx.release()
+      val idx = appended.compact()
+      appended.release() // compacted storage is independent by contract
       val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 50, nprobe = 2)
         .orderBy("qid", "rank")
