@@ -440,6 +440,40 @@ object Sampling {
           col("cap").cast("long").as("cap"),
           col("b").cast("long").as("budget"))
         .orderBy("source")
+    },
+
+    // ---- per-DOMAIN cap (the C4/RefinedWeb domain-balancing rule): no
+    //      source may contribute more than cap docs, keeping its
+    //      highest-quality ones — rank within source by length (quality
+    //      proxy) with a doc_id tie-break, keep rank ≤ cap. The cap is
+    //      occupancy-scaled (GREATEST(8, n_s div 4) — the q83/q192
+    //      adaptivity rule), so the gate exercises DIFFERENT caps across
+    //      SFs instead of pinning a fixture-tuned constant. Differs from
+    //      q196 (token budget ACROSS sources, one global water line):
+    //      this is row-level winnowing WITHIN each source. Cost: one
+    //      per-source window — the corpus shuffles once by source; at
+    //      100 TB a skewed source salts exactly like q177. ----
+    Q("q208_domain_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk,
+        |  CAST(GREATEST(8, n // 4) AS BIGINT) AS cap,
+        |  rk <= GREATEST(8, n // 4) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wS = Window.partitionBy("source")
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(wS.orderBy(col("n_chars").desc, col("doc_id")))
+            .as("rk"),
+          count(lit(1)).over(wS).as("n"))
+        .withColumn("cap", greatest(lit(8L), expr("n div 4")))
+        .select(col("doc_id"), col("source"), col("rk"), col("cap"),
+          (col("rk") <= col("cap")).as("kept"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -129,6 +129,37 @@ object StatsOps {
             .as("mean_per_key"),
           (col("max_per_key").cast("double") * col("n_keys").cast("double") /
             col("n_rows").cast("double")).as("skew_factor"))
+    },
+
+    // ---- DATASET CARD: the one-row corpus summary a pipeline publishes
+    //      with every release (the HF dataset-card stats block): doc /
+    //      source / language counts, token volume, exact-dedup uniqueness
+    //      (q38's normalized fingerprint) and the duplicate rate in
+    //      integer ppm. ONE logical pass over documents (the multi-
+    //      distinct Aggregate plans as Spark's expand — 3 streams of one
+    //      scan, no self-joins); every field integer-exact. ----
+    Q("q209_dataset_card",
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique_norm,
+        |  CAST((count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))))
+        |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.{fingerprint, normalized}
+      Tables.t(s, d, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          countDistinct(fingerprint(normalized(col("text"))))
+            .as("n_unique_norm"))
+        .withColumn("dup_ppm",
+          expr("(n_docs - n_unique_norm) * 1000000L div n_docs"))
     }
   )
 }
