@@ -639,6 +639,51 @@ object Similarity {
     pqRerank(cand, p, idCol, k)
   }
 
+  /** χ² distribution-drift monitor over base-derived norm deciles — the
+    * population-stability check an ingest pipeline runs per batch (see
+    * q210's gate comment for the full design rationale). Thresholds from
+    * the exact rank formula over the BASE reference (bounded by
+    * construction), shipped as one broadcast 9-element array; bucketing
+    * is a narrow map on both sides; the statistic is textbook χ² in
+    * truncating integer ppm, judged against the df=9 α=0.05 critical
+    * value. Output: (bucket, base_n, delta_n, chi2_term_ppm,
+    * chi2_total_ppm, drifted). */
+  def normDriftChi2(base0: DataFrame, delta0: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = base0.sparkSession
+    def norms(df: DataFrame) = prepared(df, idCol, vecCol)
+      .select(col(idCol), col("nsq").cast("long").as("v"))
+    val base = norms(base0)
+    val delta = norms(delta0)
+    val wOrd = Window.orderBy(col("v"), col(idCol))
+    val wAll = Window.partitionBy()
+    val rb = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nb", count(lit(1)).over(wAll))
+    val ps = spark.range(1, 10).select(col("id").as("p"))
+    val thr = rb.join(broadcast(ps),
+        col("rn") === expr("(p * nb + 9) div 10"))
+      .agg(sort_array(collect_list("v")).as("ts"))
+    def bucketed(side: DataFrame) =
+      side.crossJoin(broadcast(thr))
+        .select(size(filter(col("ts"), t => t <= col("v")))
+          .cast("int").as("b"))
+    val cbf = bucketed(base).groupBy("b").agg(count(lit(1)).as("nb_b"))
+    val cdf = bucketed(delta).groupBy("b").agg(count(lit(1)).as("nd_b"))
+    val tot = base.agg(count(lit(1)).as("nbt"))
+      .crossJoin(delta.agg(count(lit(1)).as("ndt")))
+    cbf.join(cdf, Seq("b"), "left").na.fill(0L, Seq("nd_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("chi2_term_ppm",
+        expr("""(nd_b*nbt - nb_b*ndt)*(nd_b*nbt - nb_b*ndt) * 1000000L
+               |  div (nb_b * ndt * nbt)""".stripMargin))
+      .select(col("b").as("bucket"), col("nb_b").as("base_n"),
+        col("nd_b").as("delta_n"), col("chi2_term_ppm"),
+        sum("chi2_term_ppm").over(wAll).as("chi2_total_ppm"),
+        (sum("chi2_term_ppm").over(wAll) >= 16919000L).as("drifted"))
+  }
+
   /** Codebook seeded from the ksub smallest-id corpus vectors, relabeled
     * densely ([[seedCentroids]]' rule, so an offset or non-contiguous id
     * space still seeds correctly — on the 0-contiguous fixtures this

@@ -1022,6 +1022,50 @@ object SimilarityOps {
       idx.stats.orderBy("cell")
     },
 
+    // ---- embedding DISTRIBUTION-drift monitor (χ² over base-derived
+    //      norm deciles, exact integer ppm): the population-stability
+    //      check ML-ops runs on every ingest batch, complementing q190's
+    //      recall trigger — recall says the index DEGRADED, this says
+    //      the DATA moved, before any query suffers. Decile thresholds
+    //      come from the exact rank formula over the BASE reference
+    //      (a drift monitor's reference is a bounded sample by
+    //      construction — the q115 window rule), ship as one broadcast
+    //      9-element array; bucketing is a narrow map on both sides;
+    //      χ²_ppm = Σ (o·nb − e·nd)²·10⁶ div (e·nd·nb) is the textbook
+    //      statistic in truncating integer math, judged against the
+    //      df=9, α=0.05 critical value (16.919). The oracle replays
+    //      thresholds, bucketing, every term and the verdict. ----
+    Q("q210_embedding_drift_chi2",
+      s"""WITH $PreparedCte,
+         |base AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id < 400),
+         |delta AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id >= 400),
+         |rb AS (SELECT v, row_number() OVER (ORDER BY v, vec_id) AS rn, count(*) OVER () AS nb FROM base),
+         |ps AS (SELECT unnest(range(1, 10)) AS p),
+         |tv AS (SELECT rb.v FROM rb JOIN ps ON rb.rn = (ps.p * rb.nb + 9) // 10),
+         |thr AS (SELECT list(v ORDER BY v) AS ts FROM tv),
+         |bb AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM base, thr),
+         |bd AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM delta, thr),
+         |cb AS (SELECT b, count(*) AS nb_b FROM bb GROUP BY b),
+         |cd AS (SELECT b, count(*) AS nd_b FROM bd GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM base) AS nbt, (SELECT count(*) FROM delta) AS ndt),
+         |terms AS (
+         |  SELECT cb.b, cb.nb_b, coalesce(cd.nd_b, 0) AS nd_b,
+         |    (coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt)*(coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt) * 1000000
+         |      // (cb.nb_b * ndt * nbt) AS chi2_term_ppm
+         |  FROM cb LEFT JOIN cd ON cd.b = cb.b, tot)
+         |SELECT b AS bucket, CAST(nb_b AS BIGINT) AS base_n, CAST(nd_b AS BIGINT) AS delta_n,
+         |  CAST(chi2_term_ppm AS BIGINT) AS chi2_term_ppm,
+         |  CAST(sum(chi2_term_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
+         |  sum(chi2_term_ppm) OVER () >= 16919000 AS drifted
+         |FROM terms ORDER BY bucket""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.normDriftChi2(
+          emb.filter(col("vec_id") < 400),
+          emb.filter(col("vec_id") >= 400),
+          "vec_id", "embedding")
+        .orderBy("bucket")
+    },
+
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
     //      trained coarse quantizer routes each query to its 2 nearest
     //      of 8 Lloyd-trained cells, q179's PQ codes score the probed

@@ -476,4 +476,24 @@ class VectorSpec extends SparkTestBase {
     val recall = (mat & exact).size.toDouble / exact.size
     assert(recall >= 0.3, s"matryoshka recall@5 collapsed: $recall")
   }
+
+  test("norm-drift χ²: in-distribution delta stays quiet, planted scale " +
+    "drift trips the verdict") {
+    // the q210 oracle gates determinism; this gates the DECISION —
+    // a monitor that never fires (or always fires) would still hash
+    val base = emb.filter(col("vec_id") < 400)
+    val inDist = emb.filter(col("vec_id") >= 400)
+    val quiet = Similarity.normDriftChi2(base, inDist, "vec_id", "embedding")
+      .select("drifted", "chi2_total_ppm").head()
+    assert(!quiet.getBoolean(0),
+      s"in-distribution delta flagged drifted (chi2=${quiet.getLong(1)} ppm)")
+    // planted drift: scale every component 1.5x — norms shift one-sided,
+    // the decile histogram collapses into the top bucket
+    val drifted = inDist.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.5f)))
+    val loud = Similarity.normDriftChi2(base, drifted, "vec_id", "embedding")
+      .select("drifted", "chi2_total_ppm").head()
+    assert(loud.getBoolean(0),
+      s"planted 1.5x scale drift NOT flagged (chi2=${loud.getLong(1)} ppm)")
+  }
 }
