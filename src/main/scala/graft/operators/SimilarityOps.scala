@@ -10,6 +10,31 @@ object SimilarityOps {
   private val Dim = 64
   private val Planes = 12
 
+  /** DuckDB replica of [[Similarity.scalarDriftChi2]] downstream of two
+    * CTEs `base`/`delta` exposing (`idCol`, v) — ONE definition shared by
+    * the q210 embedding-norm gate and the q211 doc-length twin (TextOps),
+    * the shingleCteN single-owner rule. Ends in the final SELECT. */
+  private[operators] def driftChi2TailSql(idCol: String): String =
+    s"""rb AS (SELECT v, row_number() OVER (ORDER BY v, $idCol) AS rn, count(*) OVER () AS nb FROM base),
+       |ps AS (SELECT unnest(range(1, 10)) AS p),
+       |tv AS (SELECT rb.v FROM rb JOIN ps ON rb.rn = (ps.p * rb.nb + 9) // 10),
+       |thr AS (SELECT list(v ORDER BY v) AS ts FROM tv),
+       |bb AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM base, thr),
+       |bd AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM delta, thr),
+       |cb AS (SELECT b, count(*) AS nb_b FROM bb GROUP BY b),
+       |cd AS (SELECT b, count(*) AS nd_b FROM bd GROUP BY b),
+       |tot AS (SELECT (SELECT count(*) FROM base) AS nbt, (SELECT count(*) FROM delta) AS ndt),
+       |terms AS (
+       |  SELECT cb.b, cb.nb_b, coalesce(cd.nd_b, 0) AS nd_b,
+       |    (coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt)*(coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt) * 1000000
+       |      // (cb.nb_b * ndt * nbt) AS chi2_term_ppm
+       |  FROM cb LEFT JOIN cd ON cd.b = cb.b, tot)
+       |SELECT b AS bucket, CAST(nb_b AS BIGINT) AS base_n, CAST(nd_b AS BIGINT) AS delta_n,
+       |  CAST(chi2_term_ppm AS BIGINT) AS chi2_term_ppm,
+       |  CAST(sum(chi2_term_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
+       |  sum(chi2_term_ppm) OVER () >= 16919000 AS drifted
+       |FROM terms ORDER BY bucket""".stripMargin
+
   // data dir -> the ONE index-artifact dir this JVM round-trips through
   // (each q189 invocation overwrite-saves the same dir — the save is the
   // operator under test — but repeated bench/verify passes must not
@@ -1039,25 +1064,7 @@ object SimilarityOps {
       s"""WITH $PreparedCte,
          |base AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id < 400),
          |delta AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id >= 400),
-         |rb AS (SELECT v, row_number() OVER (ORDER BY v, vec_id) AS rn, count(*) OVER () AS nb FROM base),
-         |ps AS (SELECT unnest(range(1, 10)) AS p),
-         |tv AS (SELECT rb.v FROM rb JOIN ps ON rb.rn = (ps.p * rb.nb + 9) // 10),
-         |thr AS (SELECT list(v ORDER BY v) AS ts FROM tv),
-         |bb AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM base, thr),
-         |bd AS (SELECT CAST(len(list_filter(ts, t -> t <= v)) AS INTEGER) AS b FROM delta, thr),
-         |cb AS (SELECT b, count(*) AS nb_b FROM bb GROUP BY b),
-         |cd AS (SELECT b, count(*) AS nd_b FROM bd GROUP BY b),
-         |tot AS (SELECT (SELECT count(*) FROM base) AS nbt, (SELECT count(*) FROM delta) AS ndt),
-         |terms AS (
-         |  SELECT cb.b, cb.nb_b, coalesce(cd.nd_b, 0) AS nd_b,
-         |    (coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt)*(coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt) * 1000000
-         |      // (cb.nb_b * ndt * nbt) AS chi2_term_ppm
-         |  FROM cb LEFT JOIN cd ON cd.b = cb.b, tot)
-         |SELECT b AS bucket, CAST(nb_b AS BIGINT) AS base_n, CAST(nd_b AS BIGINT) AS delta_n,
-         |  CAST(chi2_term_ppm AS BIGINT) AS chi2_term_ppm,
-         |  CAST(sum(chi2_term_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
-         |  sum(chi2_term_ppm) OVER () >= 16919000 AS drifted
-         |FROM terms ORDER BY bucket""".stripMargin) { (s, d) =>
+         |${SimilarityOps.driftChi2TailSql("vec_id")}""".stripMargin) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.normDriftChi2(
           emb.filter(col("vec_id") < 400),

@@ -1106,6 +1106,28 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- document-length drift between the train/eval split — q210's
+    //      χ² monitor applied to a TEXT feature (the generic
+    //      scalarDriftChi2 core, thresholds from the train side): the
+    //      split is random by md5, so a drifted verdict here would mean
+    //      the split itself is biased — the split-health audit a
+    //      pipeline runs before trusting any train/eval comparison. The
+    //      oracle shares q210's tail fragment verbatim (single-owner
+    //      rule) over the q110 split rule. ----
+    Q("q211_doclen_drift_chi2",
+      s"""WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9),
+         |delta AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 >= 9),
+         |${SimilarityOps.driftChi2TailSql("doc_id")}""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      def side(lbl: String) = docs
+        .filter(Sampling.splitLabel(col("doc_id"), 1) === lbl)
+        .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+      Similarity.scalarDriftChi2(side("train"), side("eval"), "doc_id")
+        .orderBy("bucket")
+    },
+
     // ---- Gopher-style composite quality filter as a funnel report:
     //      four rules (length, stopword presence, distinct-token
     //      repetition, mean word length) evaluated per doc, per-source
