@@ -39,4 +39,32 @@ object Tuning {
     spark.conf.set("spark.sql.files.maxPartitionBytes",
       TargetPartitionBytes.toString)
   }
+
+  /** Enable Catalyst's runtime bloom-filter join pruning for shuffle
+    * joins with a selective build side — the 100 TB fact-table move:
+    * before the fact side shuffles, a bloom filter built from the
+    * (filtered) dim side's join keys drops non-matching fact rows AT THE
+    * SCAN, so the shuffle moves only rows that can join (`might_contain`
+    * appears in the fact-side scan filter — pinned in PlanSpec). Spark
+    * gates injection on an application-side scan ≥ 10 GB by default,
+    * which a local fixture never reaches; production defaults are kept,
+    * only the size gate is caller-adjustable. Returns the previous conf
+    * values so callers (and the spec) can restore. */
+  def enableRuntimeJoinFilters(spark: SparkSession,
+      applicationSideScanBytesThreshold: Long = 10L << 30)
+      : Map[String, String] = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k).orNull).toMap
+    spark.conf.set(keys.head, "true")
+    spark.conf.set(keys(1), applicationSideScanBytesThreshold.toString)
+    prev
+  }
+
+  /** Restore confs captured by [[enableRuntimeJoinFilters]]. */
+  def restoreConfs(spark: SparkSession, prev: Map[String, String]): Unit =
+    prev.foreach { case (k, v) =>
+      if (v == null) spark.conf.unset(k) else spark.conf.set(k, v)
+    }
 }
