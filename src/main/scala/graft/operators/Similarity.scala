@@ -650,12 +650,20 @@ object Similarity {
     * chi2_total_ppm, drifted). */
   def normDriftChi2(base0: DataFrame, delta0: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = base0.sparkSession
     def norms(df: DataFrame) = prepared(df, idCol, vecCol)
       .select(col(idCol), col("nsq").cast("long").as("v"))
-    val base = norms(base0)
-    val delta = norms(delta0)
+    scalarDriftChi2(norms(base0), norms(delta0), idCol)
+  }
+
+  /** The χ² decile-drift core over any pre-extracted integer scalar —
+    * (id, v) frames for base and delta; see [[normDriftChi2]] (q210) and
+    * the q211 document-length twin. Generic because drift monitoring is
+    * per-FEATURE: the same statistic, thresholds-from-base rule and
+    * verdict apply to embedding norms, doc lengths, quality scores. */
+  def scalarDriftChi2(base: DataFrame, delta: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = base.sparkSession
     val wOrd = Window.orderBy(col("v"), col(idCol))
     val wAll = Window.partitionBy()
     val rb = base
