@@ -160,10 +160,24 @@ class AnnIndexSpec extends SparkTestBase {
     // after 60 appends the index serves base ∪ all deltas = vec_id < 500
     assert(idx.codes.count() === emb.filter(col("vec_id") < 500).count())
     val served = rows(idx.query(queries, k = 5, candidates = 50, nprobe = 2))
-    idx.release()
     // NOTE the quantizers differ (trained on 140 rows, not the corpus),
     // so only sanity is asserted on results, not equality with `expected`
     assert(served.nonEmpty && served.map(_._1).toSet === expected.map(_._1).toSet)
+    // compaction at depth: 60 appends leave the lists spread over 61
+    // union legs' partitions — compact collapses storage to ONE shuffle's
+    // worth of partitions and serving is unchanged (the regime compact()
+    // exists for; q205 gates the single-append case hash-exactly)
+    val fragParts = idx.codes.rdd.getNumPartitions
+    val compacted = idx.compact()
+    idx.release()
+    val compactParts = compacted.codes.rdd.getNumPartitions
+    assert(compactParts < fragParts,
+      s"compact did not reduce partitions: $fragParts -> $compactParts")
+    assert(compactParts <=
+      spark.sessionState.conf.numShufflePartitions)
+    assert(rows(compacted.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === served)
+    compacted.release()
   }
 
   test("save→load round-trip: the loaded handle serves row-for-row " +

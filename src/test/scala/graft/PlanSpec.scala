@@ -659,6 +659,32 @@ class PlanSpec extends SparkTestBase {
     assert(!"Exchange hashpartitioning\\(s#\\d+, 32\\)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q206: matryoshka keeps q198's funnel shape — prefix scoring " +
+    "narrow, queries broadcast, map-side candidate cut, BuildLeft rerank") {
+    val p = planOf(q("q206_matryoshka_rerank")).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    val corpusSide = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .split("BroadcastExchange").head
+    assert(!corpusSide.contains("Exchange hashpartitioning"), p)
+    assert("WindowGroupLimit \\[qid#\\d+L\\], \\[adist#\\d+L[\\s\\S]{0,120}100, Partial"
+      .r.findFirstIn(p).isDefined, p)
+    assert("BroadcastHashJoin \\[nid#\\d+L\\], \\[nid#\\d+L\\], Inner, BuildLeft"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q210: drift thresholds broadcast; the only corpus-keyed shuffle " +
+    "is the 10-bucket aggregation") {
+    val p = planOf(q("q210_embedding_drift_chi2")).split("== Initial Plan ==").head
+    // the 9-element threshold array and the 1-row totals ride broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket counting shuffles by the bucket id (≤ 10 groups), never by
+    // the vector id
+    assert("Exchange hashpartitioning\\(b#".r.findFirstIn(p).isDefined, p)
+    assert(!"Exchange hashpartitioning\\(vec_id#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("runtime bloom-filter join pruning: the fact scan carries " +
     "might_contain from the selective dim side") {
     // the 100 TB fact-join move Tuning.enableRuntimeJoinFilters turns on:
