@@ -165,6 +165,44 @@ object ProfileOps {
         .orderBy(col("true_count").desc, col("token"))
     },
 
+    // ---- token-WEIGHTED percentiles of doc length per source: the
+    //      q115 rank formula generalized to weights — "the median
+    //      TOKEN sits in a doc of this length", which is what compute
+    //      cost actually tracks (a corpus of many short + few huge docs
+    //      has a token-weighted median far above the doc-weighted one;
+    //      training-batch composition follows the former). Smallest
+    //      value whose cumulative weight crosses p% of the source total,
+    //      all integer (cw·100 ≥ p·W); the running sum shares the q115
+    //      per-source window partitioning. ----
+    Q("q212_weighted_percentiles",
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt FROM documents),
+        |r AS (SELECT source, n_chars, wt,
+        |  sum(wt) OVER (PARTITION BY source ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING) AS cw,
+        |  sum(wt) OVER (PARTITION BY source) AS w
+        |  FROM t)
+        |SELECT source, CAST(max(w) AS BIGINT) AS w_total,
+        |  CAST(min(CASE WHEN cw*100 >= 50*w THEN n_chars END) AS BIGINT) AS wp50,
+        |  CAST(min(CASE WHEN cw*100 >= 90*w THEN n_chars END) AS BIGINT) AS wp90
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("source")
+      Tables.t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("wt"))
+        .withColumn("cw", sum("wt").over(wOrd))
+        .withColumn("w", sum("wt").over(wAll))
+        .groupBy("source")
+        .agg(max("w").cast("long").as("w_total"),
+          min(when(col("cw") * 100 >= col("w") * 50, col("n_chars")))
+            .cast("long").as("wp50"),
+          min(when(col("cw") * 100 >= col("w") * 90, col("n_chars")))
+            .cast("long").as("wp90"))
+        .orderBy("source")
+    },
+
     // ---- DETERMINISTIC HyperLogLog registers over the token stream:
     //      the distinct-count sketch q96's approx_count_distinct uses
     //      internally, rebuilt from public math on md5 so BOTH engines
