@@ -1073,6 +1073,65 @@ object SimilarityOps {
         .orderBy("bucket")
     },
 
+    // ---- STREAMING drift gate: q210's χ² monitor as the ingest front
+    //      door actually runs it — each arriving micro-batch is scored
+    //      against the RESIDENT base reference and gets its own
+    //      verdict row set. Three single-file arrivals
+    //      (maxFilesPerTrigger=1, the q193 pattern) carved from the
+    //      delta by vec_id % 3, so batch composition is an engine-
+    //      replayable rule, not an accident of file order; the oracle
+    //      replays all three per-batch χ² computations (thresholds from
+    //      the base EVERY time — the reference is fixed, the batches
+    //      move) via three copies of the shared tail. Per-batch cost is
+    //      the batch-sized bucketing plus the base threshold pass —
+    //      production holds the 9 thresholds resident instead of
+    //      recomputing, which this gate deliberately does NOT cache so
+    //      the hash pins the full derivation. ----
+    Q("q213_stream_drift_gate", {
+      val subs = (0 to 2).map { g =>
+        s"""SELECT CAST($g AS INTEGER) AS grp, * FROM (WITH ${preparedCte()},
+           |base AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id < 400),
+           |delta AS (SELECT vec_id, CAST(nsq AS BIGINT) AS v FROM n WHERE vec_id >= 400 AND vec_id % 3 = $g),
+           |${SimilarityOps.driftChi2TailSql("vec_id")})""".stripMargin
+      }
+      subs.mkString("\n UNION ALL \n") + "\n ORDER BY grp, bucket"
+    }) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val dir = streamDir(d)
+      (0 to 2).foreach { g =>
+        emb.filter(col("vec_id") >= 400 && col("vec_id") % 3 === g)
+          .withColumn("grp", lit(g))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/dg$g")
+      }
+      val inSchema = emb.withColumn("grp", lit(0)).schema
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val stream = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/dg*")
+      val query = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val g = batch.select(min(col("grp"))).head().getInt(0)
+            Similarity.normDriftChi2(base, batch, "vec_id", "embedding")
+              .withColumn("grp", lit(g))
+              .select("grp", "bucket", "base_n", "delta_n",
+                "chi2_term_ppm", "chi2_total_ppm", "drifted")
+              .collect().foreach(buf.add)
+            ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val outSchema = Similarity.normDriftChi2(base, emb.limit(0),
+          "vec_id", "embedding")
+        .withColumn("grp", lit(0))
+        .select("grp", "bucket", "base_n", "delta_n",
+          "chi2_term_ppm", "chi2_total_ppm", "drifted").schema
+      s.createDataFrame(new java.util.ArrayList(buf), outSchema)
+        .orderBy("grp", "bucket")
+    },
+
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
     //      trained coarse quantizer routes each query to its 2 nearest
     //      of 8 Lloyd-trained cells, q179's PQ codes score the probed
