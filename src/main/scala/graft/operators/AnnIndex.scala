@@ -74,15 +74,15 @@ final class IvfAdcIndex private (
   }
 
   /** Free the index storage (persisted blocks for a built index,
-    * snapshot storage + checkpoint files for an appended one, cache
-    * blocks for a loaded one). Results already materialized by the
-    * caller stay valid. A still-lazy query frame over a BUILT index
-    * recomputes through lineage and over a LOADED one re-reads the
-    * saved parquet; over an APPENDED index NOTHING backs a lazy frame
-    * past release() in either snapshot mode — [[Graph.release]] both
-    * unpersists and deletes reliable-checkpoint files — so callers
-    * must materialize appended-index results first (the rule q187's
-    * body follows). */
+    * snapshot storage + checkpoint files for an appended or compacted
+    * one, cache blocks for a loaded one). Results already materialized
+    * by the caller stay valid. A still-lazy query frame over a BUILT
+    * index recomputes through lineage and over a LOADED one re-reads
+    * the saved parquet; over an APPENDED or COMPACTED index NOTHING
+    * backs a lazy frame past release() in either snapshot mode —
+    * [[Graph.release]] both unpersists and deletes reliable-checkpoint
+    * files — so callers must materialize such results first (the rule
+    * q187's body follows). */
   def release(): Unit = releaseStorage()
 
   /** Persist the index as an on-disk artifact — the FAISS
@@ -186,12 +186,21 @@ final class IvfAdcIndex private (
     * serving is identical by construction — q205 gates compacted
     * serving against the SAME oracle as q187 (append ≡
     * train-on-base-encode-everything), and AnnIndexSpec pins
-    * row-for-row equality plus storage independence. */
+    * row-for-row equality plus storage independence.
+    *
+    * Backed by [[Graph.snapshot]], NOT a bare persist (round-9 advice):
+    * a persist keeps lineage through the SOURCE handle's storage, so
+    * compacting an appended index and then releasing the source — whose
+    * release() deletes snapshot blocks AND reliable-checkpoint files —
+    * left the compacted handle unrecoverable after any block eviction or
+    * executor loss. The snapshot truncates lineage at the shuffle output
+    * (reliable-checkpointed when a checkpoint dir is configured), making
+    * "release them independently, in either order" actually true, not
+    * just true while the cached blocks survive. */
   def compact(): IvfAdcIndex = {
-    val re = codes.repartition(col("cell")).persist()
-    re.count() // materialize before the caller releases the source handle
-    val flat = spark.createDataFrame(re.rdd, re.schema)
-    new IvfAdcIndex(flat, () => { re.unpersist(); () }, cb, cents, corpus,
+    val (flat, snap) = Graph.snapshot(codes.repartition(col("cell")))
+    flat.count() // materialize before the caller releases the source handle
+    new IvfAdcIndex(flat, () => Graph.release(snap), cb, cents, corpus,
       idCol, vecCol, sub)
   }
 }

@@ -659,7 +659,22 @@ object Similarity {
     * (id, v) frames for base and delta; see [[normDriftChi2]] (q210) and
     * the q211 document-length twin. Generic because drift monitoring is
     * per-FEATURE: the same statistic, thresholds-from-base rule and
-    * verdict apply to embedding norms, doc lengths, quality scores. */
+    * verdict apply to embedding norms, doc lengths, quality scores.
+    *
+    * Two robustness rules (round-9 advice):
+    *  - counts land on a FULL 0..9 bucket spine (both sides coalesced to
+    *    0, expected count floored at 1) — a delta observation in a bucket
+    *    the base never occupies (heavy ties, tiny base) contributes its
+    *    full term instead of being silently dropped, and the emitted
+    *    bucket count is ALWAYS 10, so the df=9 critical value is never
+    *    applied to a smaller table;
+    *  - the (nd_b·nbt − nb_b·ndt)² product runs in DECIMAL(38,0) (DuckDB:
+    *    HUGEINT), truncating `div` back to BIGINT ppm — the all-Long form
+    *    silently wrapped once base_rows·delta_rows reached ~3e6 while
+    *    DuckDB raised, so the engines diverged at larger SFs. 38 digits
+    *    hold the exact square up to ~3e9 total rows per monitor call —
+    *    and a per-batch drift monitor scores BATCHES (bounded) against a
+    *    base reference, not whole-corpus cross products. */
   def scalarDriftChi2(base: DataFrame, delta: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -681,11 +696,18 @@ object Similarity {
     val cdf = bucketed(delta).groupBy("b").agg(count(lit(1)).as("nd_b"))
     val tot = base.agg(count(lit(1)).as("nbt"))
       .crossJoin(delta.agg(count(lit(1)).as("ndt")))
-    cbf.join(cdf, Seq("b"), "left").na.fill(0L, Seq("nd_b"))
+    val spine = spark.range(0, 10).select(col("id").cast("int").as("b"))
+    spine.join(broadcast(cbf), Seq("b"), "left")
+      .join(broadcast(cdf), Seq("b"), "left")
+      .na.fill(0L, Seq("nb_b", "nd_b"))
       .crossJoin(broadcast(tot))
       .withColumn("chi2_term_ppm",
-        expr("""(nd_b*nbt - nb_b*ndt)*(nd_b*nbt - nb_b*ndt) * 1000000L
-               |  div (nb_b * ndt * nbt)""".stripMargin))
+        expr("""CAST(
+               |  (CAST(nd_b AS DECIMAL(38,0))*nbt - CAST(nb_b AS DECIMAL(38,0))*ndt)
+               |  * (CAST(nd_b AS DECIMAL(38,0))*nbt - CAST(nb_b AS DECIMAL(38,0))*ndt)
+               |  * 1000000
+               |  div (CAST(greatest(nb_b, 1) AS DECIMAL(38,0)) * ndt * nbt)
+               |AS BIGINT)""".stripMargin))
       .select(col("b").as("bucket"), col("nb_b").as("base_n"),
         col("nd_b").as("delta_n"), col("chi2_term_ppm"),
         sum("chi2_term_ppm").over(wAll).as("chi2_total_ppm"),

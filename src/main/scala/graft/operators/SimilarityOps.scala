@@ -24,11 +24,14 @@ object SimilarityOps {
        |cb AS (SELECT b, count(*) AS nb_b FROM bb GROUP BY b),
        |cd AS (SELECT b, count(*) AS nd_b FROM bd GROUP BY b),
        |tot AS (SELECT (SELECT count(*) FROM base) AS nbt, (SELECT count(*) FROM delta) AS ndt),
+       |spine AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS b),
        |terms AS (
-       |  SELECT cb.b, cb.nb_b, coalesce(cd.nd_b, 0) AS nd_b,
-       |    (coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt)*(coalesce(cd.nd_b,0)*nbt - cb.nb_b*ndt) * 1000000
-       |      // (cb.nb_b * ndt * nbt) AS chi2_term_ppm
-       |  FROM cb LEFT JOIN cd ON cd.b = cb.b, tot)
+       |  SELECT spine.b, coalesce(cb.nb_b, 0) AS nb_b, coalesce(cd.nd_b, 0) AS nd_b,
+       |    (CAST(coalesce(cd.nd_b,0) AS HUGEINT)*nbt - CAST(coalesce(cb.nb_b,0) AS HUGEINT)*ndt)
+       |      * (CAST(coalesce(cd.nd_b,0) AS HUGEINT)*nbt - CAST(coalesce(cb.nb_b,0) AS HUGEINT)*ndt)
+       |      * 1000000
+       |      // (CAST(greatest(coalesce(cb.nb_b,0), 1) AS HUGEINT) * ndt * nbt) AS chi2_term_ppm
+       |  FROM spine LEFT JOIN cb ON cb.b = spine.b LEFT JOIN cd ON cd.b = spine.b, tot)
        |SELECT b AS bucket, CAST(nb_b AS BIGINT) AS base_n, CAST(nd_b AS BIGINT) AS delta_n,
        |  CAST(chi2_term_ppm AS BIGINT) AS chi2_term_ppm,
        |  CAST(sum(chi2_term_ppm) OVER () AS BIGINT) AS chi2_total_ppm,

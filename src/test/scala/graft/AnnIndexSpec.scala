@@ -131,6 +131,16 @@ class AnnIndexSpec extends SparkTestBase {
     appended.release()
     assert(rows(compacted.query(queries, k = 5, candidates = 50, nprobe = 2))
       === appendedRows)
+    // lineage truncation (the round-9 advice fix): the compacted handle's
+    // storage must not be a cache whose lineage still threads through the
+    // released source — after Graph.snapshot the dependency chain is a
+    // shallow checkpoint scan, so recovery never replays the source's
+    // (now-deleted) snapshot storage
+    val lineage = compacted.codes.rdd.toDebugString
+    assert(lineage.contains("CheckpointRDD"),
+      s"compacted lineage not checkpoint-terminated:\n$lineage")
+    assert(!lineage.toLowerCase.contains("union"),
+      s"compacted lineage still threads the source's union legs:\n$lineage")
     // release accounting: the compacted blocks disappear from the
     // persistent-RDD registry
     val held = spark.sparkContext.getPersistentRDDs.keySet
