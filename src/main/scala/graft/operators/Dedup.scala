@@ -573,9 +573,23 @@ object Dedup {
     * spreads both shuffles. Nothing touches the driver. */
   def substringRunStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dfCap: Int, minRunTokens: Int): DataFrame = {
+    require(minRunTokens >= k, s"minRunTokens=$minRunTokens < k=$k")
+    substringRuns(docs, idCol, textCol, k, dfCap)
+      .groupBy("da", "db")
+      .agg((max("rs") + (k - 1)).cast("long").as("max_run_tokens"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
+  /** Shared diagonal-run detector behind [[substringRunStats]] (q195) and
+    * [[substringRunCut]] (q214): one row per verbatim shared token run —
+    * (da, db, diag, rs = consecutive shingles, a_start = min pos in da,
+    * b_start = min pos in db), candidates from the df-capped shingle
+    * equi-join only (see the q195 scaladoc for the scale argument). */
+  private def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k=$k too small for a shingle")
-    require(minRunTokens >= k, s"minRunTokens=$minRunTokens < k=$k")
     val sh = docs.select(col(idCol), split(col(textCol), " ").as("sp"))
       .filter(size(col("sp")) >= k)
       .select(col(idCol), explode(transform(
@@ -595,15 +609,68 @@ object Dedup {
     val b = shk.select(col("h"), col(idCol).as("db"), col("pos").as("pb"))
     val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
     a.join(b, Seq("h")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("pa"),
+      .select(col("da"), col("db"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
       .withColumn("grp", col("pa") - row_number().over(w))
       .groupBy("da", "db", "diag", "grp")
-      .agg(count(lit(1)).as("run_shingles"))
-      .groupBy("da", "db")
-      .agg((max("run_shingles") + (k - 1)).cast("long").as("max_run_tokens"),
-        count(lit(1)).as("n_runs"))
-      .filter(col("max_run_tokens") >= minRunTokens)
+      .agg(count(lit(1)).as("rs"),
+        min("pa").as("a_start"), min("pb").as("b_start"))
+      .drop("grp")
+  }
+
+  /** Exact-substring span CUTTER — the other half of [[substringRunStats]]
+    * (round-9 advice item 1, Lee et al. 2022's actual output): emit the
+    * corpus with the longest verbatim shared span removed from the
+    * NON-CANONICAL doc of each offending pair. Canonical per pair by the
+    * q153 representative rule applied in-operator: more tokens wins,
+    * smaller id on ties — the victim is the shorter doc (db on equal
+    * length, since da < db). Per pair exactly ONE span is cut (its
+    * longest run; ties → smallest victim-side start, then smallest
+    * da-side start), matching the advice's spec; a doc victimized by
+    * several pairs accumulates several intervals, and every token inside
+    * ANY interval is dropped. Output only the REWRITTEN docs:
+    * (id, n_before, n_after, text), tokens re-joined on single spaces.
+    *
+    * Scale: run detection is the df-capped q195 pipeline; per-victim
+    * interval lists are bounded by the df-capped pair fan-out and ride
+    * one equi-join onto the docs; the rebuild is a narrow map (no
+    * range join — the interval test is an array `exists` per token). */
+  def substringRunCut(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int, minRunTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRunTokens >= k, s"minRunTokens=$minRunTokens < k=$k")
+    val runs = substringRuns(docs, idCol, textCol, k, dfCap)
+      .filter(col("rs") + (k - 1) >= minRunTokens)
+    val nt = docs.select(col(idCol),
+      size(split(col(textCol), " ")).as("ntok"))
+    val wBest = Window.partitionBy("da", "db")
+      .orderBy(col("rs").desc, col("b_start"), col("a_start"))
+    val best = runs.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+    val cuts = best
+      .join(nt.select(col(idCol).as("da"), col("ntok").as("na")), "da")
+      .join(nt.select(col(idCol).as("db"), col("ntok").as("nb")), "db")
+      .select(
+        when(col("na") < col("nb"), col("da")).otherwise(col("db"))
+          .as(idCol),
+        when(col("na") < col("nb"), col("a_start")).otherwise(col("b_start"))
+          .as("s"),
+        (when(col("na") < col("nb"), col("a_start"))
+          .otherwise(col("b_start")) + col("rs") + (k - 2)).as("e"))
+    val iv = cuts.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    docs.select(col(idCol), split(col(textCol), " ").as("sp"))
+      .join(iv, Seq(idCol))
+      .select(col(idCol), col("sp"),
+        transform(
+          filter(sequence(lit(1), size(col("sp"))),
+            p => !exists(col("iv"),
+              i => i.getField("s") <= p && p <= i.getField("e"))),
+          p => element_at(col("sp"), p)).as("keep"))
+      .select(col(idCol),
+        size(col("sp")).cast("long").as("n_before"),
+        size(col("keep")).cast("long").as("n_after"),
+        concat_ws(" ", col("keep")).as(textCol))
   }
 
   /** Cross-source substring leakage: per source, how many DISTINCT window

@@ -650,6 +650,68 @@ object DedupOps {
       Dedup.substringRunStats(Tables.t(s, d, "documents"), "doc_id", "text",
           k = 4, dfCap = 8, minRunTokens = 8)
         .orderBy("da", "db")
+    },
+
+    // ---- exact-substring span CUT (round-9 advice item 1): q195 finds
+    //      the pairs and their longest verbatim span; this EMITS the
+    //      deduplicated corpus — Lee et al. 2022's actual output. Per
+    //      offending pair the longest run is cut from the NON-CANONICAL
+    //      doc (q153's rule in-operator: more tokens keeps, smaller id
+    //      on ties); a doc hit by several pairs loses every interval.
+    //      Only rewritten docs are emitted, and the hash covers the CUT
+    //      TEXT itself — the oracle replays shingling, df-cap, diagonal
+    //      islands, per-pair argmax (rs DESC, victim/b_start, a_start),
+    //      victim selection, interval union and the token-level rebuild;
+    //      one token off anywhere breaks it. ----
+    Q("q214_substring_run_cut",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) AS h
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(sp) - 2)) AS i) s
+        |  WHERE len(sp) >= 4),
+        |dfc AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8),
+        |shk AS (SELECT sh.* FROM sh JOIN dfc USING (h)),
+        |mt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |    a.pos - b.pos AS diag
+        |  FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (SELECT da, db, diag, pa, pb,
+        |  pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        |  FROM mt),
+        |runs AS (SELECT da, db, diag, grp, count(*) AS rs,
+        |  min(pa) AS a_start, min(pb) AS b_start
+        |  FROM isl GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT da, db, rs, a_start, b_start,
+        |  row_number() OVER (PARTITION BY da, db
+        |    ORDER BY rs DESC, b_start, a_start) AS rk
+        |  FROM runs WHERE rs + 3 >= 8),
+        |nt AS (SELECT doc_id, len(sp) AS ntok FROM tk),
+        |cuts AS (
+        |  SELECT CASE WHEN na.ntok < nb.ntok THEN da ELSE db END AS doc_id,
+        |    CASE WHEN na.ntok < nb.ntok THEN a_start ELSE b_start END AS s,
+        |    CASE WHEN na.ntok < nb.ntok THEN a_start ELSE b_start END + rs + 2 AS e
+        |  FROM best JOIN nt na ON na.doc_id = best.da
+        |  JOIN nt nb ON nb.doc_id = best.db
+        |  WHERE rk = 1),
+        |cl AS (SELECT doc_id, list(s ORDER BY s, e) AS ss,
+        |  list(e ORDER BY s, e) AS es FROM cuts GROUP BY doc_id),
+        |reb AS (
+        |  SELECT tk.doc_id, len(sp) AS n_before,
+        |    list_transform(
+        |      list_filter(range(1, len(sp) + 1), p ->
+        |        len(list_filter(range(1, len(ss) + 1), j ->
+        |          ss[CAST(j AS INTEGER)] <= p AND p <= es[CAST(j AS INTEGER)])) = 0),
+        |      p -> sp[CAST(p AS INTEGER)]) AS keep
+        |  FROM tk JOIN cl USING (doc_id))
+        |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(len(keep) AS BIGINT) AS n_after,
+        |  coalesce(array_to_string(keep, ' '), '') AS text
+        |FROM reb ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.substringRunCut(Tables.t(s, d, "documents"), "doc_id", "text",
+          k = 4, dfCap = 8, minRunTokens = 8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -188,4 +188,40 @@ class DedupSpec extends SparkTestBase {
     // the planted pairs really produced cross-doc dups somewhere
     assert(got.values.map(_._2).sum > 0)
   }
+
+  test("substringRunCut: the planted shared span is cut from the shorter " +
+    "doc only, interval union across pairs, untouched docs not emitted") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"S$i").mkString(" ") // 10-token shared run
+    val span2 = (1 to 9).map(i => s"T$i").mkString(" ")
+    // token counts: d1=18 d2=14 d3=14 d4=14 d5=10 d6=22 d7=23 d8=24
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $span a4 a5 a6 a7 a8"),
+      (2L, s"b1 b2 $span b3 b4"),
+      // pair (3, 4): equal token counts -> larger id (4) is the victim
+      (3L, s"c1 c2 c3 c4 $span2 c5"),
+      (4L, s"d1 d2 d3 d4 $span2 d5"),
+      // doc 5 shares NOTHING >= threshold: never emitted
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      // doc 6 carries BOTH spans and is shorter than 7 and 8 -> it loses
+      // both intervals (union across victimizing pairs)
+      (6L, s"e1 $span e2 $span2 e3"),
+      (7L, s"f1 f2 f3 $span f4 f5 f6 f7 f8 f9 f10 f11 f12 f13"),
+      (8L, s"g1 g2 g3 $span2 g4 g5 g6 g7 g8 g9 g10 g11 g12 g13 g14 g15")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.substringRunCut(corpus, "doc_id", "text",
+        k = 4, dfCap = 8, minRunTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[String]("text")))).toMap
+    // victims: 2 (vs 1/6/7), 1 (vs 6/7), 3 (vs 6/8), 4 (tie vs 3; vs 6/8),
+    // 6 (vs 7 and vs 8 — two DIFFERENT intervals); never 5, 7, 8
+    assert(cut.keySet === Set(1L, 2L, 3L, 4L, 6L))
+    assert(cut(1L) === ((18L, 8L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(cut(2L) === ((14L, 4L, "b1 b2 b3 b4")))
+    assert(cut(3L) === ((14L, 5L, "c1 c2 c3 c4 c5")))
+    assert(cut(4L) === ((14L, 5L, "d1 d2 d3 d4 d5")))
+    // doc 6 loses BOTH planted spans (two victimizing pairs)
+    assert(cut(6L) === ((22L, 3L, "e1 e2 e3")))
+  }
 }
