@@ -23,6 +23,7 @@ object SparkEntry {
     operators.ExtendedOps.defs,
     operators.ChunkingOps.defs,
     operators.Sampling.defs,
+    operators.ReleaseOps.defs,
     operators.GeoOps.defs,
     operators.ProfileOps.defs,
     operators.GraphOps.defs,

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private val NumHashes = 16
-  private val RowsPerBand = 4
+  private[operators] val NumHashes = 16
+  private[operators] val RowsPerBand = 4
   private val SimhashBits = 16
   // Corpus-relative df cap for the gated skew-path query: max(4, n/300) —
   // high enough that planted dup pairs (shingles at df ~ 2) survive with
@@ -26,21 +26,24 @@ object DedupOps {
 
   /** DuckDB n-gram shingle CTE (1-based list indexing; matches
     * TextFunctions.wordShingles(n) incl. the <n-token empty case: the
-    * range is empty when len(sp) < n). */
-  private def shingleCteN(n: Int): String = {
+    * range is empty when len(sp) < n). Parametrized by source CTE/table
+    * and emitted CTE name so the q215 release composition can run the
+    * SAME text over mid-pipeline survivor sets (single-owner rule). */
+  private[operators] def shingleCteN(n: Int, from: String = "documents",
+      name: String = "sh"): String = {
     val terms = (0 until n).map(k => if (k == 0) "sp[i]" else s"sp[i+$k]")
       .mkString(" || ' ' || ")
-    s"""sh AS (
+    s"""$name AS (
        |  SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(sp) - ${n - 2}),
        |      i -> $terms)) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t) u)""".stripMargin
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM $from) t) u)""".stripMargin
   }
 
   /** The 3-gram instance used by most dedup oracles. */
   private val ShingleCte = shingleCteN(3)
 
-  private val minhashSigSql = {
+  private[operators] val minhashSigSql = {
     val mins = (0 until NumHashes)
       .map(i => s"min(${Dedup.mhExprDuck("h0", i)}) AS mh$i")
       .mkString(", ")
@@ -49,7 +52,7 @@ object DedupOps {
        |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id)""".stripMargin
   }
 
-  private val bandsSql = {
+  private[operators] val bandsSql = {
     val numBands = NumHashes / RowsPerBand
     val hashes = (0 until numBands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")

@@ -1,0 +1,333 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full corpus-release composition (round-9 advice item 2): every
+  * stage a production pretraining release actually runs, chained in one
+  * operator so the COMPOSITION is gated, not just the stages:
+  *
+  *   quality funnel (q124/q140 rules) → exact dedup (min-id keeper per
+  *   normalized fingerprint, q38/q140) → near-dup keep-list (q74's
+  *   LSH + Jaccard-verify + connected components) → decontamination
+  *   (drop train docs sharing a df-capped 5-gram with the held-out eval
+  *   split, q105's machinery pointed the production direction) → domain
+  *   cap (q208's occupancy-scaled per-source winnow) → token-budget
+  *   water-fill (q196's closed-form water line, applied doc-level by
+  *   md5-order prefix sums) → source-weighted epoch mixing (q137) →
+  *   shard count (q147's md5 sharding) — reported release-card style
+  *   (q209): one row per INPUT source with every stage's survivor
+  *   count, so a drift in any stage, or in how two stages hand off,
+  *   breaks the q215 hash.
+  *
+  * Scale shape: each stage is its gated original's plan — two corpus
+  * scans for quality+fingerprint stats, shingle-keyed shuffles with df
+  * caps for near-dup and decontamination (never an uncapped self-join),
+  * one per-source window each for domain cap and the water-fill prefix
+  * sums (skewed sources salt like q177), and |sources|-row windows for
+  * the water line itself. The only driver-side value is the df cap
+  * (max(4, n/300) — q97's corpus-relative rule, from one metadata-only
+  * parquet count). Nothing corpus-sized is collected or broadcast.
+  */
+object ReleaseOps {
+
+  /** Per-source release report over the full prep chain; see the object
+    * scaladoc for the stage list. Input must carry (idCol=doc_id,
+    * source, n_chars, text) — the documents schema. */
+  def prepareCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capDf = math.max(4L, docs.count() / 300L).toInt
+
+    // stage 1: quality funnel (the q140 four integer rules)
+    val toks = TextFunctions.tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      col("text"),
+      TextFunctions.fingerprint(TextFunctions.normalized(col("text")))
+        .as("fp"),
+      size(toks).cast("long").as("ntok"),
+      size(filter(toks, w => w === "the" || w === "a")).cast("long")
+        .as("nstop"),
+      size(array_distinct(toks)).cast("long").as("ndist"),
+      aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("lensum"))
+    val s1 = base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
+        col("ndist") * 2 >= col("ntok") &&
+        col("lensum") >= col("ntok") * 3 && col("lensum") <= col("ntok") * 10)
+      .select("doc_id", "source", "n_chars", "text", "fp", "ntok")
+
+    // stage 2: exact dedup — keeper = min doc_id per normalized fingerprint
+    val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val s2 = s1.join(k2, Seq("fp", "doc_id"))
+
+    // stage 3: near-dup keep-list (q74's exact pipeline over the survivors)
+    val s3 = s2.join(
+      Dedup.nearDupKeepList(s2, "doc_id", "text", 3, 0.8), "doc_id")
+
+    // stage 4: decontamination — release = the train split, minus train
+    // docs sharing any df-capped 5-gram shingle with the held-out eval
+    // split (q105's machinery, pointed at the docs a release must DROP)
+    val wSh = Window.partitionBy("s")
+    val capped5 = Dedup.shingleRows(s3, "doc_id", "text", 5)
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= capDf)
+      .select("doc_id", "s")
+    val spl = s3.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"), 1).as("split"))
+    val evs = capped5.join(spl, "doc_id")
+      .filter(col("split") === "eval").select("s").distinct()
+    val contam = capped5.join(spl, "doc_id")
+      .filter(col("split") === "train")
+      .join(evs, "s").select("doc_id").distinct()
+    val s4 = s3.join(spl, "doc_id").filter(col("split") === "train")
+      .join(contam, Seq("doc_id"), "left_anti").drop("split")
+
+    // stage 5: domain cap (q208's occupancy-scaled per-source winnow)
+    val wSrc = Window.partitionBy("source")
+    val s5 = s4
+      .withColumn("rk", row_number().over(
+        wSrc.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("nsrc", count(lit(1)).over(wSrc))
+      .filter(col("rk") <= greatest(lit(8L), expr("nsrc div 4")))
+      .drop("rk", "nsrc")
+
+    // stage 6: token-budget water-fill (q196's closed form over the
+    // |sources|-row aggregate), applied doc-level: within a source docs
+    // are admitted in md5 order while the token prefix sum fits the
+    // source's allocation
+    val wOrd = Window.orderBy(col("t"), col("source"))
+    val wAll = Window.partitionBy()
+    val wf = s5.groupBy("source").agg(sum("ntok").as("t"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pk", sum("t").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("t").over(wAll))
+      .withColumn("b", expr("(total * 6) div 10"))
+      .withColumn("feask",
+        when(col("pk") - col("t") + (col("n") - col("k") + 1) * col("t")
+          <= col("b"), col("k")).otherwise(lit(0L)))
+      .withColumn("kk", max("feask").over(wAll))
+      .withColumn("pkk",
+        max(when(col("k") === col("kk"), col("pk"))).over(wAll))
+      .withColumn("tmax", max("t").over(wAll))
+      .withColumn("cap", when(col("kk") === col("n"), col("tmax"))
+        .otherwise(expr("(b - coalesce(pkk, 0L)) div (n - kk)")))
+      .select(col("source"), least(col("t"), col("cap")).as("allocated"),
+        (col("t") > col("cap")).as("capped"), col("cap"), col("b"))
+    val wCum = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s6 = s5.select(col("doc_id"), col("source"), col("ntok"))
+      .withColumn("cum", sum("ntok").over(wCum))
+      .join(wf.select("source", "allocated"), "source")
+      .filter(col("cum") <= col("allocated"))
+
+    // stage 7: source-weighted epoch mixing (q137) over the final docs
+    val mx = s6
+      .withColumn("w_mil", Sampling.mixWeightMil)
+      .withColumn("u", Sampling.hashBucket(col("doc_id"), 1000))
+      .withColumn("reps", Sampling.mixReps)
+
+    // release report: one row per INPUT source, every stage audited
+    val a0 = docs.groupBy("source").agg(count(lit(1)).as("n_input"))
+    val a1 = s1.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val a2 = s2.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val a3 = s3.groupBy("source").agg(count(lit(1)).as("n_neardup"))
+    val a4 = s4.groupBy("source").agg(count(lit(1)).as("n_decontam"))
+    val a5 = s5.groupBy("source").agg(count(lit(1)).as("n_domcap"),
+      sum("ntok").cast("long").as("tokens_domcap"))
+    val a6 = s6.groupBy("source").agg(count(lit(1)).as("n_final"),
+      sum("ntok").cast("long").as("tokens_final"))
+    val a7 = mx.groupBy("source").agg(
+        sum("reps").cast("long").as("epoch_docs"),
+        sum(col("reps") * col("ntok")).cast("long").as("epoch_tokens"))
+      .withColumn("n_packs", expr("(epoch_tokens + 2047) div 2048"))
+    // globals: the water line + budget (identical on every wf row) and
+    // the q147 shard count of the final corpus — all ≤ |sources|-sized
+    val globals = wf.agg(max("cap").cast("long").as("water_cap"),
+        max("b").cast("long").as("budget"))
+      .crossJoin(s6.select(Sampling.hashBucket(col("doc_id"), 16)
+        .as("shard")).distinct().agg(count(lit(1)).as("n_shards")))
+    a0.join(a1, Seq("source"), "left")
+      .join(a2, Seq("source"), "left")
+      .join(a3, Seq("source"), "left")
+      .join(a4, Seq("source"), "left")
+      .join(a5, Seq("source"), "left")
+      .join(wf.select("source", "allocated", "capped"), Seq("source"), "left")
+      .join(a6, Seq("source"), "left")
+      .join(a7, Seq("source"), "left")
+      .crossJoin(broadcast(globals))
+      .select(col("source"),
+        col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
+        coalesce(col("n_domcap"), lit(0L)).as("n_domcap"),
+        coalesce(col("tokens_domcap"), lit(0L)).as("tokens_domcap"),
+        coalesce(col("allocated"), lit(0L)).as("allocated"),
+        coalesce(col("capped"), lit(false)).as("capped"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+        coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"),
+        coalesce(col("epoch_tokens"), lit(0L)).as("epoch_tokens"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("budget"), lit(0L)).as("budget"),
+        coalesce(col("water_cap"), lit(0L)).as("water_cap"),
+        col("n_shards"))
+  }
+
+  private val md5Bucket =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  val defs: Seq[Q] = Seq(
+    // ---- the full release composition; oracle replays ALL EIGHT stages
+    //      (see prepareCorpus scaladoc). Single-owner CTE text where a
+    //      stage has a gated original: shingleCteN / minhashSigSql /
+    //      bandsSql (q74), MixWeightCaseSql (q137). ----
+    Q("q215_corpus_release",
+      s"""WITH f AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    string_split(text, ' ') AS toks,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |f2 AS (
+         |  SELECT doc_id, source, n_chars, text, fp,
+         |    CAST(len(toks) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS nstop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS lensum
+         |  FROM f),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id, source, n_chars, text, fp, ntok FROM f2
+         |  WHERE ntok >= 20 AND nstop >= 2 AND ndist * 2 >= ntok
+         |    AND lensum >= 3 * ntok AND lensum <= 10 * ntok),
+         |k2 AS (SELECT fp, min(doc_id) AS doc_id FROM s1 GROUP BY fp),
+         |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN k2 USING (fp, doc_id)),
+         |${DedupOps.shingleCteN(3, "s2")},
+         |${DedupOps.minhashSigSql},
+         |${DedupOps.bandsSql},
+         |shm AS MATERIALIZED (SELECT * FROM sh),
+         |bdm AS MATERIALIZED (SELECT * FROM bands),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM bdm a JOIN bdm b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS ns FROM shm GROUP BY doc_id),
+         |p AS (
+         |  SELECT cand.i, cand.j, count(*) AS inter
+         |  FROM cand
+         |  JOIN shm sa ON sa.doc_id = cand.i
+         |  JOIN shm sb ON sb.doc_id = cand.j AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i, j FROM p
+         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
+         |e AS MATERIALIZED (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |l1 AS MATERIALIZED (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+         |       FROM s2 d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+         |l2 AS MATERIALIZED (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS MATERIALIZED (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+         |       GROUP BY l2.v, l2.l),
+         |s3 AS MATERIALIZED (SELECT s2.* FROM s2
+         |  JOIN (SELECT v AS doc_id FROM l3 WHERE l = v) kl USING (doc_id)),
+         |spl AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN $md5Bucket % 10 < 9 THEN 'train' ELSE 'eval' END AS split
+         |  FROM s3),
+         |${DedupOps.shingleCteN(5, "s3", "sh5")},
+         |cap5 AS (SELECT GREATEST(4, count(*) // 300) AS c FROM documents),
+         |shc AS MATERIALIZED (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh5) t
+         |  WHERE df <= (SELECT c FROM cap5)),
+         |evs AS (SELECT DISTINCT shc.s FROM shc JOIN spl USING (doc_id)
+         |  WHERE spl.split = 'eval'),
+         |contam AS (SELECT DISTINCT shc.doc_id FROM shc JOIN spl USING (doc_id)
+         |  JOIN evs ON evs.s = shc.s WHERE spl.split = 'train'),
+         |s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN spl USING (doc_id)
+         |  WHERE spl.split = 'train'
+         |    AND s3.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |r5 AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY source) AS nsrc FROM s4),
+         |s5 AS MATERIALIZED (SELECT * FROM r5 WHERE rk <= GREATEST(8, nsrc // 4)),
+         |ps AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS t FROM s5 GROUP BY source),
+         |wr AS (SELECT source, t,
+         |  row_number() OVER (ORDER BY t, source) AS k,
+         |  sum(t) OVER (ORDER BY t, source ROWS UNBOUNDED PRECEDING) AS pk,
+         |  count(*) OVER () AS n, sum(t) OVER () AS total FROM ps),
+         |wr2 AS (SELECT *, (total * 6) // 10 AS b,
+         |  CASE WHEN pk - t + (n - k + 1) * t <= (total * 6) // 10
+         |    THEN k ELSE 0 END AS feask FROM wr),
+         |wr3 AS (SELECT *, max(feask) OVER () AS kk FROM wr2),
+         |wr4 AS (SELECT *, max(CASE WHEN k = kk THEN pk END) OVER () AS pkk,
+         |  max(t) OVER () AS tmax FROM wr3),
+         |wf AS (SELECT source, t,
+         |  CASE WHEN kk = n THEN tmax
+         |    ELSE (b - coalesce(pkk, 0)) // (n - kk) END AS cap, b FROM wr4),
+         |wf2 AS MATERIALIZED (SELECT source, t, LEAST(t, cap) AS allocated,
+         |  t > cap AS capped, cap, b FROM wf),
+         |sel AS (SELECT s5.doc_id, s5.source, s5.ntok,
+         |  sum(ntok) OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s5),
+         |s6 AS MATERIALIZED (SELECT sel.* FROM sel JOIN wf2 USING (source)
+         |  WHERE cum <= allocated),
+         |mx AS (SELECT doc_id, source, ntok,
+         |  ${Sampling.MixWeightCaseSql} AS w_mil,
+         |  $md5Bucket % 1000 AS u FROM s6),
+         |mx2 AS MATERIALIZED (SELECT source, ntok,
+         |  w_mil // 1000 + CASE WHEN u < w_mil % 1000 THEN 1 ELSE 0 END AS reps
+         |  FROM mx),
+         |a0 AS (SELECT source, count(*) AS n_input FROM documents GROUP BY source),
+         |a1 AS (SELECT source, count(*) AS n_quality FROM s1 GROUP BY source),
+         |a2 AS (SELECT source, count(*) AS n_exact FROM s2 GROUP BY source),
+         |a3 AS (SELECT source, count(*) AS n_neardup FROM s3 GROUP BY source),
+         |a4 AS (SELECT source, count(*) AS n_decontam FROM s4 GROUP BY source),
+         |a5 AS (SELECT source, count(*) AS n_domcap,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_domcap FROM s5 GROUP BY source),
+         |a6 AS (SELECT source, count(*) AS n_final,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_final FROM s6 GROUP BY source),
+         |a7 AS (SELECT source, CAST(sum(reps) AS BIGINT) AS epoch_docs,
+         |  CAST(sum(reps * ntok) AS BIGINT) AS epoch_tokens,
+         |  CAST((sum(reps * ntok) + 2047) // 2048 AS BIGINT) AS n_packs
+         |  FROM mx2 GROUP BY source),
+         |gsh AS (SELECT count(DISTINCT $md5Bucket % 16) AS n_shards FROM s6),
+         |gw AS (SELECT CAST(max(cap) AS BIGINT) AS water_cap,
+         |  CAST(max(b) AS BIGINT) AS budget FROM wf2)
+         |SELECT a0.source,
+         |  CAST(a0.n_input AS BIGINT) AS n_input,
+         |  CAST(coalesce(a1.n_quality, 0) AS BIGINT) AS n_quality,
+         |  CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(a3.n_neardup, 0) AS BIGINT) AS n_neardup,
+         |  CAST(coalesce(a4.n_decontam, 0) AS BIGINT) AS n_decontam,
+         |  CAST(coalesce(a5.n_domcap, 0) AS BIGINT) AS n_domcap,
+         |  CAST(coalesce(a5.tokens_domcap, 0) AS BIGINT) AS tokens_domcap,
+         |  CAST(coalesce(wf2.allocated, 0) AS BIGINT) AS allocated,
+         |  coalesce(wf2.capped, FALSE) AS capped,
+         |  CAST(coalesce(a6.n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(coalesce(a6.tokens_final, 0) AS BIGINT) AS tokens_final,
+         |  CAST(coalesce(a7.epoch_docs, 0) AS BIGINT) AS epoch_docs,
+         |  CAST(coalesce(a7.epoch_tokens, 0) AS BIGINT) AS epoch_tokens,
+         |  CAST(coalesce(a7.n_packs, 0) AS BIGINT) AS n_packs,
+         |  CAST(coalesce(gw.budget, 0) AS BIGINT) AS budget,
+         |  CAST(coalesce(gw.water_cap, 0) AS BIGINT) AS water_cap,
+         |  CAST(gsh.n_shards AS BIGINT) AS n_shards
+         |FROM a0
+         |LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
+         |LEFT JOIN a3 USING (source) LEFT JOIN a4 USING (source)
+         |LEFT JOIN a5 USING (source) LEFT JOIN wf2 USING (source)
+         |LEFT JOIN a6 USING (source) LEFT JOIN a7 USING (source)
+         |CROSS JOIN gw CROSS JOIN gsh
+         |ORDER BY a0.source""".stripMargin) { (s, d) =>
+      prepareCorpus(Tables.t(s, d, "documents")).orderBy("source")
+    }
+  )
+}
