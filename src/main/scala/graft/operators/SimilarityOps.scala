@@ -48,6 +48,14 @@ object SimilarityOps {
     idxDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
       _ => graft.TempDirs.create("graft-annidx").toString)
 
+  // data dir -> the ONE q216 lifecycle-chain artifact dir (same reuse rule;
+  // holds the night0/ and night1/ artifacts of the persisted chain)
+  private val chainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chainDir(d: String): String =
+    chainDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-annchain").toString)
+
   // data dir -> the ONE q193 query-arrival staging dir (same reuse rule)
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1309,6 +1317,47 @@ object SimilarityOps {
       // may stay lazy over this load's files (the q187 rule)
       val served = out.collect()
       loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- PERSISTED lifecycle chain (round-9 advice item 3): q189 gates
+    //      save/load on a freshly BUILT index; the nightly production
+    //      path is load → append → compact → save → load → serve — every
+    //      hop through the on-disk artifact. Night 0 builds on the base
+    //      and saves; night 1 LOADS that artifact (zero training/encode),
+    //      appends the delta under the frozen loaded quantizers, compacts,
+    //      saves the new artifact, and serving happens from the RELOADED
+    //      night-1 artifact. Gated against the SAME oracle as q187/q205
+    //      (append ≡ train-on-base-encode-everything), so the hash proves
+    //      the whole chain — including both artifact round-trips — loses
+    //      nothing: a quantizer mis-serialized, a code row dropped by
+    //      compaction, or a version skew anywhere breaks it. Each handle
+    //      is released as soon as its successor is materialized (the
+    //      q187 decommission rule). ----
+    Q("q216_ann_lifecycle_chain", ivfAdcOracle(
+        trainLloyd = s"\n  WHERE n.vec_id < $AppendBase",
+        trainPq = s"\n    AND s.vec_id < $AppendBase")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < AppendBase)
+      val night0 = chainDir(d) + "/night0"
+      val night1 = chainDir(d) + "/night1"
+      val built = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+        trainRounds = 2, m = 16, ksub = 8, dim = Dim, pqTrainRounds = 2)
+      built.save(night0)
+      built.release()
+      val loaded = IvfAdcIndex.load(s, night0, base)
+      val appended = loaded.append(emb.filter(col("vec_id") >= AppendBase))
+      loaded.release()
+      val compacted = appended.compact()
+      appended.release() // independent storage by contract (AnnIndexSpec)
+      compacted.save(night1)
+      compacted.release()
+      val serving = IvfAdcIndex.load(s, night1, emb)
+      val out = serving.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 50, nprobe = 2)
+        .orderBy("qid", "rank")
+      val served = out.collect() // bounded: k·|queries| rows (q187 rule)
+      serving.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 

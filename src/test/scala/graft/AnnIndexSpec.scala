@@ -190,6 +190,42 @@ class AnnIndexSpec extends SparkTestBase {
     compacted.release()
   }
 
+  test("persisted lifecycle chain: load → append → compact → save → load " +
+    "serves identically to the in-memory append path") {
+    // the q216 nightly path: every hop goes through the on-disk artifact
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    // reference: pure in-memory append (the q187-gated shape)
+    val refBase = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val refIdx = refBase.append(delta)
+    refBase.release()
+    val expected = rows(refIdx.query(queries, k = 5, candidates = 50,
+      nprobe = 2))
+    refIdx.release()
+    // chain: build → save → load → append → compact → save → load → serve
+    val night0 = TempDirs.create("graft-annchain-spec0").toString
+    val night1 = TempDirs.create("graft-annchain-spec1").toString
+    val built = IvfAdcIndex.build(base, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    built.save(night0)
+    built.release()
+    val loaded = IvfAdcIndex.load(spark, night0, base)
+    val appended = loaded.append(delta)
+    loaded.release()
+    val compacted = appended.compact()
+    appended.release()
+    compacted.save(night1)
+    compacted.release()
+    val serving = IvfAdcIndex.load(spark, night1, emb)
+    assert(rows(serving.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === expected)
+    // the night-1 artifact is complete (all four tables present)
+    for (part <- Seq("codes", "codebook", "centroids", "params"))
+      assert(new java.io.File(s"$night1/$part").isDirectory, part)
+    serving.release()
+  }
+
   test("save→load round-trip: the loaded handle serves row-for-row " +
     "identical results with zero training/encode work, and releases cleanly") {
     val own = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
