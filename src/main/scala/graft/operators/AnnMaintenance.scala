@@ -43,9 +43,6 @@ object AnnMaintenance {
       candidates: Int, nprobe: Int, nlist: Int, trainRounds: Int,
       m: Int, ksub: Int, dim: Int, pqTrainRounds: Int,
       minRecallPct: Int): DataFrame = {
-    require(minRecallPct >= 0 && minRecallPct <= 100,
-      s"minRecallPct=$minRecallPct out of 0..100")
-    val spark = base.sparkSession
     val union = base.select(col(idCol), col(vecCol))
       .union(delta.select(col(idCol), col(vecCol)))
 
@@ -54,6 +51,22 @@ object AnnMaintenance {
       trainRounds, m, ksub, dim, pqTrainRounds)
     val appended = baseIdx.append(delta)
     baseIdx.release()
+    canaryServe(appended, union, queries, idCol, vecCol, k, candidates,
+      nprobe, nlist, trainRounds, m, ksub, dim, pqTrainRounds, minRecallPct)
+  }
+
+  /** The canary + decision + serve tail of the loop, factored so the
+    * batch (q190) and streaming (q217) front doors share one body.
+    * CONSUMES `appended` (releases it after the canary query); `union`
+    * must be the frame `appended` indexes. */
+  def canaryServe(appended: IvfAdcIndex, union: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidates: Int, nprobe: Int, nlist: Int, trainRounds: Int,
+      m: Int, ksub: Int, dim: Int, pqTrainRounds: Int,
+      minRecallPct: Int): DataFrame = {
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
+    val spark = union.sparkSession
 
     // canary: frozen-quantizer top-k vs exact gold on the sample
     val apprRows = appended.query(queries, k, candidates, nprobe).collect()
@@ -83,5 +96,83 @@ object AnnMaintenance {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
         meanRecall, retrained))
       .toDF("qid", "nid", "d2", "rank", "mean_recall", "retrained")
+  }
+
+  /** Per-state canary reading: (hits, |gold|) of the index's served
+    * top-k against exact gold over `corpus` on the bounded sample —
+    * the number the q188 monitor tracks, exposed so the streaming
+    * front door can record one verdict per micro-batch. */
+  def canaryHits(idx: IvfAdcIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int,
+      nprobe: Int): (Long, Long) = {
+    val appr = idx.query(queries, k, candidates, nprobe).collect()
+    val gold = Similarity.exactL2Knn(queries, corpus, idCol, vecCol, k)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (appr.count(r => gold.contains((r.getLong(0), r.getLong(1)))).toLong,
+      gold.size.toLong)
+  }
+
+  /** STREAMING maintenance front door (round-9 advice item 4 — the q193
+    * arrival pattern applied to maintenance instead of serving): delta
+    * vectors arrive as a REAL file stream (the caller stages one file
+    * per group under `stageDir`, maxFilesPerTrigger = 1 → one genuine
+    * micro-batch per file). Each micro-batch is appended to the resident
+    * index under the FROZEN base-trained quantizers (superseded handles
+    * released as the chain advances — the q187 depth rule) and gets its
+    * own canary verdict against exact gold over the so-far-arrived
+    * corpus (bounded: k·|queries| rows per batch). The expensive retrain
+    * DECISION runs once, in the "nightly window" after the stream
+    * drains, from the final state's canary — so the final output is
+    * EXACTLY the q190 loop's (same oracle replays it: the final index
+    * is base-trained quantizers over base ∪ all deltas, regardless of
+    * arrival order or batch count).
+    *
+    * Returns (served frame — the q190-oracle-gated rows, per-batch
+    * canary recalls in arrival order — the monitoring trail a spec
+    * asserts). */
+  def streamMaintain(base: DataFrame, delta: DataFrame, stageDir: String,
+      groups: Int, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, candidates: Int, nprobe: Int, nlist: Int, trainRounds: Int,
+      m: Int, ksub: Int, dim: Int, pqTrainRounds: Int,
+      minRecallPct: Int): (DataFrame, Seq[Double]) = {
+    val spark = base.sparkSession
+    (0 until groups).foreach { g =>
+      delta.filter(pmod(col(idCol), lit(groups)) === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/b$g")
+    }
+    val baseIdx = IvfAdcIndex.build(base, idCol, vecCol, nlist,
+      trainRounds, m, ksub, dim, pqTrainRounds)
+    // foreachBatch runs sequentially on the driver: plain vars are safe
+    var cur = baseIdx
+    var arrived = List.empty[Long]
+    var recalls = List.empty[Double]
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/b*")
+    val query = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          // which staged group arrived (1-row agg — never the batch rows)
+          val g = batch.agg(min(pmod(col(idCol), lit(groups)))).head.getLong(0)
+          val next = cur.append(batch)
+          cur.release()
+          cur = next
+          arrived = g :: arrived
+          val soFar = base.select(col(idCol), col(vecCol)).union(
+            delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
+              .select(col(idCol), col(vecCol)))
+          val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
+            k, candidates, nprobe)
+          recalls = (h.toDouble / t) :: recalls
+          ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val union = base.select(col(idCol), col(vecCol))
+      .union(delta.select(col(idCol), col(vecCol)))
+    (canaryServe(cur, union, queries, idCol, vecCol, k, candidates,
+      nprobe, nlist, trainRounds, m, ksub, dim, pqTrainRounds,
+      minRecallPct), recalls.reverse)
   }
 }

@@ -56,6 +56,13 @@ object SimilarityOps {
     chainDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
       _ => graft.TempDirs.create("graft-annchain").toString)
 
+  // data dir -> the ONE q217 delta-arrival staging dir (same reuse rule)
+  private val maintDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintDir(d: String): String =
+    maintDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-annmaint").toString)
+
   // data dir -> the ONE q193 query-arrival staging dir (same reuse rule)
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1510,6 +1517,35 @@ object SimilarityOps {
         nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
         pqTrainRounds = 2, minRecallPct = DriftMinRecallPct)
         .orderBy("qid", "rank")
+    },
+
+    // ---- STREAMING maintenance front door (round-9 advice item 4): the
+    //      q190 loop driven by a REAL file stream — the drifted delta
+    //      arrives as three single-file micro-batches (vec_id % 3, the
+    //      q213 carve so batch composition is an engine-replayable rule),
+    //      each appended to the resident index under the frozen
+    //      base-trained quantizers with its own per-batch canary verdict;
+    //      the retrain decision fires once in the post-drain "nightly
+    //      window" from the final state. Final state = base-trained
+    //      quantizers over base ∪ all deltas regardless of arrival order,
+    //      so the SAME q190 oracle replays the whole run — the hash
+    //      proves stream-maintained ≡ one-shot maintained. AnnIndexSpec
+    //      asserts the monitoring trail (≥3 per-batch verdicts). ----
+    Q("q217_ann_stream_maintain", DriftMaintOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < AppendBase)
+        .select(col("vec_id"), col("embedding"))
+      val delta = emb.filter(col("vec_id") >= AppendBase)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.0625f)).as("embedding"))
+      val union = base.union(delta)
+      val queries = union.filter(col("vec_id") < 5 ||
+        (col("vec_id") >= AppendBase && col("vec_id") < AppendBase + 5))
+      AnnMaintenance.streamMaintain(base, delta, maintDir(d), groups = 3,
+        queries, "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2, minRecallPct = DriftMinRecallPct)
+        ._1.orderBy("qid", "rank")
     },
 
     // ---- ADAPTIVE-nlist IVF-ADC (the q83 occupancy-scaling precedent

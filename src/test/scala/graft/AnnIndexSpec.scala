@@ -319,6 +319,39 @@ class AnnIndexSpec extends SparkTestBase {
     assert(adaptive.nonEmpty)
   }
 
+  test("streaming maintenance: three real micro-batches each append and " +
+    "record a canary verdict; the final state matches the one-shot loop") {
+    import graft.operators.AnnMaintenance
+    val base = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding"))
+    val delta = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.0625f)).as("embedding"))
+    val qs = base.union(delta).filter(col("vec_id") < 5 ||
+      (col("vec_id") >= 400 && col("vec_id") < 405))
+    val stage = TempDirs.create("graft-annmaint-spec").toString
+    val (served, recalls) = AnnMaintenance.streamMaintain(base, delta,
+      stage, groups = 3, qs, "vec_id", "embedding", k = 5,
+      candidates = 50, nprobe = 2, nlist = 8, trainRounds = 2, m = 16,
+      ksub = 8, dim = 64, pqTrainRounds = 2, minRecallPct = 80)
+    // the monitoring trail: one genuine verdict per staged micro-batch
+    assert(recalls.length === 3, s"expected 3 per-batch verdicts: $recalls")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0), recalls.toString)
+    val got = served.collect()
+    // planted 2^-4 drift: the final canary trips and the serve retrains
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("retrained")))
+    // stream-maintained ≡ one-shot maintained (the q190 body), row for row
+    val oneShot = AnnMaintenance.appendServeWithCanary(base, delta, qs,
+      "vec_id", "embedding", k = 5, candidates = 50, nprobe = 2,
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64,
+      pqTrainRounds = 2, minRecallPct = 80).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getBoolean(5))
+    assert(got.map(key).sortBy(k => (k._1, k._4)).toSeq
+      === oneShot.map(key).sortBy(k => (k._1, k._4)).toSeq)
+  }
+
   test("maintenance loop: an in-distribution delta passes the canary and " +
     "serves the appended index; a drifted delta trips it and retrains") {
     import graft.operators.AnnMaintenance
