@@ -673,6 +673,32 @@ object Dedup {
         concat_ws(" ", col("keep")).as(textCol))
   }
 
+  /** Separator-robust exact-dedup stats (round-9 advice item 5 — the
+    * gated dedup family tokenizes on single spaces, which is right for
+    * the fixture and wrong for real corpora): fingerprints are md5 over
+    * the [[graft.functions.TextFunctions.tokensRe]] token stream re-joined
+    * on single spaces, so two docs identical up to SEPARATORS — NBSP,
+    * ideographic space U+3000, CJK punctuation, any non-letter/number run
+    * — collapse to one fingerprint where the raw md5 sees distinct
+    * documents. Output per group: (n_docs, n_unique_raw, n_unique_re,
+    * n_re_dups); the raw-vs-re gap is exactly the dedup mass a
+    * space-tokenized pipeline would miss on multilingual text. One
+    * two-phase multi-distinct aggregate (Spark plans the expand), the
+    * fingerprint itself a narrow codegen'd map — same scale shape as
+    * q38. */
+  def tokenNormalizedDedupStats(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame =
+    docs.select(col(groupCol),
+        md5(col(textCol)).as("fp_raw"),
+        md5(concat_ws(" ",
+          graft.functions.TextFunctions.tokensRe(col(textCol))))
+          .as("fp_re"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp_raw")).as("n_unique_raw"),
+        countDistinct(col("fp_re")).as("n_unique_re"))
+      .withColumn("n_re_dups", expr("n_docs - n_unique_re"))
+
   /** Cross-source substring leakage: per source, how many DISTINCT window
     * hashes it contains that also occur in at least one other source — the
     * "is snapshot B contaminated with snapshot A's text?" audit. Output

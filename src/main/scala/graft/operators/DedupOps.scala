@@ -715,6 +715,52 @@ object DedupOps {
       Dedup.substringRunCut(Tables.t(s, d, "documents"), "doc_id", "text",
           k = 4, dfCap = 8, minRunTokens = 8)
         .orderBy("doc_id")
+    },
+
+    // ---- UNICODE separator robustness (round-9 advice item 5): exact
+    //      dedup over the tokensRe token stream, gated on a PLANTED
+    //      multilingual fixture derived deterministically from the
+    //      corpus — each doc appears twice, once space-separated with a
+    //      CJK/diacritic tail (。汉字<id>№ café), once with every space
+    //      replaced by ideographic space U+3000 plus an NBSP before the
+    //      tail. The token-normalized fingerprint collapses each pair
+    //      (n_unique_re = n_docs/2) while the raw fingerprint sees all
+    //      docs distinct — the gap IS the dedup mass a space-tokenized
+    //      pipeline misses on real text. The oracle replays the fixture
+    //      construction AND the regexp_extract_all identity behind
+    //      tokensRe (q95's RE2 ≡ Java \p{L}\p{N} agreement, extended to
+    //      CJK, NBSP, U+3000, №, é). ----
+    Q("q218_unicode_token_dedup",
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    text || ' ' || '。汉字' || CAST(doc_id % 100 AS VARCHAR) || '№ café' AS text
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |    replace(text, ' ', '　') || chr(160) ||
+        |      '。汉字' || CAST(doc_id % 100 AS VARCHAR) || '№ café' AS text
+        |  FROM documents),
+        |m AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |n AS (SELECT source, md5(text) AS fp_raw,
+        |  md5(array_to_string(regexp_extract_all(text, '[\p{L}\p{N}]+'), ' ')) AS fp_re
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT fp_raw) AS n_unique_raw,
+        |  count(DISTINCT fp_re) AS n_unique_re,
+        |  CAST(count(*) - count(DISTINCT fp_re) AS BIGINT) AS n_re_dups
+        |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val tail = concat(lit("。汉字"), (col("doc_id") % 100).cast("string"),
+        lit("№ café"))
+      val v1 = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" "), tail).as("text"))
+      val v2 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"),
+        concat(regexp_replace(col("text"), " ", "\u3000"), lit("\u00A0"),
+          tail).as("text"))
+      Dedup.tokenNormalizedDedupStats(v1.union(v2), "doc_id", "text",
+          "source")
+        .orderBy("source")
     }
   )
 }
