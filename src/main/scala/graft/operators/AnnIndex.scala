@@ -203,6 +203,29 @@ final class IvfAdcIndex private (
     new IvfAdcIndex(flat, () => Graph.release(snap), cb, cents, corpus,
       idCol, vecCol, sub)
   }
+
+  /** Remove ids from the index — the FAISS `remove_ids` lifecycle step
+    * (corpus retractions, GDPR deletions): ONE anti-join on the
+    * materialized codes drops the deleted inverted-list entries, the
+    * corpus binding drops the same ids for the rerank stage. No
+    * retraining, no re-encode — quantizers describe a distribution, not
+    * a membership set, so frozen codebooks stay exactly as valid for
+    * the survivors (q219 gates served results against
+    * train-on-everything-serve-remaining). Returns a NEW handle with
+    * snapshot-backed INDEPENDENT storage (the compact() rule: release
+    * source and result in either order); deleted vectors can never
+    * resurface — candidates come from the codes scan and the rerank
+    * joins corpus BY id, both filtered here. */
+  def delete(ids: DataFrame, idsCol: String): IvfAdcIndex = {
+    val del = ids.select(col(idsCol).as("nid"))
+    val (flat, snap) = Graph.snapshot(
+      codes.join(del, Seq("nid"), "left_anti"))
+    flat.count() // materialize before the caller releases the source
+    val rest = corpus.join(ids.select(col(idsCol).as(idCol)),
+      Seq(idCol), "left_anti")
+    new IvfAdcIndex(flat, () => Graph.release(snap), cb, cents, rest,
+      idCol, vecCol, sub)
+  }
 }
 
 object IvfAdcIndex {

@@ -308,8 +308,8 @@ object SimilarityOps {
     * training + encode, the ADC sum within the 2 probed lists, the
     * top-50 candidate cut AND the exact rerank. */
   private def ivfAdcOracle(trainLloyd: String = "",
-      trainPq: String = ""): String =
-    s"""WITH ${ivfAdcCtes(trainLloyd, trainPq)}
+      trainPq: String = "", adFilter: String = ""): String =
+    s"""WITH ${ivfAdcCtes(trainLloyd, trainPq, adFilter = adFilter)}
        |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin
 
   /** The IVF-ADC route as a reusable CTE chain ending in `appr`
@@ -319,19 +319,21 @@ object SimilarityOps {
   private def ivfAdcCtes(trainLloyd: String = "",
       trainPq: String = "", src: String = "embeddings",
       qrWhere: String = "n.vec_id < 10",
-      qdtWhere: String = "s.vec_id < 10"): String =
+      qdtWhere: String = "s.vec_id < 10",
+      adFilter: String = ""): String =
     s"""${preparedCte(src)},
        |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
        |${pqCtes(trainPq, qdtWhere)},
-       |${ivfAdcTail(qrWhere)}""".stripMargin
+       |${ivfAdcTail(qrWhere, adFilter)}""".stripMargin
 
   /** The nlist-INDEPENDENT back half of the IVF-ADC route (query
     * routing → in-list ADC → candidate cut → exact rerank → appr),
     * shared by [[ivfAdcCtes]] (static nlist = 8) and the q192
     * adaptive-nlist oracle — every stage here only reads `c`/`asg`/
     * `codes`/`qdt`, so ONE definition serves both cell-count modes. */
-  private def ivfAdcTail(qrWhere: String = "n.vec_id < 10"): String =
+  private def ivfAdcTail(qrWhere: String = "n.vec_id < 10",
+      adFilter: String = ""): String =
     s"""qr AS (
        |  SELECT n.vec_id AS qid, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -341,7 +343,7 @@ object SimilarityOps {
        |ad AS (
        |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
        |  FROM pr
-       |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
+       |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid$adFilter
        |  JOIN codes x ON x.vec_id = a.vec_id
        |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
        |  GROUP BY pr.qid, a.vec_id),
@@ -1324,6 +1326,31 @@ object SimilarityOps {
       // may stay lazy over this load's files (the q187 rule)
       val served = out.collect()
       loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- index DELETION (FAISS remove_ids — the lifecycle step q187/
+    //      q205/q216 don't cover: corpus retractions / GDPR deletes):
+    //      build on the FULL corpus, remove every vec_id ≡ 3 (mod 10),
+    //      serve the survivors. One anti-join on the materialized codes;
+    //      no retraining, no re-encode — the oracle keeps training and
+    //      encode over EVERYTHING and filters only the inverted-list
+    //      side (`ad`), so the hash proves delete ≡ train-on-all-serve-
+    //      remaining, and that a deleted vector can never resurface as
+    //      a candidate OR a rerank row. ----
+    Q("q219_ann_index_delete", ivfAdcOracle(
+        adFilter = "\n    AND a.vec_id % 10 <> 3")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
+        trainRounds = 2, m = 16, ksub = 8, dim = Dim, pqTrainRounds = 2)
+      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+        "vec_id")
+      idx.release()
+      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 50, nprobe = 2)
+        .orderBy("qid", "rank")
+      val served = out.collect() // bounded (q187 rule: snapshot-backed)
+      pruned.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 

@@ -190,6 +190,31 @@ class AnnIndexSpec extends SparkTestBase {
     compacted.release()
   }
 
+  test("delete: removed ids never resurface, the source handle is " +
+    "unaffected, storage is independent") {
+    val idx = IvfAdcIndex.build(emb, "vec_id", "embedding", nlist = 8,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2)
+    val before = rows(idx.query(queries, k = 5, candidates = 50, nprobe = 2))
+    val delIds = emb.filter(col("vec_id") % 10 === 3)
+    val nDel = delIds.count()
+    val pruned = idx.delete(delIds, "vec_id")
+    // codes shrink by exactly the deleted set; nothing else moves
+    assert(pruned.codes.count() === emb.count() - nDel)
+    assert(pruned.codes.filter(col("nid") % 10 === 3).count() === 0)
+    // served results never contain a deleted id — candidate AND rerank
+    val after = rows(pruned.query(queries, k = 5, candidates = 50,
+      nprobe = 2))
+    assert(after.nonEmpty && after.forall(_._2 % 10 != 3))
+    // the source handle still serves the full corpus (delete = new handle)
+    assert(rows(idx.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === before)
+    // independent storage: release the source, the pruned handle survives
+    idx.release()
+    assert(rows(pruned.query(queries, k = 5, candidates = 50, nprobe = 2))
+      === after)
+    pruned.release()
+  }
+
   test("persisted lifecycle chain: load → append → compact → save → load " +
     "serves identically to the in-memory append path") {
     // the q216 nightly path: every hop goes through the on-disk artifact
