@@ -50,7 +50,25 @@ final class IvfAdcIndex private (
     * [[Similarity.ivfAdcKnn]], minus all build work. Output
     * (qid, nid, d2, rank). */
   def query(queries: DataFrame, k: Int, candidates: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    queryImpl(queries, None, k, candidates, nprobe)
+
+  /** Metadata-FILTERED search (q220 — the "vector search with a WHERE
+    * clause" every production store exposes): top-k among the ids in
+    * `allowed` only. The filter is applied to the INDEX side (one
+    * semi-join on the materialized codes) BEFORE the ADC candidate cut,
+    * so a selective predicate can never starve the top-k the way a
+    * post-filter over k results would — the candidate budget is spent
+    * entirely on admissible vectors, and the rerank stage inherits the
+    * filtered stream. `allowed` carries the index's id column; at scale
+    * it's a shuffle semi-join on the uniform id key (broadcast when the
+    * allow-list is small — AQE's call). */
+  def queryFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+      candidates: Int, nprobe: Int): DataFrame =
+    queryImpl(queries, Some(allowed), k, candidates, nprobe)
+
+  private def queryImpl(queries: DataFrame, allowed: Option[DataFrame],
+      k: Int, candidates: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     require(nprobe > 0 && nprobe <= cents.length,
@@ -62,8 +80,13 @@ final class IvfAdcIndex private (
       .withColumnRenamed("q", "qq")
     val qpp = Similarity.routeQueries(qp0,
       Similarity.centroidFrame(spark, cents), nprobe, "cell")
+    val admissible = allowed match {
+      case Some(a) => codes.join(
+        a.select(col(idCol).as("nid")), Seq("nid"), "left_semi")
+      case None => codes
+    }
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    val cand = codes.join(broadcast(qpp), Seq("cell"))
+    val cand = admissible.join(broadcast(qpp), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adist", Similarity.pqAdc(m).cast("long"))
       .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))

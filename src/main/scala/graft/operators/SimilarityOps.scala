@@ -1329,6 +1329,30 @@ object SimilarityOps {
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
+    // ---- metadata-FILTERED vector search ("WHERE label < 5" + top-k —
+    //      the filtered-ANN feature every production store exposes):
+    //      the allow-list semi-joins the materialized codes BEFORE the
+    //      ADC candidate cut, so the candidate budget is spent entirely
+    //      on admissible vectors (a post-filter over k results would
+    //      starve the top-k under selective predicates). Serves from
+    //      the q185 memoized handle — the filter is per-QUERY state,
+    //      never baked into the index. The oracle filters the same
+    //      inverted-list side (`ad`) by the label predicate, training/
+    //      encode untouched, so the hash proves filtered-serve ≡
+    //      train-on-all-rank-among-allowed. ----
+    Q("q220_ann_filtered_search", ivfAdcOracle(
+        adFilter = "\n    AND a.vec_id IN" +
+          " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      idx.queryFiltered(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") < 5).select("vec_id"),
+          k = 5, candidates = 50, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+
     // ---- index DELETION (FAISS remove_ids — the lifecycle step q187/
     //      q205/q216 don't cover: corpus retractions / GDPR deletes):
     //      build on the FULL corpus, remove every vec_id ≡ 3 (mod 10),
