@@ -158,6 +158,34 @@ object CleanerOps {
         .select(col("doc_id"), col("n_email"), col("n_ip"),
           md5(col("t2")).as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- Unicode NFC normalization via the custom codegen'd
+    //      NfcNormalize expression (Spark ships no normalizer; the §7.3
+    //      preference order says Expression before UDF). Fixture plants
+    //      DECOMPOSED text deterministically (every 'e' → e + combining
+    //      acute U+0301); NFC recomposes to é, so lengths shrink back
+    //      and the md5 pins JDK-NFC ≡ DuckDB/utf8proc-NFC — safe to
+    //      gate cross-engine because canonical composition is covered
+    //      by Unicode's normalization stability policy. The ASCII rest
+    //      of each doc exercises the zero-alloc already-normalized fast
+    //      path in the same pass. Narrow per-row map, zero shuffle. ----
+    Q("q221_nfc_normalize",
+      """WITH aug AS (SELECT doc_id,
+        |  replace(text, 'e', 'e' || chr(769)) AS t FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+        |  md5(nfc_normalize(t)) AS fp
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.plans.GraftFunctions.nfc
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast("long").as("n_before"),
+          length(nfc(col("t"))).cast("long").as("n_after"),
+          md5(nfc(col("t"))).as("fp"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -35,6 +35,10 @@ object GraftFunctions {
   def lshBucket(q: Column, planes: Int, dim: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(q), planes, dim))
 
+  /** Codegen'd Unicode NFC normalization (zero-alloc on normalized input). */
+  def nfc(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
   /** Whole-MinHash-signature aggregate over a BIGINT base-hash column. */
   def minhashSig(baseHash: Column, numHashes: Int): Column =
     ColumnBridge.column(
@@ -53,5 +57,7 @@ object GraftFunctions {
       exprs => LshBucket(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

@@ -131,4 +131,28 @@ class CleanersSpec extends SparkTestBase {
       else assert(out === in, s"in=$in out=$out")
     }
   }
+
+  test("NfcNormalize: recomposes decomposed text, identity on normalized " +
+    "input, stays inside whole-stage codegen") {
+    import graft.plans.GraftFunctions.nfc
+    val df = Seq("cafe\u0301", "plain ascii 123", "e\u0301e\u0301",
+        "\u00e9 already composed")
+      .toDF("t")
+      .select(col("t"), nfc(col("t")).as("n"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("cafe\u0301") === "caf\u00e9")
+    assert(rows("e\u0301e\u0301") === "\u00e9\u00e9")
+    // already-NFC inputs come back verbatim (the zero-alloc fast path)
+    assert(rows("plain ascii 123") === "plain ascii 123")
+    assert(rows("\u00e9 already composed") === "\u00e9 already composed")
+    // custom Expression, not a UDF: over a real scan (a local Seq folds
+    // to LocalTableScan) the projection is whole-stage codegen'd
+    val scan = Tables.t(spark, Sf, "documents")
+      .select(nfc(col("text")).as("n"))
+    val plan = scan.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    assert(plan.contains("*(1) Project [graft_nfc("), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(scan.count() > 0)
+  }
 }
