@@ -453,6 +453,76 @@ object Sampling {
     //      this is row-level winnowing WITHIN each source. Cost: one
     //      per-source window — the corpus shuffles once by source; at
     //      100 TB a skewed source salts exactly like q177. ----
+    // ---- TEMPERATURE-sampled source mixing (the multilingual upsampling
+    //      rule of XLM-R/mBERT: p_s ∝ n_s^α flattens the source
+    //      distribution so low-resource sources aren't drowned): α = 1/2,
+    //      because sqrt is the ONE power function that is correctly
+    //      rounded IEEE in both engines (the Q.scala rule — pow/exp/ln
+    //      are libm, not cross-engine-safe). Weights quantize to integer
+    //      ppm immediately after the sqrt (floor(√tokens · 10⁶)), so the
+    //      cross-source normalization is an ORDER-INDEPENDENT integer
+    //      sum — a double Σ√t would depend on partition summation order.
+    //      Derived per-source quota → q137's deterministic rep rule
+    //      (w_mil + md5 fractional draw), so the sampler EMITS epoch
+    //      counts, not just a report. Scale: one corpus scan, every
+    //      window-free aggregate two-phase, the |sources|-row weight
+    //      table broadcast back. ----
+    Q("q222_temperature_mix",
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |ps AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS toks FROM t GROUP BY source),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM ps),
+        |g AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot,
+        |  CAST(sum(n_docs) AS BIGINT) AS ndocs,
+        |  CAST(sum(toks) AS BIGINT) AS ttot FROM w),
+        |sh AS (SELECT w.*, wq * 1000000 // wtot AS share_ppm,
+        |  toks * 1000000 // ttot AS raw_share_ppm,
+        |  (wq * 1000000 // wtot) * ndocs // 1000000 AS quota_docs FROM w, g),
+        |m AS (SELECT *, quota_docs * 1000 // n_docs AS w_mil FROM sh),
+        |r AS (SELECT t.source,
+        |  m.w_mil // 1000 + CASE WHEN
+        |    CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |    < m.w_mil % 1000 THEN 1 ELSE 0 END AS reps
+        |  FROM t JOIN m USING (source)),
+        |e AS (SELECT source, CAST(sum(reps) AS BIGINT) AS epoch_docs
+        |  FROM r GROUP BY source)
+        |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs, m.toks AS tokens,
+        |  m.wq AS w_sqrt_ppm, CAST(m.share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(m.raw_share_ppm AS BIGINT) AS raw_share_ppm,
+        |  CAST(m.quota_docs AS BIGINT) AS quota_docs,
+        |  CAST(m.w_mil AS BIGINT) AS w_mil,
+        |  coalesce(e.epoch_docs, 0) AS epoch_docs
+        |FROM m LEFT JOIN e USING (source) ORDER BY m.source""".stripMargin) { (s, d) =>
+      val t = Tables.t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val w = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("toks"))
+        .withColumn("wq",
+          floor(sqrt(col("toks").cast("double")) * lit(1000000.0))
+            .cast("long"))
+      val g = w.agg(sum("wq").cast("long").as("wtot"),
+        sum("n_docs").cast("long").as("ndocs"),
+        sum("toks").cast("long").as("ttot"))
+      val m = w.crossJoin(broadcast(g))
+        .withColumn("share_ppm", expr("wq * 1000000L div wtot"))
+        .withColumn("raw_share_ppm", expr("toks * 1000000L div ttot"))
+        .withColumn("quota_docs", expr("share_ppm * ndocs div 1000000L"))
+        .withColumn("w_mil", expr("quota_docs * 1000L div n_docs"))
+      val e = t.join(broadcast(m.select("source", "w_mil")), "source")
+        .withColumn("u", hashBucket(col("doc_id"), 1000))
+        .withColumn("reps", mixReps)
+        .groupBy("source").agg(sum("reps").cast("long").as("epoch_docs"))
+      m.join(e, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("toks").as("tokens"),
+          col("wq").as("w_sqrt_ppm"), col("share_ppm"),
+          col("raw_share_ppm"), col("quota_docs"), col("w_mil"),
+          coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"))
+        .orderBy("source")
+    },
+
     Q("q208_domain_cap",
       """WITH r AS (
         |  SELECT doc_id, source,
