@@ -1012,4 +1012,75 @@ object Similarity {
       .filter(col("arank") <= candidates)
     pqRerank(cand, p, idCol, k)
   }
+
+  /** IVF-RADC: [[ivfAdcKnn]] with RESIDUAL encoding — the construction
+    * FAISS's IndexIVFPQ actually uses (Jégou et al. 2011 §IV): each
+    * vector is PQ-encoded as x − c(cell) rather than x, so every
+    * codebook only has to cover the spread WITHIN a cell instead of the
+    * whole space — the ADC quantization error that costs recall drops
+    * with no change in code size. The price is query-side: the ADC
+    * lookup tables depend on the PROBED cell (the query residual
+    * q − c(cell) differs per cell), so the routed query frame carries
+    * nprobe table sets instead of one — still bounded
+    * (|queries|·nprobe·m·ksub), still broadcast.
+    *
+    * Everything else is the q184 pipeline: trained coarse quantizer,
+    * narrow literal-centroid cell assign, one narrow residual + encode
+    * map over the corpus (residual = zip_with against the literal
+    * centroid matrix — exact integer subtraction), candidates from the
+    * cell equi-join, exact raw-vector rerank. The q223 oracle replays
+    * residual computation, residual-PQ training, per-cell query tables
+    * and the cell-keyed ADC join bit for bit. */
+  def ivfRadcKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int, nlist: Int, nprobe: Int,
+      trainRounds: Int, m: Int, ksub: Int, dim: Int,
+      pqTrainRounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of range")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(nprobe > 0 && nprobe <= nlist, s"nprobe=$nprobe out of 1..$nlist")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val p = prepared(corpus, idCol, vecCol)
+    val cents = collectTrainedCentroids(corpus, idCol, vecCol, nlist,
+      trainRounds)
+    val shift = shiftFor(nlist)
+    val centsMat = array(cents.sortBy(_._1).map { case (_, cq) =>
+      pqLitArr(cq) }: _*)
+    def residual(vcol: Column, cellCol: Column): Column =
+      zip_with(vcol, element_at(centsMat, cellCol.cast("int") + 1),
+        (a, b) => a - b)
+    val assigned = p
+      .withColumn("cell", least(cellAssignKeys(cents, shift): _*) % shift)
+      .withColumn("rq", residual(col("q"), col("cell")))
+    // residual-PQ: codebooks train on residual subvectors, codes encode
+    // residuals — same literal-argmin machinery as the raw-vector route
+    val cb = pqCodebook(
+      assigned.select(col(idCol), col("rq").as("q"),
+        normSq(col("rq")).as("nsq")),
+      idCol, m, ksub, sub, pqTrainRounds)
+    val codes = pqCodes(assigned.select(col(idCol).as("nid"), col("cell"),
+        col("rq").as("q")), cb, sub)
+      .drop("q")
+      .localCheckpoint(false)
+    // query side: route FIRST (tables are per probed cell), then the
+    // per-cell query residual and its ADC tables
+    val qp0 = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    val qpp = pqDtCols(
+        routeQueries(qp0, centroidFrame(spark, cents), nprobe, "cell")
+          .withColumn("q", residual(col("qq"), col("cell"))),
+        cb, sub)
+      .drop("q")
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(qpp), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", pqAdc(m).cast("long"))
+      .select(col("qid"), col("nid"), col("qq"), col("qnsq"), col("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+    pqRerank(cand, p, idCol, k)
+  }
 }

@@ -142,13 +142,13 @@ object SimilarityOps {
     * train on the base, encode everything. `qdtWhere` selects the query
     * set (default: the q179/q184 first-10 sample). */
   private def pqCtes(trainWhere: String = "",
-      qdtWhere: String = "s.vec_id < 10"): String = {
+      qdtWhere: String = "s.vec_id < 10", from: String = "n"): String = {
     val seed =
-      """ms AS (SELECT unnest(range(0, 16)) AS m),
+      s"""ms AS (SELECT unnest(range(0, 16)) AS m),
         |sub AS (
-        |  SELECT n.vec_id, ms.m,
+        |  SELECT $from.vec_id, ms.m,
         |    qd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
-        |  FROM n, ms),
+        |  FROM $from, ms),
         |subn AS MATERIALIZED (SELECT vec_id, m, sq, list_dot_product(sq, sq) AS snsq
         |         FROM sub),
         |pc0 AS (SELECT m, CAST(vec_id AS BIGINT) AS cid, sq AS cq,
@@ -347,7 +347,13 @@ object SimilarityOps {
        |  JOIN codes x ON x.vec_id = a.vec_id
        |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
        |  GROUP BY pr.qid, a.vec_id),
-       |cand AS (
+       |$AdcCutRerankSql""".stripMargin
+
+  /** The ADC candidate cut + exact rerank CTE tail (reads `ad` and the
+    * raw `n`) — ONE definition shared by [[ivfAdcTail]] and the q223
+    * residual route so the cut/tie-break/rerank can never drift. */
+  private val AdcCutRerankSql: String =
+    s"""cand AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
@@ -1170,6 +1176,65 @@ object SimilarityOps {
     Q("q184_ivf_adc_knn", IvfAdcOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.ivfAdcKnn(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 50, nlist = 8,
+          nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+          pqTrainRounds = 2)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- IVF-RADC: residual encoding — the construction FAISS's
+    //      IndexIVFPQ actually runs (Jégou et al. 2011 §IV): PQ encodes
+    //      x − c(cell), so each codebook covers only within-cell spread
+    //      and ADC error drops at the same code size. Query-side ADC
+    //      tables become per-PROBED-CELL (the query residual differs per
+    //      cell) — still bounded, still broadcast. The oracle replays
+    //      residual computation (integer zip_with subtraction against
+    //      the trained centroids), residual-PQ training (the pqCtes
+    //      machinery re-pointed at the residual frame), the per-cell
+    //      query tables and the cell-keyed ADC join; cut + rerank is
+    //      the SAME shared AdcCutRerankSql tail as q184. ----
+    Q("q223_ivf_radc_knn",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |resn AS MATERIALIZED (
+         |  SELECT n.vec_id, a.cid AS cell,
+         |    list_transform(range(1, ${Dim + 1}), i ->
+         |      n.qd[CAST(i AS INTEGER)] - c.cqd[CAST(i AS INTEGER)]) AS qd
+         |  FROM n JOIN asg a USING (vec_id) JOIN c ON c.cid = a.cid),
+         |${pqCtes(qdtWhere = "FALSE", from = "resn")},
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |qres AS (
+         |  SELECT pr.qid, pr.cid AS cell,
+         |    list_transform(range(1, ${Dim + 1}), i ->
+         |      n.qd[CAST(i AS INTEGER)] - c.cqd[CAST(i AS INTEGER)]) AS rqd
+         |  FROM pr JOIN n ON n.vec_id = pr.qid JOIN c ON c.cid = pr.cid),
+         |qsn AS (
+         |  SELECT qid, cell, ms.m,
+         |    rqd[CAST(ms.m * 4 + 1 AS INTEGER):CAST(ms.m * 4 + 4 AS INTEGER)] AS sq
+         |  FROM qres, ms),
+         |rqdt AS (
+         |  SELECT s.qid, s.cell, cq.m, cq.cid AS code_cid,
+         |    CAST(list_dot_product(s.sq, s.sq) + cq.cnsq
+         |      - 2 * list_dot_product(s.sq, cq.cq) AS BIGINT) AS pd
+         |  FROM qsn s JOIN cbq cq ON cq.m = s.m),
+         |ad AS (
+         |  SELECT pr.qid, rx.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
+         |  FROM pr
+         |  JOIN resn rx ON rx.cell = pr.cid AND rx.vec_id <> pr.qid
+         |  JOIN codes x ON x.vec_id = rx.vec_id
+         |  JOIN rqdt t ON t.qid = pr.qid AND t.cell = pr.cid
+         |    AND t.m = x.m AND t.code_cid = x.cid
+         |  GROUP BY pr.qid, rx.vec_id),
+         |$AdcCutRerankSql
+         |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.ivfRadcKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 50, nlist = 8,
           nprobe = 2, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
           pqTrainRounds = 2)

@@ -458,6 +458,33 @@ class VectorSpec extends SparkTestBase {
     assert(recall >= 0.8, s"SQ8 recall@5 collapsed: $recall")
   }
 
+  test("IVF-RADC: residual encoding matches or beats raw-vector ADC " +
+    "recall at identical code size") {
+    // the q223 oracle gates determinism; this gates the POINT of
+    // residual encoding (Jégou et al. 2011 §IV): codebooks that only
+    // cover within-cell spread quantize finer at the same m·ksub budget,
+    // so ADC candidate quality — hence recall after the exact rerank —
+    // must not drop vs the raw route, and usually rises.
+    val queries = emb.filter(col("vec_id") < 10)
+    def recallOf(f: => org.apache.spark.sql.DataFrame): Double = {
+      val got = f.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.exactL2Knn(queries, emb, "vec_id",
+          "embedding", 5)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val raw = recallOf(Similarity.ivfAdcKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 50, nlist = 8, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2))
+    val res = recallOf(Similarity.ivfRadcKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 50, nlist = 8, nprobe = 2,
+      trainRounds = 2, m = 16, ksub = 8, dim = 64, pqTrainRounds = 2))
+    assert(res >= raw - 1e-9, s"residual ADC recall $res < raw $raw")
+    assert(res >= 0.5, s"residual ADC recall collapsed: $res")
+  }
+
   test("matryoshka prefix candidates beat random candidate selection") {
     // the q206 oracle gates determinism; this gates QUALITY — with 100
     // candidates from 1/4 of the dims, the exact rerank should recover
