@@ -712,6 +712,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q214 span cutter: candidates ride the shingle equi-join, the " +
+    "token rebuild is a narrow array map (no range join)") {
+    val p = planOf(q("q214_substring_run_cut"))
+    // no interval range-join: the cut test is an array `exists` per
+    // token, so nothing may plan as a nested-loop/cartesian over
+    // (tokens x intervals)
+    assert(!p.contains("CartesianProduct"), p)
+    // the run detection shuffles by the uniform shingle hash, never by
+    // raw text or position
+    assert("Exchange hashpartitioning\\(h#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q215 release composition: no cartesian product; exact dedup " +
+    "keyed by fingerprint; the near-dup stage sits behind its snapshot") {
+    val p = planOf(q("q215_corpus_release"))
+    assert(!p.contains("CartesianProduct"), p)
+    // stage-2 exact dedup joins keeper ids back BY FINGERPRINT — the
+    // corpus-sized shuffle is keyed by the uniform md5 fp, never raw text
+    assert("hashpartitioning\\(fp#".r.findFirstIn(p).isDefined, p)
+    // the decontamination stage's 5-gram shuffle is keyed by the uniform
+    // shingle hash WITH the df-cap window riding the same partitioning
+    // (the q97/q105 skew rule — capped, never a raw self-join)
+    assert("hashpartitioning\\(s#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
