@@ -352,25 +352,30 @@ object SimilarityOps {
   /** The ADC candidate cut + exact rerank CTE tail (reads `ad` and the
     * raw `n`) — ONE definition shared by [[ivfAdcTail]] and the q223
     * residual route so the cut/tie-break/rerank can never drift. */
-  private val AdcCutRerankSql: String =
-    s"""cand AS (
+  private val AdcCutRerankSql: String = adcCutRerankSql()
+
+  /** [[AdcCutRerankSql]] with SUFFIXED CTE names (cand$sfx/scored$sfx/
+    * appr$sfx reading ad$sfx) — the q224 nprobe sweep needs one cut +
+    * rerank chain PER probed depth in a single statement. */
+  private def adcCutRerankSql(sfx: String = ""): String =
+    s"""cand$sfx AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank
-       |    FROM ad) t
+       |    FROM ad$sfx) t
        |  WHERE arank <= 50),
-       |scored AS (
+       |scored$sfx AS (
        |  SELECT c2.qid, c2.nid,
        |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd)
        |      AS BIGINT) AS d2
-       |  FROM cand c2
+       |  FROM cand$sfx c2
        |  JOIN n na ON na.vec_id = c2.qid
        |  JOIN n nb ON nb.vec_id = c2.nid),
-       |appr AS (
+       |appr$sfx AS (
        |  SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
        |    SELECT qid, nid, d2,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
-       |    FROM scored) t
+       |    FROM scored$sfx) t
        |  WHERE rank <= 5)""".stripMargin
 
   private val IvfAdcOracleSql: String = ivfAdcOracle()
@@ -1416,6 +1421,77 @@ object SimilarityOps {
           emb.filter(col("label") < 5).select("vec_id"),
           k = 5, candidates = 50, nprobe = 2)
         .orderBy("qid", "rank")
+    },
+
+    // ---- nprobe/recall TUNING SWEEP: the operating-curve artifact a
+    //      vector-store deployment publishes before picking its serving
+    //      point — recall@5 vs exact gold at nprobe ∈ {1, 2, 4}, all
+    //      three depths served from the SAME memoized handle (routing
+    //      is rank-once-cut-thrice; no rebuild per depth). The oracle
+    //      replays one shared route ranking and one cut+rerank chain
+    //      PER depth (the suffixed AdcCutRerankSql), plus the exact
+    //      gold and the per-depth hit join — monotonicity of the curve
+    //      is data, not assumption. Cost: three bounded serves + one
+    //      exact pass over the 10-query sample. ----
+    Q("q224_ann_nprobe_sweep", {
+      val perNp = Seq(1, 2, 4).map { np =>
+        s"""pr_$np AS (SELECT qid, cid FROM qr WHERE crn <= $np),
+           |ad_$np AS (
+           |  SELECT pr_$np.qid, a.vec_id AS nid,
+           |    CAST(sum(t.pd) AS BIGINT) AS adist
+           |  FROM pr_$np
+           |  JOIN asg a ON a.cid = pr_$np.cid AND a.vec_id <> pr_$np.qid
+           |  JOIN codes x ON x.vec_id = a.vec_id
+           |  JOIN qdt t ON t.qid = pr_$np.qid AND t.m = x.m AND t.cid = x.cid
+           |  GROUP BY pr_$np.qid, a.vec_id),
+           |${adcCutRerankSql(s"_$np")}""".stripMargin
+      }.mkString(",\n")
+      val recalls = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np AS nprobe,
+           |  CAST(count(a.nid) AS BIGINT) AS hits,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  CAST(count(a.nid) AS DOUBLE) / count(*) AS recall
+           |FROM exact e LEFT JOIN appr_$np a
+           |  ON a.qid = e.qid AND a.nid = e.nid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |${pqCtes()},
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd), c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |$perNp,
+         |exact AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
+         |        b.vec_id) AS rk
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= 5)
+         |SELECT * FROM ($recalls) ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.exactL2Knn(queries, emb, "vec_id",
+          "embedding", 5)
+        .select("qid", "nid")
+      Seq(1, 2, 4).map { np =>
+        val appr = idx.query(queries, k = 5, candidates = 50, nprobe = np)
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        exact.join(appr, Seq("qid", "nid"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+            count(lit(1)).as("total"))
+          .select(lit(np).as("nprobe"), col("hits"), col("total"),
+            (col("hits").cast("double") / col("total")).as("recall"))
+      }.reduce(_ union _)
+        .orderBy("nprobe")
     },
 
     // ---- index DELETION (FAISS remove_ids — the lifecycle step q187/
