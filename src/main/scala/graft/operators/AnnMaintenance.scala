@@ -43,6 +43,10 @@ object AnnMaintenance {
       candidates: Int, nprobe: Int, nlist: Int, trainRounds: Int,
       m: Int, ksub: Int, dim: Int, pqTrainRounds: Int,
       minRecallPct: Int): DataFrame = {
+    // fail fast (round-10 advice item 4): an invalid threshold must be
+    // rejected BEFORE any build/append work, not after it
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
     val union = base.select(col(idCol), col(vecCol))
       .union(delta.select(col(idCol), col(vecCol)))
 
@@ -152,6 +156,10 @@ object AnnMaintenance {
       k: Int, candidates: Int, nprobe: Int, nlist: Int, trainRounds: Int,
       m: Int, ksub: Int, dim: Int, pqTrainRounds: Int,
       minRecallPct: Int): (DataFrame, Seq[Double]) = {
+    // fail fast (round-10 advice item 4): reject before staging a single
+    // file — not after the whole stream has drained
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
     val spark = base.sparkSession
     (0 until groups).foreach { g =>
       delta.filter(pmod(col(idCol), lit(groups)) === g).coalesce(1)
@@ -169,18 +177,26 @@ object AnnMaintenance {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) =>
-          // which staged group arrived (1-row agg — never the batch rows)
-          val g = batch.agg(min(pmod(col(idCol), lit(groups)))).head.getLong(0)
-          val next = cur.append(batch)
-          cur.release()
-          cur = next
-          arrived = g :: arrived
-          val soFar = base.select(col(idCol), col(vecCol)).union(
-            delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
-              .select(col(idCol), col(vecCol)))
-          val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
-            k, candidates, nprobe)
-          recalls = (h.toDouble / t) :: recalls
+          // which staged group arrived (1-row agg — never the batch
+          // rows). An EMPTY batch (a delta group with no rows modulo
+          // `groups` still stages a 0-row parquet, round-10 advice
+          // item 2) yields a NULL min — skip it instead of NPEing the
+          // stream: appending nothing and re-running the canary would
+          // only repeat the previous verdict.
+          val gRow = batch.agg(min(pmod(col(idCol), lit(groups)))).head
+          if (!gRow.isNullAt(0)) {
+            val g = gRow.getLong(0)
+            val next = cur.append(batch)
+            cur.release()
+            cur = next
+            arrived = g :: arrived
+            val soFar = base.select(col(idCol), col(vecCol)).union(
+              delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
+                .select(col(idCol), col(vecCol)))
+            val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
+              k, candidates, nprobe)
+            recalls = (h.toDouble / t) :: recalls
+          }
           ()
       }
       .start()

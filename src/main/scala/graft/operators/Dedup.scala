@@ -50,6 +50,27 @@ object Dedup {
     docs.select(col(idCol),
       graft.plans.GraftFunctions.shingleRows(col(textCol), n).as(Seq("s", "ns")))
 
+  /** Drop rows whose shingle `s` has document frequency above `cap` —
+    * the skew-safe TWO-PHASE form (round-10 advice item 2): a
+    * `groupBy("s").count` runs map-side partial aggregation, so a
+    * pathological shingle (boilerplate repeated billions of times at
+    * corpus scale) arrives at the reducer as a handful of partial
+    * counts, never as its full posting list in one task — which is
+    * exactly what the previous `count(*) over (partition by s)` window
+    * did. The keep-set join is keyed on `s`, the same partitioning the
+    * downstream shingle joins need, so the exchange is reused; the
+    * keep-set itself is one row per surviving DISTINCT shingle.
+    * Semantics identical to the window form (count of ROWS per s;
+    * `shingleRows` emits distinct shingles per doc, so rows = docs). */
+  private[operators] def dfCapRows(rows: DataFrame, cap: Int): DataFrame = {
+    val keep = rows.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("s")
+    // shuffle-hash, never broadcast: the keep-set is the corpus's distinct
+    // sub-cap shingles — vocabulary-sized, far past broadcast range at
+    // corpus scale even though AQE would happily broadcast it at test SFs
+    rows.join(keep.hint("shuffle_hash"), Seq("s"))
+  }
+
   /** Exact pairwise n-gram Jaccard for all pairs sharing at least one
     * shingle; keeps pairs with jaccard >= minJaccard.
     * Output: (id_a, id_b, inter, jac), id_a < id_b.
@@ -74,12 +95,7 @@ object Dedup {
     // released when the query finishes (a long-lived session calling this
     // per-corpus must not accrete resident shingle tables).
     val compact = maxShingleDf match {
-      case Some(cap) =>
-        // df via a window over the same hash-partition-by-s the join needs:
-        // one shuffle total, instead of a separate groupBy + anti-join pass
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        compact0.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= cap).drop("df")
+      case Some(cap) => dfCapRows(compact0, cap)
       case None => compact0
     }
     val a = compact.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
@@ -352,9 +368,10 @@ object Dedup {
     * total shingles. Long shingles (n ~ 8+) are the industry-standard
     * overlap unit: rare enough that a match means real leakage.
     *
-    * Scale shape: ONE shuffle keyed by shingle does everything — the df
-    * cap rides a window over that partitioning (q97 pattern), the train
-    * side's distinct and the train⋈eval join reuse it. `maxShingleDf`
+    * Scale shape: everything keys by shingle — the df cap is the
+    * two-phase [[dfCapRows]] (map-side partial counts, skew-safe), and
+    * the train side's distinct and the train⋈eval join reuse the same
+    * s-partitioning. `maxShingleDf`
     * bounds any bucket at cap² (boilerplate shared by both splits is not
     * leakage evidence anyway); per-doc totals keep the FULL count, so
     * `frac` is a lower bound — every reported doc is genuinely
@@ -365,10 +382,7 @@ object Dedup {
   def crossSplitContamination(docs: DataFrame, idCol: String, textCol: String,
                               n: Int, split: Column,
                               maxShingleDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val capped = shingleRows(docs, idCol, textCol, n)
-      .withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxShingleDf).drop("df")
+    val capped = dfCapRows(shingleRows(docs, idCol, textCol, n), maxShingleDf)
       .withColumn("split", split)
     val train = capped.filter(col("split") === "train")
       .select("s").dropDuplicates("s")
@@ -428,13 +442,13 @@ object Dedup {
     * batch-side once; [[contaminationAgainst]] then checks any batch OR
     * stream of documents against it. */
   def trainShingleSet(trainDocs: DataFrame, idCol: String, textCol: String,
-                      n: Int, maxDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+                      n: Int, maxDf: Int): DataFrame =
+    // the two-phase cap's keep-set IS the answer here: distinct surviving
+    // shingles — no join-back needed
     shingleRows(trainDocs, idCol, textCol, n)
-      .withColumn("df", count(lit(1)).over(w))
+      .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select("s").dropDuplicates("s")
-  }
+      .select("s")
 
   /** Ingest-time contamination check of `docs` against a precomputed
     * [[trainShingleSet]]: per incoming doc, the count of its distinct
@@ -625,8 +639,12 @@ object Dedup {
     * q153 representative rule applied in-operator: more tokens wins,
     * smaller id on ties — the victim is the shorter doc (db on equal
     * length, since da < db). Per pair exactly ONE span is cut (its
-    * longest run; ties → smallest victim-side start, then smallest
-    * da-side start), matching the advice's spec; a doc victimized by
+    * longest run; ties → smallest b-side start, then smallest a-side
+    * start — a fixed, victim-AGNOSTIC order, so both engines pick the
+    * same winning run before the victim side is known; when the victim
+    * is da the tie-break is therefore NOT the victim-side start, by
+    * design — round-10 advice pinned the doc to the implementation); a
+    * doc victimized by
     * several pairs accumulates several intervals, and every token inside
     * ANY interval is dropped. Output only the REWRITTEN docs:
     * (id, n_before, n_after, text), tokens re-joined on single spaces.

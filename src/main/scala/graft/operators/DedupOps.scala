@@ -153,10 +153,13 @@ object DedupOps {
     // ---- train/eval decontamination: eval docs sharing >= 1 five-gram
     //      shingle with any train doc (split = the q85 md5 90/10 split).
     //      The planted near-dup pairs guarantee cross-split leakage at
-    //      every SF. One shuffle keyed by shingle carries the df cap
-    //      window, the train-side distinct, and the train-eval join; the
-    //      cap bounds hot shingles (frac stays a lower bound over the
-    //      UNCAPPED per-doc totals, q97 semantics). ----
+    //      every SF. Everything keys by shingle — the df cap is the
+    //      two-phase Dedup.dfCapRows (map-side partials, skew-safe); the
+    //      train-side distinct and the train-eval join reuse the same
+    //      s-partitioning; the cap bounds hot shingles (frac stays a
+    //      lower bound over the UNCAPPED per-doc totals, q97 semantics).
+    //      The ORACLE keeps the window form — plan-equivalent semantics,
+    //      and DuckDB's single-node window is not the skew surface. ----
     Q("q105_contamination",
       s"""WITH ${shingleCteN(5)},
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
@@ -663,8 +666,9 @@ object DedupOps {
     //      on ties); a doc hit by several pairs loses every interval.
     //      Only rewritten docs are emitted, and the hash covers the CUT
     //      TEXT itself — the oracle replays shingling, df-cap, diagonal
-    //      islands, per-pair argmax (rs DESC, victim/b_start, a_start),
-    //      victim selection, interval union and the token-level rebuild;
+    //      islands, per-pair argmax (rs DESC, b_start, a_start — a fixed
+    //      victim-agnostic tie order on both engines), victim selection,
+    //      interval union and the token-level rebuild;
     //      one token off anywhere breaks it. ----
     Q("q214_substring_run_cut",
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

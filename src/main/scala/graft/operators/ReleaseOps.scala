@@ -35,14 +35,32 @@ object ReleaseOps {
 
   /** Per-source release report over the full prep chain; see the object
     * scaladoc for the stage list. Input must carry (idCol=doc_id,
-    * source, n_chars, text) — the documents schema. */
-  def prepareCorpus(docs: DataFrame): DataFrame = {
+    * source, n_chars, text) — the documents schema.
+    *
+    * `robust = true` (round-10 advice item 1) canonicalizes text BEFORE
+    * stage 1 — NFC-normalize ([[graft.plans.GraftFunctions.nfc]], the
+    * q221 Expression) then re-tokenize on the separator-robust
+    * [[TextFunctions.tokensRe]] word-char runs (the q218 rule), re-joined
+    * on single spaces — so the fingerprints, token counts, near-dup
+    * shingles and decontamination shingles that drive EVERY downstream
+    * stage see one canonical token stream. A multilingual corpus where
+    * near-dups differ only by separators (NBSP, U+3000, CJK punctuation)
+    * or by composed-vs-decomposed accents dedups correctly; the raw
+    * variant keeps those dups (q225's planted fixture demonstrates the
+    * gap). Default stays raw: the single-space fixture corpus and the
+    * q215 gate are byte-identical under it. */
+  def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capDf = math.max(4L, docs.count() / 300L).toInt
+    val pre =
+      if (robust)
+        docs.withColumn("text", concat_ws(" ",
+          TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text")))))
+      else docs
+    val capDf = math.max(4L, pre.count() / 300L).toInt
 
     // stage 1: quality funnel (the q140 four integer rules)
     val toks = TextFunctions.tokens(col("text"))
-    val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+    val base = pre.select(col("doc_id"), col("source"), col("n_chars"),
       col("text"),
       TextFunctions.fingerprint(TextFunctions.normalized(col("text")))
         .as("fp"),
@@ -68,10 +86,8 @@ object ReleaseOps {
     // stage 4: decontamination — release = the train split, minus train
     // docs sharing any df-capped 5-gram shingle with the held-out eval
     // split (q105's machinery, pointed at the docs a release must DROP)
-    val wSh = Window.partitionBy("s")
-    val capped5 = Dedup.shingleRows(s3, "doc_id", "text", 5)
-      .withColumn("df", count(lit(1)).over(wSh))
-      .filter(col("df") <= capDf)
+    val capped5 = Dedup.dfCapRows(
+        Dedup.shingleRows(s3, "doc_id", "text", 5), capDf)
       .select("doc_id", "s")
     val spl = s3.select(col("doc_id"),
       Sampling.splitLabel(col("doc_id"), 1).as("split"))
@@ -182,17 +198,22 @@ object ReleaseOps {
   private val md5Bucket =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
-  val defs: Seq[Q] = Seq(
-    // ---- the full release composition; oracle replays ALL EIGHT stages
-    //      (see prepareCorpus scaladoc). Single-owner CTE text where a
-    //      stage has a gated original: shingleCteN / minhashSigSql /
-    //      bandsSql (q74), MixWeightCaseSql (q137). ----
-    Q("q215_corpus_release",
-      s"""WITH f AS (
+  /** The q215 eight-stage oracle, parameterized over its input relation
+    * (`preCtes` supplies any fixture CTEs, ending with a comma) and the
+    * text expression the pipeline sees — `text` for the raw pipeline,
+    * the NFC + word-char-run canonicalization (q221 + q218's pinned
+    * cross-engine pair) for the robust one. q215 and q225 share every
+    * downstream character of this string, so the two gates differ ONLY
+    * in input and canonicalization — exactly the claim under test. */
+  private def releaseSql(preCtes: String, inputRel: String,
+      textExpr: String): String =
+      s"""WITH ${preCtes}din AS (
+         |  SELECT doc_id, source, n_chars, $textExpr AS text FROM $inputRel),
+         |f AS (
          |  SELECT doc_id, source, n_chars, text,
          |    string_split(text, ' ') AS toks,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-         |  FROM documents),
+         |  FROM din),
          |f2 AS (
          |  SELECT doc_id, source, n_chars, text, fp,
          |    CAST(len(toks) AS BIGINT) AS ntok,
@@ -242,7 +263,7 @@ object ReleaseOps {
          |  CASE WHEN $md5Bucket % 10 < 9 THEN 'train' ELSE 'eval' END AS split
          |  FROM s3),
          |${DedupOps.shingleCteN(5, "s3", "sh5")},
-         |cap5 AS (SELECT GREATEST(4, count(*) // 300) AS c FROM documents),
+         |cap5 AS (SELECT GREATEST(4, count(*) // 300) AS c FROM din),
          |shc AS MATERIALIZED (SELECT doc_id, s FROM (
          |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh5) t
          |  WHERE df <= (SELECT c FROM cap5)),
@@ -286,7 +307,7 @@ object ReleaseOps {
          |mx2 AS MATERIALIZED (SELECT source, ntok,
          |  w_mil // 1000 + CASE WHEN u < w_mil % 1000 THEN 1 ELSE 0 END AS reps
          |  FROM mx),
-         |a0 AS (SELECT source, count(*) AS n_input FROM documents GROUP BY source),
+         |a0 AS (SELECT source, count(*) AS n_input FROM din GROUP BY source),
          |a1 AS (SELECT source, count(*) AS n_quality FROM s1 GROUP BY source),
          |a2 AS (SELECT source, count(*) AS n_exact FROM s2 GROUP BY source),
          |a3 AS (SELECT source, count(*) AS n_neardup FROM s3 GROUP BY source),
@@ -326,8 +347,81 @@ object ReleaseOps {
          |LEFT JOIN a5 USING (source) LEFT JOIN wf2 USING (source)
          |LEFT JOIN a6 USING (source) LEFT JOIN a7 USING (source)
          |CROSS JOIN gw CROSS JOIN gsh
-         |ORDER BY a0.source""".stripMargin) { (s, d) =>
+         |ORDER BY a0.source""".stripMargin
+
+  /** The planted multilingual fixture (q218's idea, re-shaped so the RAW
+    * pipeline's quality funnel still ADMITS the twin): each doc gets a
+    * separator twin v2 (doc_id + 1e6) that is
+    *  - raw-DISTINCT in many shingles — after each standalone stopword
+    *    ("the"/"a") the next two words are glued with IDEOGRAPHIC SPACE
+    *    (U+3000), and the tail's café is NFC-decomposed behind an NBSP —
+    *    so raw 3-shingle Jaccard lands well below the 0.8 near-dup
+    *    threshold and the raw pipeline keeps BOTH twins to the end;
+    *  - still quality-ADMISSIBLE raw: stopwords stay standalone and the
+    *    token count barely drops (a fully-glued v2, q218's original
+    *    construction, fails ntok >= 20 at stage 1 and demonstrates
+    *    nothing about dedup);
+    *  - token-IDENTICAL to v1 under the robust canonicalization
+    *    (U+3000/NBSP are non-word separators, NFC recomposes é), so the
+    *    robust pipeline collapses each pair at the exact-dedup stage. */
+  private val multilingualFixtureCtes =
+    """v1 AS (
+      |  SELECT doc_id, source, text || ' 汉字 café' AS text
+      |  FROM documents),
+      |v2 AS (
+      |  SELECT doc_id + 1000000 AS doc_id, source,
+      |    regexp_replace(text, '(the|a) ([a-z]+) ([a-z]+) ',
+      |                   '\1 \2　\3 ', 'g') ||
+      |      '　汉字' || chr(160) || 'cafe' || chr(769) AS text
+      |  FROM documents),
+      |mfix AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, text
+      |  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)),
+      |""".stripMargin
+
+  /** The Spark twin of [[multilingualFixtureCtes]] (replacement backrefs
+    * are `$n` in Java, `\n` in DuckDB — same substitution). */
+  private[graft] def multilingualFixture(docs: DataFrame): DataFrame = {
+    val v1 = docs.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" 汉字 café")).as("text"))
+    val v2 = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("source"),
+      concat(
+        regexp_replace(col("text"), "(the|a) ([a-z]+) ([a-z]+) ",
+          "$1 $2　$3 "),
+        lit("　汉字 café")).as("text"))
+    v1.union(v2).withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** The canonicalization the robust pipeline applies, as DuckDB SQL —
+    * nfc_normalize ≡ the q221 JDK-NFC Expression, regexp_extract_all of
+    * word-char runs ≡ the q218 tokensRe split, both pinned cross-engine
+    * by their own gates. */
+  private val robustTextSql =
+    """array_to_string(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'), ' ')"""
+
+  val defs: Seq[Q] = Seq(
+    // ---- the full release composition; oracle replays ALL EIGHT stages
+    //      (see prepareCorpus scaladoc). Single-owner CTE text where a
+    //      stage has a gated original: shingleCteN / minhashSigSql /
+    //      bandsSql (q74), MixWeightCaseSql (q137). ----
+    Q("q215_corpus_release",
+      releaseSql("", "documents", "text")) { (s, d) =>
       prepareCorpus(Tables.t(s, d, "documents")).orderBy("source")
+    },
+
+    // ---- the SAME eight stages, unicode-robust (round-10 advice item
+    //      1): input is the q218 planted multilingual fixture — every
+    //      doc has a byte-distinct separator twin — and the pipeline
+    //      canonicalizes (NFC + word-char-run tokens) before stage 1.
+    //      The robust fingerprints collapse each twin pair at the exact-
+    //      dedup stage (n_exact ≈ n_quality/2 in the report), where the
+    //      raw pipeline keeps both (ReleaseRobustSpec pins that gap);
+    //      the oracle replays fixture, canonicalization and all eight
+    //      stages from the SHARED q215 SQL body. ----
+    Q("q225_corpus_release_robust",
+      releaseSql(multilingualFixtureCtes, "mfix", robustTextSql)) { (s, d) =>
+      prepareCorpus(multilingualFixture(Tables.t(s, d, "documents")),
+        robust = true).orderBy("source")
     }
   )
 }

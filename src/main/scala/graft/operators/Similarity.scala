@@ -672,9 +672,16 @@ object Similarity {
     *    HUGEINT), truncating `div` back to BIGINT ppm — the all-Long form
     *    silently wrapped once base_rows·delta_rows reached ~3e6 while
     *    DuckDB raised, so the engines diverged at larger SFs. 38 digits
-    *    hold the exact square up to ~3e9 total rows per monitor call —
-    *    and a per-batch drift monitor scores BATCHES (bounded) against a
-    *    base reference, not whole-corpus cross products. */
+    *    hold the exact square only while nbt·ndt ≤ 1e16 (~1e8 rows per
+    *    side): the worst-case numerator is (nbt·ndt)²·1e6, and past that
+    *    bound Spark with ANSI off NULLs the overflowing decimal —
+    *    silently DROPPING the term from chi2_total_ppm exactly when
+    *    drift is most extreme — while DuckDB's HUGEINT raises. So the
+    *    plan RAISES too (round-10 advice item 1): a guarded
+    *    `raise_error` fires before any term can overflow, making the
+    *    cross-engine behavior identical (loud) instead of silently
+    *    divergent. A per-batch drift monitor scores BATCHES (bounded)
+    *    against a base reference, so the bound is generous in practice. */
   def scalarDriftChi2(base: DataFrame, delta: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -702,12 +709,15 @@ object Similarity {
       .na.fill(0L, Seq("nb_b", "nd_b"))
       .crossJoin(broadcast(tot))
       .withColumn("chi2_term_ppm",
-        expr("""CAST(
+        expr("""CASE WHEN CAST(nbt AS DECIMAL(38,0)) * ndt > 10000000000000000
+               |  THEN CAST(raise_error(
+               |    'scalarDriftChi2: base_rows*delta_rows exceeds 1e16 — chi2 term would overflow DECIMAL(38,0); score a bounded batch') AS BIGINT)
+               |ELSE CAST(
                |  (CAST(nd_b AS DECIMAL(38,0))*nbt - CAST(nb_b AS DECIMAL(38,0))*ndt)
                |  * (CAST(nd_b AS DECIMAL(38,0))*nbt - CAST(nb_b AS DECIMAL(38,0))*ndt)
                |  * 1000000
                |  div (CAST(greatest(nb_b, 1) AS DECIMAL(38,0)) * ndt * nbt)
-               |AS BIGINT)""".stripMargin))
+               |AS BIGINT) END""".stripMargin))
       .select(col("b").as("bucket"), col("nb_b").as("base_n"),
         col("nd_b").as("delta_n"), col("chi2_term_ppm"),
         sum("chi2_term_ppm").over(wAll).as("chi2_total_ppm"),

@@ -107,25 +107,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("InMemoryRelation"), p)
   }
 
-  test("q97: capped path rides one window over the join's own partitioning") {
+  test("q97: capped path two-phases the df count and still shuffle-joins cache-free") {
     spark.sharedState.cacheManager.clearCache()
     val p = planOf(q("q97_ngram_jaccard_capped"))
-    // df filter is a Window over hashpartitioning(s) — no extra groupBy +
-    // anti-join pass — and the self-join still shuffles + reuses, cache-free
-    assert(p.contains("Window"), p)
+    // round-10 advice item 2: the df cap is groupBy(s).count + equi-join
+    // (map-side partial counts — a hot shingle never materializes its full
+    // posting list in one task, which the old count-over-Window did); the
+    // pair self-join still shuffles and stays cache-free
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
     assert(p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("ReusedExchange"), p)
-    assert(!p.contains("InMemoryRelation"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("InMemoryRelation"), p)
   }
 
-  test("q105: contamination rides one shingle partitioning, join never broadcasts") {
+  test("q105: contamination two-phases the df cap, join never broadcasts") {
     spark.sharedState.cacheManager.clearCache()
     val p = planOf(q("q105_contamination"))
-    // df cap is a Window over the shingle hash-partitioning; the
-    // train-distinct and the train⋈eval join reuse that keying — the train
-    // shingle set is vocabulary-sized and must never collect to the driver
-    assert(p.contains("Window"), p)
+    // two-phase df cap (see q97 pin); the train-distinct and the train⋈eval
+    // join key on the same shingle partitioning — the train shingle set is
+    // vocabulary-sized and must never collect to the driver
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("InMemoryRelation"), p)
@@ -752,4 +755,5 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
     assert(df.count() === 2)
   }
+
 }
