@@ -934,6 +934,78 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS gold): per query, the k
+    * corpus vectors with the largest integer dot product, ties toward
+    * the smaller id. Retrieval models (dual encoders, DSSM-style
+    * rankers) score RELEVANCE as q·x — not a distance — and MIPS has no
+    * triangle inequality (a vector's own norm can make it everyone's
+    * neighbor), which is why it needs its own gold and its own routing
+    * rule rather than a pass-through to L2. Same broadcast shape as
+    * [[exactL2Knn]]: queries broadcast, corpus streams, one bounded
+    * window per query. */
+  def exactIpKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"))
+    val cp = prepared(corpus, idCol, vecCol)
+      .select(col(idCol).as("nid"), col("q").as("nq"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    cp.join(broadcast(qp), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        dot(col("qq"), col("nq")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-routed MIPS (round-10 verdict item 4 — the inner-product
+    * metric the index family lacked): corpus vectors live in the SAME
+    * L2-Lloyd-trained Voronoi cells as every other index in the family
+    * (cell assignment describes where vectors ARE — a geometric
+    * partition — so L2 assignment is correct under any query metric,
+    * and is what spherical-IVF MIPS systems do; a max-IP corpus
+    * assignment would degenerately pile mass onto the largest-norm
+    * centroid). Queries route by the METRIC: the nprobe cells whose
+    * centroids have the LARGEST q·centroid (ties toward low cid), then
+    * in-list candidates score by exact integer dot product and the
+    * top-k survives. All integer end to end, so DuckDB replays
+    * training, assignment, IP routing and the serve cut bit-for-bit
+    * (q227).
+    *
+    * Scale shape: identical to [[ivfKnn]] — centroids broadcast
+    * (nlist-bounded), the candidate join is an equi-join on cell id,
+    * per-query cost tracks nprobe·(n/nlist). */
+  def ivfIpKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      trainRounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe > 0 && nprobe <= nlist, s"nprobe=$nprobe must be in 1..$nlist")
+    val cp0 = prepared(corpus, idCol, vecCol)
+    val centroids =
+      if (trainRounds > 0) kmeansTrain(corpus, idCol, vecCol, nlist, trainRounds)
+      else centroidFrame(corpus.sparkSession, seedCentroids(cp0, idCol, nlist))
+    val asg = assignTo(cp0, idCol, centroids, nlist)
+      .select(col(idCol), col("cid"))
+    val cp = cp0.join(asg, Seq(idCol))
+      .select(col(idCol).as("nid"), col("q").as("nq"), col("cid"))
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"))
+    // the IP routing rule: largest q·centroid wins, NOT smallest L2 —
+    // high-norm cells are exactly where large dot products live
+    val wc = Window.partitionBy("qid").orderBy(col("cdot").desc, col("ccid"))
+    val probes = qp.crossJoin(broadcast(centroids
+        .select(col("cid").as("ccid"), col("cq"))))
+      .withColumn("cdot", dot(col("qq"), col("cq")))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qq"), col("ccid").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    probes.join(cp, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        dot(col("qq"), col("nq")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
   /** IVF-ADC: the complete billion-scale ANN architecture — a trained
     * coarse quantizer routes queries to nprobe inverted lists
     * ([[ivfKnn]]'s skeleton), candidates inside the probed lists are

@@ -1873,6 +1873,45 @@ object SimilarityOps {
         .select(col("qid"), col("rank"), col("nid"), col("cos"),
           col("lang"), col("source"), md5(col("text")).as("text_md5"))
         .orderBy("qid", "rank")
+    },
+
+    // ---- MIPS: the inner-product metric for the IVF family (round-10
+    //      verdict item 4 — retrieval models score dot products, not
+    //      distances, and until now the index lifecycle was L2-only).
+    //      Corpus vectors sit in the SAME L2-Lloyd Voronoi cells as
+    //      every other family member (assignment is geometry, metric-
+    //      free); QUERIES route by the metric — the nprobe cells with
+    //      the LARGEST q·centroid — and in-list candidates score by
+    //      exact integer dot product. The oracle replays training,
+    //      assignment, the DESC-dot routing tie-break and the serve
+    //      cut; dot is BIGINT so the hash is exact. VectorSpec pins
+    //      MIPS recall vs the exact-IP gold. ----
+    Q("q227_mips_ivf_serve",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_dot_product(n.qd, c.cqd) DESC, c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |sc AS (
+         |  SELECT pr.qid, a.vec_id AS nid,
+         |    CAST(list_dot_product(qn.qd, nn.qd) AS BIGINT) AS dot
+         |  FROM pr
+         |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
+         |  JOIN n qn ON qn.vec_id = pr.qid
+         |  JOIN n nn ON nn.vec_id = a.vec_id)
+         |SELECT qid, nid, dot, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.ivfIpKnn(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", k = 5, nlist = 8, nprobe = 2, trainRounds = 2)
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -504,6 +504,37 @@ class VectorSpec extends SparkTestBase {
     assert(recall >= 0.3, s"matryoshka recall@5 collapsed: $recall")
   }
 
+  test("MIPS: IVF-routed inner-product serve recalls the exact-IP gold " +
+    "and IP order differs from L2 order") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val gold = Similarity.exactIpKnn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.ivfIpKnn(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, trainRounds = 2)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (served & gold).size.toDouble / gold.size
+    assert(recall >= 0.5, s"MIPS IVF recall@5 collapsed: $recall")
+    // MIPS is its own metric — but the synthetic fixture is near-constant
+    // norm, so IP and L2 orders coincide on it. Plant norm skew (double a
+    // slice of the corpus: direction unchanged, norm doubled): under IP
+    // the scaled vectors jump INTO the top-k, under L2 they move away —
+    // the metrics must now disagree, or the metric flag is decoration.
+    val skewed = emb.withColumn("embedding",
+      when(col("vec_id") >= 450,
+        transform(col("embedding"), x => x * lit(2.0f)))
+        .otherwise(col("embedding")))
+    val goldSk = Similarity.exactIpKnn(queries, skewed, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2Sk = Similarity.exactL2Knn(queries, skewed, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(goldSk != l2Sk,
+      "exact-IP and exact-L2 top-5 coincide under planted norm skew")
+  }
+
   test("norm-drift χ²: in-distribution delta stays quiet, planted scale " +
     "drift trips the verdict") {
     // the q210 oracle gates determinism; this gates the DECISION —
