@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.{dot, lshBucketExpr}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The NSW graph with an explicit release handle ([[ClusterLabels]] /
+  * [[KeepList]] pattern): `edges` must not be consumed after release. */
+final case class NswGraph(edges: DataFrame,
+                          private val rdd: RDD[_]) {
+  def release(): Unit = Graph.release(rdd)
+}
+
+/** A materialized NSW search result (bounded: k rows per query) with its
+  * release handle; `rows` must not be consumed after release. */
+final case class NswTopK(rows: DataFrame,
+                         private val rdd: RDD[_]) {
+  def release(): Unit = Graph.release(rdd)
+}
+
+/** Graph-based ANN — the NSW/HNSW family (round-10 verdict item 3): the
+  * OTHER half of production vector serving next to the quantized family
+  * (PQ→IVF-ADC→IVF-RADC→SQ8). FAISS's IndexHNSW is the default at
+  * high-recall/low-latency; its ingredients are (1) a navigable
+  * small-world NEIGHBOR GRAPH, (2) a coarse UPPER LAYER that makes the
+  * graph navigable from far away, and (3) GREEDY BEAM SEARCH. All three
+  * are re-expressed in bounded dataframe rounds — the CC/PageRank
+  * iteration discipline: each round's frame is lineage-truncated with
+  * [[Graph.snapshot]], materialized, and the superseded round released,
+  * so cost is strictly one pass per round (a naive recursive plan
+  * re-evaluates round r−1 twice per reference and goes exponential in
+  * rounds — measured as a hang at refineRounds=3). Distances are
+  * deterministic integer d² (quantize → exact integer dot, ties toward
+  * the smaller id — the Lloyd rounding rule), so DuckDB replays
+  * construction AND search bit-for-bit (q226).
+  *
+  * Construction = bucketed k-NN seed + NN-descent (Dong et al. 2011):
+  * seed edges are each node's m nearest among same-LSH-bucket peers
+  * (never all-pairs — the q81 bucket equi-join bounds candidates by
+  * Σ bucket²); each refine round re-ranks edges ∪ reversed ∪ two-hop
+  * neighbors-of-neighbors and keeps the top-m — a neighbor's neighbor
+  * is likely a neighbor, which is the small-world bet.
+  *
+  * Search = hub entry + best-first beam: the query scores the `hubs`
+  * smallest corpus ids exactly (HNSW's upper layer collapsed to one
+  * coarse level — without it, greedy from a single fixed entry stalls
+  * in the entry's neighborhood; measured 0.26 recall vs 0.9 for the
+  * IVF route), the best `beamWidth` enter the base graph, and each of
+  * `searchRounds` hops scores the frontier's out-neighbors, pools them
+  * with everything visited, and keeps the best `beamWidth` as the next
+  * frontier. Final top-k cut from the visited pool. Candidate budget ≤
+  * hubs + searchRounds·beamWidth·m.
+  *
+  * Scale shape: the graph is an (src, dst, d2) edge table — m rows per
+  * corpus vector, the same residency class as PQ codes; construction
+  * shuffles key on bucket/node ids (uniform by construction); search
+  * broadcasts only the bounded frontier and equi-joins it on src —
+  * serving cost is corpus-size-free once the graph stands, which is
+  * why this family wins at low latency. At 100 TB the seed uses more
+  * planes (occupancy-scaled like adaptivePlanes) and more refine
+  * rounds — knobs, not new shapes. */
+object GraphAnn {
+
+  /** The NSW neighbor graph: (src, dst, d2), at most m out-edges per
+    * node that shares a bucket with at least one peer. Deterministic:
+    * LSH-bucket seed, `refineRounds` NN-descent rounds, every cut
+    * ranked by (d2 ASC, dst ASC). Snapshot-per-round; the returned
+    * handle owns the final round's blocks. */
+  def nswGraphResult(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, planes: Int, dim: Int, refineRounds: Int): NswGraph = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && m <= 64, s"m=$m out of range")
+    require(refineRounds >= 0 && refineRounds <= 8,
+      s"refineRounds=$refineRounds out of range")
+    val n = Similarity.prepared(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("vid"), col("q"), col("nsq"))
+      .persist()
+    val nb = n.withColumn("bucket", lshBucketExpr("q", planes, dim))
+    val w = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    // MULTI-probe seed (own bucket + every single-bit flip — the q81
+    // probe set): a single-bucket seed partitions the graph into
+    // disconnected per-bucket components that NN-descent can never
+    // escape (candidates = neighbors-of-neighbors stay in-bucket by
+    // induction; measured: edge recall frozen at 0.25 across refine
+    // rounds). Cross-bucket probes give refinement real work and the
+    // beam a connected world to walk.
+    val probes = nb
+      .withColumn("probe", explode(Similarity.probeArray(col("bucket"), planes)))
+      .select(col("vid"), col("q"), col("nsq"), col("probe"))
+    val seed = probes.as("a").join(nb.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("src"), col("b.vid").as("dst"),
+        (col("a.nsq") + col("b.nsq")
+          - lit(2L) * dot(col("a.q"), col("b.q"))).cast("long").as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+      .drop("rk")
+    val ns = n.select(col("vid").as("src"), col("q").as("sq"),
+      col("nsq").as("snsq"))
+    val nd = n.select(col("vid").as("dst"), col("q").as("dq"),
+      col("nsq").as("dnsq"))
+    var (e, eh) = Graph.snapshot(seed)
+    e.count()
+    var r = 0
+    while (r < refineRounds) {
+      val b = e.select("src", "dst")
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val hop2 = b.as("x").join(b.as("y"),
+          col("x.dst") === col("y.src") && col("y.dst") =!= col("x.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      val next = b.union(hop2).distinct()
+        .join(ns, "src").join(nd, "dst")
+        .select(col("src"), col("dst"),
+          (col("snsq") + col("dnsq")
+            - lit(2L) * dot(col("sq"), col("dq"))).cast("long").as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+        .drop("rk")
+      val (e2, eh2) = Graph.snapshot(next)
+      e2.count()
+      Graph.release(eh)
+      e = e2; eh = eh2; r += 1
+    }
+    n.unpersist()
+    NswGraph(e, eh)
+  }
+
+  /** Convenience form of [[nswGraphResult]]: the snapshot is
+    * Spark-managed (ContextCleaner reclaims blocks on GC) — long-lived
+    * sessions should use the Result form and release(). */
+  def nswGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, planes: Int, dim: Int, refineRounds: Int): DataFrame =
+    nswGraphResult(corpus, idCol, vecCol, m, planes, dim, refineRounds).edges
+
+  /** Hub-entry beam search over [[nswGraphResult]]'s graph (see the
+    * object scaladoc). Output (qid, nid, d2, rank ≤ k), MATERIALIZED —
+    * every intermediate (graph, per-round visited pools) is released
+    * before return; the result handle owns only the bounded output. */
+  def nswSearchResult(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, planes: Int, dim: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int,
+      hubs: Int = 16): NswTopK = {
+    import org.apache.spark.sql.expressions.Window
+    require(beamWidth > 0 && searchRounds > 0, "beam/searchRounds must be > 0")
+    require(hubs > 0 && hubs <= 4096, s"hubs=$hubs out of range")
+    val g = nswGraphResult(corpus, idCol, vecCol, m, planes, dim, refineRounds)
+    val n = Similarity.prepared(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("vid"), col("q"), col("nsq"))
+      .persist()
+    val qp = Similarity.prepared(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    // hub layer: the `hubs` smallest corpus ids — bounded, broadcast-legal
+    val hub = n.join(broadcast(n.select(col("vid")).orderBy("vid")
+      .limit(hubs)), "vid")
+    val nn = n.select(col("vid").as("nid"), col("q").as("nq"),
+      col("nsq").as("nnsq"))
+    val wb = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    var (visited, vh) = Graph.snapshot(
+      qp.crossJoin(broadcast(hub))
+        .select(col("qid"), col("vid").as("nid"),
+          (col("qnsq") + col("nsq")
+            - lit(2L) * dot(col("qq"), col("q"))).cast("long").as("d2")))
+    visited.count()
+    var r = 0
+    while (r < searchRounds) {
+      val beam = visited.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= beamWidth).drop("rk")
+      val scored = beam.join(g.edges, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid")).distinct()
+        .join(qp, "qid").join(nn, "nid")
+        .select(col("qid"), col("nid"),
+          (col("qnsq") + col("nnsq")
+            - lit(2L) * dot(col("qq"), col("nq"))).cast("long").as("d2"))
+      val (v2, vh2) = Graph.snapshot(visited.union(scored).distinct())
+      v2.count()
+      Graph.release(vh)
+      visited = v2; vh = vh2; r += 1
+    }
+    val (out, oh) = Graph.snapshot(
+      visited.filter(col("qid") =!= col("nid"))
+        .withColumn("rank", row_number().over(wb)).filter(col("rank") <= k)
+        .select("qid", "nid", "d2", "rank"))
+    out.count()
+    Graph.release(vh)
+    g.release()
+    n.unpersist()
+    NswTopK(out, oh)
+  }
+
+  /** Convenience form of [[nswSearchResult]] (ContextCleaner-managed
+    * output snapshot — the [[nswGraph]] caveat applies). */
+  def nswSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, planes: Int, dim: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int,
+      hubs: Int = 16): DataFrame =
+    nswSearchResult(queries, corpus, idCol, vecCol, k, m, planes, dim,
+      refineRounds, beamWidth, searchRounds, hubs).rows
+}

@@ -108,7 +108,7 @@ object Similarity {
   /** Multi-probe set for a bucket: the bucket itself plus every hamming-1
     * flip — ONE definition shared by the kNN and keep-list paths (and
     * mirrored by the DuckDB probe replicas in SimilarityOps). */
-  private def probeArray(bucket: Column, planes: Int): Column = {
+  private[operators] def probeArray(bucket: Column, planes: Int): Column = {
     // mirrors LshBucket's guard: 1L << i wraps at 64, so planes > 63 would
     // probe the wrong (aliased) buckets instead of failing loudly
     require(planes > 0 && planes <= 63, s"planes=$planes must be in 1..63")

@@ -535,6 +535,33 @@ class VectorSpec extends SparkTestBase {
       "exact-IP and exact-L2 top-5 coincide under planted norm skew")
   }
 
+  test("NSW graph ANN: beam search recalls at least the IVF route at " +
+    "equal candidate budget") {
+    import graft.operators.GraphAnn
+    val queries = emb.filter(col("vec_id") < 10)
+    val gold = Similarity.exactL2Knn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the q226 operating point: measured 190 distinct visited candidates
+    // per query (probe: run with k=1e6 so the output IS the visited pool)
+    val nsw = GraphAnn.nswSearch(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, planes = 3, dim = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF at nprobe=3 of nlist=8 scans ~3n/8 ≈ 187 candidates — the same
+    // budget as the beam's measured visited pool
+    val ivf = Similarity.ivfKnn(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, trainRounds = 2)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rNsw = (nsw & gold).size.toDouble / gold.size
+    val rIvf = (ivf & gold).size.toDouble / gold.size
+    assert(rNsw >= rIvf,
+      s"NSW recall@5 $rNsw below the IVF route's $rIvf at equal budget")
+    assert(rNsw >= 0.5, s"NSW recall@5 collapsed: $rNsw")
+  }
+
   test("norm-drift χ²: in-distribution delta stays quiet, planted scale " +
     "drift trips the verdict") {
     // the q210 oracle gates determinism; this gates the DECISION —
