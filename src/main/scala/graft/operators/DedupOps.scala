@@ -43,6 +43,14 @@ object DedupOps {
   /** The 3-gram instance used by most dedup oracles. */
   private val ShingleCte = shingleCteN(3)
 
+  /** Bloom geometry shared by q136 and the incremental-release gate
+    * (q228) — single owner so the two oracles can never drift from
+    * [[Dedup.bloomBuild]]'s md5("j:h") position rule and 2^21-bit map. */
+  private[operators] val BloomMBits: Int = 1 << 21
+  private[operators] val BloomK: Int = 3
+  private[operators] def bloomPosSql(j: String, h: String): String =
+    s"CAST(('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || $h), 1, 8)) AS BIGINT) % $BloomMBits"
+
   private[operators] val minhashSigSql = {
     val mins = (0 until NumHashes)
       .map(i => s"min(${Dedup.mhExprDuck("h0", i)}) AS mh$i")
@@ -440,9 +448,8 @@ object DedupOps {
     //      both verdicts (no false negatives / FP share within budget)
     //      are hash-gated, the q128 full-sketch-replay pattern. ----
     Q("q136_incremental_bloom", {
-      val m = 1 << 21
-      val pos = (j: String, h: String) =>
-        s"CAST(('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || $h), 1, 8)) AS BIGINT) % $m"
+      val m = BloomMBits
+      val pos = (j: String, h: String) => bloomPosSql(j, h)
       s"""WITH w AS (
          |  SELECT doc_id, source, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
          |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS p) s

@@ -126,8 +126,13 @@ object Graph {
     // aggregate per round (which also materializes the snapshot), replacing
     // a labels⋈labels join + count that cost two extra shuffles per round.
     // decimal(38,0): exact at any vertex-id scale, no Long wraparound.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    // null-safe: sum over an EMPTY label frame is NULL — an edge list with
+    // no pairs at all (a delta crawl with zero near-dups, q228's shape)
+    // must converge to the empty fixpoint, not NPE the compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0

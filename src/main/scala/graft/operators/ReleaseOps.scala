@@ -195,6 +195,99 @@ object ReleaseOps {
         col("n_shards"))
   }
 
+  /** INCREMENTAL release (round-10 verdict item 6): crawl N+1 → delta
+    * release, deduplicated against EVERYTHING shipped before — the
+    * production monthly-release shape, composed from the gated pieces:
+    *
+    *   quality funnel (q140 rules, stage-1 of [[prepareCorpus]]) →
+    *   within-delta exact dedup (min-id keeper, q38) → CARRY-OVER drop
+    *   vs the shipped corpus (q125's window-hash semantics, q136's
+    *   Bloom ROUTING: the old corpus's window hashes become a 2^21-bit
+    *   broadcast bitmap, the delta probes it as a narrow map, and only
+    *   the Bloom HITS — never the whole delta — meet the exact old-hash
+    *   set in a shuffle join, so false positives cost one bounded
+    *   re-check and never a wrongly dropped doc) → within-delta
+    *   near-dup keep-list (q74) → decontamination front door (q110):
+    *   drop delta docs sharing a df-capped 5-gram with the SHIPPED
+    *   corpus's eval split — per-source delta report.
+    *
+    * Scale shape: the only old-corpus-sized structures are the DISTINCT
+    * window-hash set (shuffle-joined against the bounded Bloom hits,
+    * never broadcast) and the capped eval shingle set; the Bloom bitmap
+    * is m/63 words REGARDLESS of corpus size. Everything else is
+    * delta-sized. */
+  def prepareDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val capDf = math.max(4L, oldDocs.count() / 300L).toInt
+
+    // stage 1: quality funnel — the q140 rules, verbatim from prepareCorpus
+    val toks = TextFunctions.tokens(col("text"))
+    val base = newDocs.select(col("doc_id"), col("source"), col("text"),
+      TextFunctions.fingerprint(TextFunctions.normalized(col("text")))
+        .as("fp"),
+      size(toks).cast("long").as("ntok"),
+      size(filter(toks, w => w === "the" || w === "a")).cast("long")
+        .as("nstop"),
+      size(array_distinct(toks)).cast("long").as("ndist"),
+      aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("lensum"))
+    val s1 = base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
+        col("ndist") * 2 >= col("ntok") &&
+        col("lensum") >= col("ntok") * 3 && col("lensum") <= col("ntok") * 10)
+      .select("doc_id", "source", "text", "fp", "ntok")
+
+    // stage 2: within-delta exact dedup
+    val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val s2 = s1.join(k2, Seq("fp", "doc_id"))
+
+    // stage 3: Bloom-routed carry-over vs the shipped corpus
+    val wOld = Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
+      .select("h").distinct()
+    val wNew = Dedup.charWindowRows(s2, "doc_id", "text", 40, 10)
+      .select("doc_id", "h").distinct()
+    val bloomHits = Dedup.bloomProbe(wNew,
+        Dedup.bloomBuild(wOld, "h", DedupOps.BloomMBits, DedupOps.BloomK),
+        "h", DedupOps.BloomMBits, DedupOps.BloomK)
+      .filter(col("bloom_hit")).select("doc_id", "h")
+    val carry = bloomHits.join(wOld.hint("shuffle_hash"), Seq("h"))
+      .select("doc_id").distinct()
+    val s3 = s2.join(carry, Seq("doc_id"), "left_anti")
+
+    // stage 4: within-delta near-dup keep-list (q74's pipeline)
+    val s4 = s3.join(
+      Dedup.nearDupKeepList(s3, "doc_id", "text", 3, 0.8), "doc_id")
+
+    // stage 5: decontamination front door — the q110 static asset built
+    // from the SHIPPED corpus's eval split (trainShingleSet is the
+    // df-capped shingle-set builder; the eval side is the set here)
+    val evalSet = Dedup.trainShingleSet(
+      oldDocs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"),
+      "doc_id", "text", 5, maxDf = capDf)
+    val contam = Dedup.contaminationAgainst(s4, evalSet, "doc_id", "text", 5)
+      .select("doc_id")
+    val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
+
+    // per-source delta report
+    val a0 = newDocs.groupBy("source").agg(count(lit(1)).as("n_input"))
+    val a1 = s1.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val a2 = s2.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val a3 = s3.groupBy("source").agg(count(lit(1)).as("n_vs_old"))
+    val a4 = s4.groupBy("source").agg(count(lit(1)).as("n_neardup"))
+    val a5 = s5.groupBy("source").agg(count(lit(1)).as("n_final"),
+      sum("ntok").cast("long").as("tokens_final"))
+    a0.join(a1, Seq("source"), "left")
+      .join(a2, Seq("source"), "left")
+      .join(a3, Seq("source"), "left")
+      .join(a4, Seq("source"), "left")
+      .join(a5, Seq("source"), "left")
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_vs_old"), lit(0L)).as("n_vs_old"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+  }
+
   private val md5Bucket =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
@@ -422,6 +515,130 @@ object ReleaseOps {
       releaseSql(multilingualFixtureCtes, "mfix", robustTextSql)) { (s, d) =>
       prepareCorpus(multilingualFixture(Tables.t(s, d, "documents")),
         robust = true).orderBy("source")
+    },
+
+    // ---- INCREMENTAL release (round-10 verdict item 6): the crawl-N+1
+    //      delta pipeline — quality → within-delta exact dedup → Bloom-
+    //      routed carry-over drop vs the shipped corpus (q125/q136) →
+    //      within-delta near-dup (q74) → decontamination against the
+    //      shipped corpus's eval split (q110's front door) — reported
+    //      per delta source. The oracle replays the OLD corpus's
+    //      window-hash set, the 2^21-bit Bloom bitmap itself (false
+    //      positives included — only the exact re-check keeps them from
+    //      dropping docs), and every delta stage. Old = src0–src9,
+    //      delta = src10–src19 (the q125 convention). ----
+    Q("q228_incremental_release",
+      s"""WITH od AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+         |nd AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10),
+         |f AS (
+         |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM nd),
+         |f2 AS (
+         |  SELECT doc_id, source, text, fp,
+         |    CAST(len(toks) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS nstop,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS lensum
+         |  FROM f),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id, source, text, fp, ntok FROM f2
+         |  WHERE ntok >= 20 AND nstop >= 2 AND ndist * 2 >= ntok
+         |    AND lensum >= 3 * ntok AND lensum <= 10 * ntok),
+         |k2 AS (SELECT fp, min(doc_id) AS doc_id FROM s1 GROUP BY fp),
+         |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN k2 USING (fp, doc_id)),
+         |wo AS MATERIALIZED (
+         |  SELECT DISTINCT md5(substr(text, CAST(pw AS INTEGER), 40)) AS h
+         |  FROM od, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS pw) s
+         |  WHERE length(text) >= 40),
+         |wn AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, md5(substr(text, CAST(pw AS INTEGER), 40)) AS h
+         |  FROM s2, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 10)) AS pw) s
+         |  WHERE length(text) >= 40),
+         |bm AS MATERIALIZED (
+         |  SELECT pos // 63 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+         |  FROM (SELECT ${DedupOps.bloomPosSql("j", "h")} AS pos
+         |        FROM wo, range(0, ${DedupOps.BloomK}) t(j)) q
+         |  GROUP BY 1),
+         |pp AS (SELECT doc_id, h, ${DedupOps.bloomPosSql("j", "h")} AS pos
+         |       FROM wn, range(0, ${DedupOps.BloomK}) t(j)),
+         |pb AS (
+         |  SELECT pp.doc_id, pp.h,
+         |    sum(CASE WHEN bm.bits IS NOT NULL
+         |             AND ((bm.bits >> CAST(pp.pos % 63 AS INTEGER)) & 1) = 1
+         |             THEN 1 ELSE 0 END) AS nset
+         |  FROM pp LEFT JOIN bm ON bm.word = pp.pos // 63
+         |  GROUP BY 1, 2),
+         |carry AS (SELECT DISTINCT pb.doc_id FROM pb JOIN wo USING (h)
+         |          WHERE pb.nset = ${DedupOps.BloomK}),
+         |s3 AS MATERIALIZED (SELECT s2.* FROM s2 ANTI JOIN carry USING (doc_id)),
+         |${DedupOps.shingleCteN(3, "s3")},
+         |${DedupOps.minhashSigSql},
+         |${DedupOps.bandsSql},
+         |shm AS MATERIALIZED (SELECT * FROM sh),
+         |bdm AS MATERIALIZED (SELECT * FROM bands),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM bdm a JOIN bdm b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |nsh AS (SELECT doc_id, count(*) AS ns FROM shm GROUP BY doc_id),
+         |p AS (
+         |  SELECT cand.i, cand.j, count(*) AS inter
+         |  FROM cand
+         |  JOIN shm sa ON sa.doc_id = cand.i
+         |  JOIN shm sb ON sb.doc_id = cand.j AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i, j FROM p
+         |          JOIN nsh na ON na.doc_id = i JOIN nsh nb ON nb.doc_id = j
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
+         |e AS MATERIALIZED (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |l1 AS MATERIALIZED (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+         |       FROM s3 d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+         |l2 AS MATERIALIZED (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+         |       GROUP BY l1.v, l1.l),
+         |l3 AS MATERIALIZED (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+         |       GROUP BY l2.v, l2.l),
+         |s4 AS MATERIALIZED (SELECT s3.* FROM s3
+         |  JOIN (SELECT v AS doc_id FROM l3 WHERE l = v) kl USING (doc_id)),
+         |cap AS (SELECT GREATEST(4, count(*) // 300) AS c FROM od),
+         |oev AS (SELECT doc_id, text FROM od
+         |        WHERE $md5Bucket % 10 >= 9),
+         |${DedupOps.shingleCteN(5, "oev", "she")},
+         |evset AS MATERIALIZED (SELECT s FROM (
+         |  SELECT s, count(*) AS df FROM she GROUP BY s) t
+         |  WHERE df <= (SELECT c FROM cap)),
+         |${DedupOps.shingleCteN(5, "s4", "sh5n")},
+         |contam AS (SELECT DISTINCT sh5n.doc_id FROM sh5n
+         |           JOIN evset ON evset.s = sh5n.s),
+         |s5 AS MATERIALIZED (SELECT s4.* FROM s4 ANTI JOIN contam USING (doc_id)),
+         |a0 AS (SELECT source, count(*) AS n_input FROM nd GROUP BY source),
+         |a1 AS (SELECT source, count(*) AS n_quality FROM s1 GROUP BY source),
+         |a2 AS (SELECT source, count(*) AS n_exact FROM s2 GROUP BY source),
+         |a3 AS (SELECT source, count(*) AS n_vs_old FROM s3 GROUP BY source),
+         |a4 AS (SELECT source, count(*) AS n_neardup FROM s4 GROUP BY source),
+         |a5 AS (SELECT source, count(*) AS n_final,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_final FROM s5 GROUP BY source)
+         |SELECT a0.source, CAST(a0.n_input AS BIGINT) AS n_input,
+         |  CAST(coalesce(a1.n_quality, 0) AS BIGINT) AS n_quality,
+         |  CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(a3.n_vs_old, 0) AS BIGINT) AS n_vs_old,
+         |  CAST(coalesce(a4.n_neardup, 0) AS BIGINT) AS n_neardup,
+         |  CAST(coalesce(a5.n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(coalesce(a5.tokens_final, 0) AS BIGINT) AS tokens_final
+         |FROM a0
+         |LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
+         |LEFT JOIN a3 USING (source) LEFT JOIN a4 USING (source)
+         |LEFT JOIN a5 USING (source)
+         |ORDER BY a0.source""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val idx = substring(col("source"), 4, 8).cast("int")
+      prepareDelta(docs.filter(idx < 10), docs.filter(idx >= 10))
+        .orderBy("source")
     }
   )
 }

@@ -19,6 +19,14 @@ class GraphSpec extends SparkTestBase {
     assert(cc(6L) === 6L)
   }
 
+  test("connected components on an EMPTY edge list is the empty fixpoint, not an NPE") {
+    // round-11 regression pin: a crawl delta with zero near-dup pairs
+    // (q228's shape) feeds CC an empty edge list; the convergence check's
+    // label sum over the empty frame is NULL and used to NPE
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponents(empty).count() === 0)
+  }
+
   test("chain graph converges in O(log diameter) rounds (pointer jumping)") {
     val n = 64
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
