@@ -71,6 +71,30 @@ object Dedup {
     rows.join(keep.hint("shuffle_hash"), Seq("s"))
   }
 
+  /** [[dfCapRows]] with the cap as a BROADCAST 1-row frame (column
+    * `capdf`) instead of a driver-side Int — the round-10 verdict's
+    * "prepareCorpus opens with docs.count()" note: a corpus-relative
+    * cap sized via a driver count costs one extra full-corpus action
+    * BEFORE the pipeline proper; as a 1-row aggregate it rides the
+    * plan instead. */
+  private[operators] def dfCapRowsDyn(rows: DataFrame, capF: DataFrame): DataFrame = {
+    val keep = rows.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(capF))
+      .filter(col("df") <= col("capdf")).select("s")
+    rows.join(keep.hint("shuffle_hash"), Seq("s"))
+  }
+
+  /** [[trainShingleSet]] with the plan-side cap frame ([[dfCapRowsDyn]]'s
+    * rationale — the shipped corpus is the BIG side in an incremental
+    * release, exactly where an extra count scan hurts). */
+  private[operators] def trainShingleSetDyn(trainDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, capF: DataFrame): DataFrame =
+    shingleRows(trainDocs, idCol, textCol, n)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(capF))
+      .filter(col("df") <= col("capdf"))
+      .select("s")
+
   /** Exact pairwise n-gram Jaccard for all pairs sharing at least one
     * shingle; keeps pairs with jaccard >= minJaccard.
     * Output: (id_a, id_b, inter, jac), id_a < id_b.

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * caps for near-dup and decontamination (never an uncapped self-join),
   * one per-source window each for domain cap and the water-fill prefix
   * sums (skewed sources salt like q177), and |sources|-row windows for
-  * the water line itself. The only driver-side value is the df cap
-  * (max(4, n/300) — q97's corpus-relative rule, from one metadata-only
-  * parquet count). Nothing corpus-sized is collected or broadcast.
+  * the water line itself. The df cap (max(4, n/300) — q97's
+  * corpus-relative rule) is a 1-row broadcast aggregate riding the
+  * plan, not a driver count. Nothing corpus-sized is collected or
+  * broadcast; no driver-side value exists at all.
   */
 object ReleaseOps {
 
@@ -56,7 +57,10 @@ object ReleaseOps {
         docs.withColumn("text", concat_ws(" ",
           TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text")))))
       else docs
-    val capDf = math.max(4L, pre.count() / 300L).toInt
+    // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
+    // (round-10 verdict note): no driver count(), no extra corpus action
+    val capF = docs.agg(
+      greatest(lit(4L), expr("count(1) div 300")).as("capdf"))
 
     // stage 1: quality funnel (the q140 four integer rules)
     val toks = TextFunctions.tokens(col("text"))
@@ -86,8 +90,8 @@ object ReleaseOps {
     // stage 4: decontamination — release = the train split, minus train
     // docs sharing any df-capped 5-gram shingle with the held-out eval
     // split (q105's machinery, pointed at the docs a release must DROP)
-    val capped5 = Dedup.dfCapRows(
-        Dedup.shingleRows(s3, "doc_id", "text", 5), capDf)
+    val capped5 = Dedup.dfCapRowsDyn(
+        Dedup.shingleRows(s3, "doc_id", "text", 5), capF)
       .select("doc_id", "s")
     val spl = s3.select(col("doc_id"),
       Sampling.splitLabel(col("doc_id"), 1).as("split"))
@@ -217,7 +221,10 @@ object ReleaseOps {
     * is m/63 words REGARDLESS of corpus size. Everything else is
     * delta-sized. */
   def prepareDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val capDf = math.max(4L, oldDocs.count() / 300L).toInt
+    // plan-side df cap sized from the SHIPPED corpus (the big side —
+    // exactly where a driver count() scan would hurt most)
+    val capF = oldDocs.agg(
+      greatest(lit(4L), expr("count(1) div 300")).as("capdf"))
 
     // stage 1: quality funnel — the q140 rules, verbatim from prepareCorpus
     val toks = TextFunctions.tokens(col("text"))
@@ -259,9 +266,9 @@ object ReleaseOps {
     // stage 5: decontamination front door — the q110 static asset built
     // from the SHIPPED corpus's eval split (trainShingleSet is the
     // df-capped shingle-set builder; the eval side is the set here)
-    val evalSet = Dedup.trainShingleSet(
+    val evalSet = Dedup.trainShingleSetDyn(
       oldDocs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"),
-      "doc_id", "text", 5, maxDf = capDf)
+      "doc_id", "text", 5, capF)
     val contam = Dedup.contaminationAgainst(s4, evalSet, "doc_id", "text", 5)
       .select("doc_id")
     val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
