@@ -67,6 +67,41 @@ final class IvfAdcIndex private (
       candidates: Int, nprobe: Int): DataFrame =
     queryImpl(queries, Some(allowed), k, candidates, nprobe)
 
+  /** MIPS serving from the SAME persisted artifact (q229 — q227's
+    * inner-product metric lifted to the index lifecycle): the codes,
+    * cells and trained quantizers are metric-free GEOMETRY (L2-Lloyd
+    * Voronoi cells + per-subspace codebooks describing where vectors
+    * are), so one build/save/load serves both metrics — queries route
+    * by LARGEST q·centroid, ADC tables hold subspace dot products
+    * (approx dot = Σ_m q_m·c_code, no norm terms), the candidate cut
+    * keeps the largest approximate dots, and the exact rerank scores
+    * true integer dot products. Output (qid, nid, dot, rank). This is
+    * FAISS's stance too: an IVFPQ artifact serves METRIC_INNER_PRODUCT
+    * by swapping the lookup tables, not by re-encoding. */
+  def queryIp(queries: DataFrame, k: Int, candidates: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(nprobe > 0 && nprobe <= cents.length,
+      s"nprobe=$nprobe out of 1..${cents.length}")
+    val qp0 = Similarity.pqDtColsIp(
+        Similarity.prepared(queries, idCol, vecCol)
+          .select(col(idCol).as("qid"), col("q")),
+        cb, sub)
+      .withColumnRenamed("q", "qq")
+    val qpp = Similarity.routeQueriesIp(qp0,
+      Similarity.centroidFrame(spark, cents), nprobe, "cell")
+    val wA = Window.partitionBy("qid").orderBy(col("adist").desc, col("nid"))
+    val cand = codes.join(broadcast(qpp), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", Similarity.pqAdc(m).cast("long"))
+      .select(col("qid"), col("nid"), col("qq"), col("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candidates)
+    Similarity.pqRerankIp(cand,
+      Similarity.prepared(corpus, idCol, vecCol), idCol, k)
+  }
+
   private def queryImpl(queries: DataFrame, allowed: Option[DataFrame],
       k: Int, candidates: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

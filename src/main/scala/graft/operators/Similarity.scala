@@ -847,6 +847,49 @@ object Similarity {
     }
   }
 
+  /** Query-side IP-ADC tables: ksub exact subspace DOT PRODUCTS per
+    * subspace (the inner-product twin of [[pqDtCols]] — no norm terms:
+    * approx dot = Σ_m q_m·c_code). Shares [[pqAdc]]'s lookup-sum. */
+  private[operators] def pqDtColsIp(df0: DataFrame,
+      cb: IndexedSeq[IndexedSeq[(Seq[Long], Long)]], sub: Int): DataFrame = {
+    val ksub = cb.head.length
+    cb.indices.foldLeft(df0) { (df, mi) =>
+      df.withColumn(s"dt$mi",
+        array((0 until ksub).map { cid =>
+          dot(slice(col("q"), mi * sub + 1, sub), pqLitArr(cb(mi)(cid)._1))
+        }: _*))
+    }
+  }
+
+  /** [[routeQueries]]' inner-product twin: the nprobe cells with the
+    * LARGEST q·centroid (ties toward low cid) — [[ivfIpKnn]]'s routing
+    * rule applied to a prebuilt handle's centroid frame. */
+  private[operators] def routeQueriesIp(qp: DataFrame, centroids: DataFrame,
+      nprobe: Int, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("qid").orderBy(col("cdot").desc, col("ccid"))
+    qp.crossJoin(broadcast(centroids
+        .select(col("cid").as("ccid"), col("cq"), col("cnsq"))))
+      .withColumn("cdot", dot(col("qq"), col("cq")))
+      .withColumn("crn", row_number().over(wc)).filter(col("crn") <= nprobe)
+      .withColumnRenamed("ccid", outCol)
+      .drop("cq", "cnsq", "cdot", "crn")
+  }
+
+  /** [[pqRerank]]'s inner-product twin: exact integer dot, rank DESC.
+    * Output (qid, nid, dot, rank). */
+  private[operators] def pqRerankIp(cand: DataFrame, p: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = p.select(col(idCol).as("nid"), col("q").as("nq"))
+    val wE = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    broadcast(cand).join(cp, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        dot(col("qq"), col("nq")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select("qid", "nid", "dot", "rank")
+  }
+
   /** Query→cell routing shared by [[ivfKnn]] and [[ivfAdcKnn]] (single
     * owner — the (cdist, ccid) tie-break is oracle-replayed, so a drift
     * in either caller would break both gates): ranks ALL centroids per

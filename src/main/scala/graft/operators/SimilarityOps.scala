@@ -1933,6 +1933,61 @@ object SimilarityOps {
           "embedding", k = 5, m = 16, planes = 3, dim = Dim,
           refineRounds = 1, beamWidth = 8, searchRounds = 3)
         .orderBy("qid", "rank")
+    },
+
+    // ---- MIPS from the PERSISTED index artifact (q227's metric lifted
+    //      to the lifecycle): codes/cells/codebooks are metric-free
+    //      geometry, so the SAME memoized q185 handle serves inner
+    //      product by swapping the lookup tables — IP routing (largest
+    //      q·centroid), subspace-dot ADC tables, DESC candidate cut,
+    //      exact-dot rerank. The oracle replays coarse + PQ training,
+    //      encode, the IP tables and both DESC cuts; FAISS serves
+    //      METRIC_INNER_PRODUCT from an IVFPQ artifact the same way. ----
+    Q("q229_mips_adc_serve",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${asgCte(8)},
+         |${pqCtes()},
+         |qdtip AS (
+         |  SELECT s.vec_id AS qid, c.m, c.cid,
+         |    CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS pd
+         |  FROM subn s JOIN cbq c ON c.m = s.m
+         |  WHERE s.vec_id < 10),
+         |qr AS (
+         |  SELECT n.vec_id AS qid, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_dot_product(n.qd, c.cqd) DESC, c.cid) AS crn
+         |  FROM n, c WHERE n.vec_id < 10),
+         |pr AS (SELECT qid, cid FROM qr WHERE crn <= 2),
+         |adi AS (
+         |  SELECT pr.qid, a.vec_id AS nid, CAST(sum(t.pd) AS BIGINT) AS adist
+         |  FROM pr
+         |  JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.qid
+         |  JOIN codes x ON x.vec_id = a.vec_id
+         |  JOIN qdtip t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
+         |  GROUP BY pr.qid, a.vec_id),
+         |candi AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist DESC, nid) AS arank
+         |  FROM adi) t WHERE arank <= 50),
+         |scoredi AS (
+         |  SELECT c2.qid, c2.nid,
+         |    CAST(list_dot_product(na.qd, nb.qd) AS BIGINT) AS dot
+         |  FROM candi c2
+         |  JOIN n na ON na.vec_id = c2.qid
+         |  JOIN n nb ON nb.vec_id = c2.nid)
+         |SELECT qid, nid, dot, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+         |  FROM scoredi) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = IvfAdcIndex.buildCached(emb, d, "vec_id", "embedding",
+        nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = Dim,
+        pqTrainRounds = 2)
+      idx.queryIp(emb.filter(col("vec_id") < 10), k = 5, candidates = 50,
+          nprobe = 2)
+        .orderBy("qid", "rank")
     }
   )
 

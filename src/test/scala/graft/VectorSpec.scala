@@ -562,6 +562,34 @@ class VectorSpec extends SparkTestBase {
     assert(rNsw >= 0.5, s"NSW recall@5 collapsed: $rNsw")
   }
 
+  test("MIPS ADC serving: the persisted artifact is metric-free — a loaded " +
+    "index serves IP identically to the in-memory handle, with gold recall") {
+    import graft.operators.IvfAdcIndex
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = IvfAdcIndex.build(emb, "vec_id", "embedding",
+      nlist = 8, trainRounds = 2, m = 16, ksub = 8, dim = 64,
+      pqTrainRounds = 2)
+    val served = idx.queryIp(queries, k = 5, candidates = 50, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val dir = java.nio.file.Files.createTempDirectory("mips-artifact").toString
+    idx.save(dir)
+    idx.release()
+    val loaded = IvfAdcIndex.load(spark, dir, emb)
+    val reServed = loaded.queryIp(queries, k = 5, candidates = 50, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    loaded.release()
+    assert(served.toSeq === reServed.toSeq,
+      "IP serving differs across the save/load round-trip")
+    val gold = Similarity.exactIpKnn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = served.count(t => gold.contains((t._1, t._2)))
+    assert(hits.toDouble / gold.size >= 0.5,
+      s"MIPS ADC recall collapsed: ${hits.toDouble / gold.size}")
+  }
+
   test("norm-drift χ²: in-distribution delta stays quiet, planted scale " +
     "drift trips the verdict") {
     // the q210 oracle gates determinism; this gates the DECISION —
