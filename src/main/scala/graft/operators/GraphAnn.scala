@@ -62,6 +62,11 @@ final case class NswTopK(rows: DataFrame,
   * rounds — knobs, not new shapes. */
 object GraphAnn {
 
+  /** Target shard occupancy for the seed's hot-bucket sharding — a
+    * bucket with c nodes splits into ceil(c/SeedCap) md5-assigned
+    * shards, hard-bounding every node's seed-join contribution. */
+  private[operators] val SeedCap = 64
+
   /** The NSW neighbor graph: (src, dst, d2), at most m out-edges per
     * node that shares a bucket with at least one peer. Deterministic:
     * LSH-bucket seed, `refineRounds` NN-descent rounds, every cut
@@ -85,11 +90,29 @@ object GraphAnn {
     // induction; measured: edge recall frozen at 0.25 across refine
     // rounds). Cross-bucket probes give refinement real work and the
     // beam a connected world to walk.
+    //
+    // HOT buckets shard: sign-hyperplane buckets on CLUSTERED data stay
+    // skewed no matter how many planes occupancy scaling adds (measured:
+    // Σ bucket² grew 43× on a 10× probe — quadratic), so each node meets
+    // only ONE md5-chosen ~SeedCap-sized shard of each probed bucket.
+    // The seed join is then hard-bounded at n·probes·SeedCap rows — and
+    // a sampled-bucket seed is still far above NN-descent's classical
+    // random-edge starting point, which the refine round exists for.
+    val md5Mod = (a: String, b: String) =>
+      s"CAST(conv(substring(md5(concat(CAST($a AS STRING), ':', CAST($b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    val bc = nb.groupBy("bucket").agg(
+      expr(s"CAST((count(1) + ${SeedCap - 1}) div $SeedCap AS BIGINT)").as("nsub"))
+    val bSide = nb.join(bc, "bucket")
+      .withColumn("sub", expr(md5Mod("vid", "bucket")) % col("nsub"))
+      .select(col("vid"), col("q"), col("nsq"), col("bucket"), col("sub"))
     val probes = nb
       .withColumn("probe", explode(Similarity.probeArray(col("bucket"), planes)))
-      .select(col("vid"), col("q"), col("nsq"), col("probe"))
-    val seed = probes.as("a").join(nb.as("b"),
-        col("a.probe") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .join(bc.withColumnRenamed("bucket", "probe"), "probe")
+      .withColumn("psub", expr(md5Mod("vid", "probe")) % col("nsub"))
+      .select(col("vid"), col("q"), col("nsq"), col("probe"), col("psub"))
+    val seed = probes.as("a").join(bSide.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.psub") === col("b.sub") &&
+          col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("src"), col("b.vid").as("dst"),
         (col("a.nsq") + col("b.nsq")
           - lit(2L) * dot(col("a.q"), col("b.q"))).cast("long").as("d2"))
@@ -105,7 +128,19 @@ object GraphAnn {
     while (r < refineRounds) {
       val b = e.select("src", "dst")
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val hop2 = b.as("x").join(b.as("y"),
+      // SAMPLED expansion (NN-descent's ρ, asymmetric): a node expands
+      // ALL its direct neighbors, but only each neighbor's TOP-HALF
+      // out-edges — "my neighbors' best neighbors". The full 4m²·n
+      // two-hop rescoring was the dominant construction cost at a 10×
+      // scale probe (a refine round cost 2× the seed); the asymmetric
+      // cut halves the volume, and keeps recall where the symmetric
+      // half-half cut (4× cheaper) measurably degraded the graph
+      // (fixture recall 0.94 → 0.78). Top-half by the same (d2, dst)
+      // order the final cut uses, so both engines agree.
+      val bh0 = e.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= m / 2).select("src", "dst")
+      val bh = bh0.union(bh0.select(col("dst").as("src"), col("src").as("dst")))
+      val hop2 = b.as("x").join(bh.as("y"),
           col("x.dst") === col("y.src") && col("y.dst") =!= col("x.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
       val next = b.union(hop2).distinct()

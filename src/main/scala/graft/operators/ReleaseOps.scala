@@ -54,8 +54,17 @@ object ReleaseOps {
     import org.apache.spark.sql.expressions.Window
     val pre =
       if (robust)
-        docs.withColumn("text", concat_ws(" ",
-          TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text")))))
+        // snapshot the canonicalized corpus ONCE: the NFC + regex
+        // re-tokenization is the pipeline's most expensive scalar work,
+        // and without a materialization barrier CollapseProject folds it
+        // into EVERY stage's projection — measured ~2.5× the whole
+        // pipeline's wall. Lineage-truncated and Spark-managed
+        // (ContextCleaner reclaims the blocks on GC — the
+        // nearDupClusters convenience-form storage contract); a
+        // production release materializes its canonical corpus exactly
+        // once too.
+        Graph.snapshot(docs.withColumn("text", concat_ws(" ",
+          TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
       else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
     // (round-10 verdict note): no driver count(), no extra corpus action

@@ -1926,11 +1926,16 @@ object SimilarityOps {
     //      VectorSpec pins recall ≥ the IVF route at equal candidate
     //      budget. ----
     Q("q226_nsw_graph_knn",
-      nswOracleSql(m = 16, planes = 3, refineRounds = 1, beamWidth = 8,
-        searchRounds = 3, k = 5)) { (s, d) =>
+      nswOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
+      // occupancy-scaled seed planes (the q83 rule at targetBucket=64):
+      // a FIXED plane count makes the bucket self-join quadratic in the
+      // corpus — measured 13.9× wall at a 10× probe before this; the
+      // oracle derives the identical count from its own count(*) CTE
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
       GraphAnn.nswSearch(emb.filter(col("vec_id") < 10), emb, "vec_id",
-          "embedding", k = 5, m = 16, planes = 3, dim = Dim,
+          "embedding", k = 5, m = 16, planes = planes, dim = Dim,
           refineRounds = 1, beamWidth = 8, searchRounds = 3)
         .orderBy("qid", "rank")
     },
@@ -1995,31 +2000,55 @@ object SimilarityOps {
     * bucketed seed → NN-descent rounds → beam rounds → final cut, one
     * CTE block per bounded round (the lloydCte pattern). Reads the
     * [[PreparedCte]] `e`/`n` frames; queries are `vec_id < 10`. */
-  private def nswOracleSql(m: Int, planes: Int, refineRounds: Int,
+  private def nswOracleSql(m: Int, targetBucket: Int, refineRounds: Int,
       beamWidth: Int, searchRounds: Int, k: Int,
       hubCount: Int = 16): String = {
-    val probeList = ("bucket" +:
-      (0 until planes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    val md5Mod = (a: String, b: String) =>
+      s"CAST(('0x' || substr(md5(CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT)"
+    val seedCap = 64
     val seed =
-      s"""bk AS (SELECT vec_id, ${bucketSqlDuck(planes)} AS bucket FROM e),
+      s"""gcnt AS (SELECT count(*) AS n FROM e),
+         |gpl AS (SELECT GREATEST(2, COALESCE(
+         |  (SELECT min(p) FROM range(0, 25) t(p), gcnt
+         |   WHERE (CAST($targetBucket AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
+         |bk AS (SELECT vec_id, ${bucketSqlDuckDyn("planes")} AS bucket FROM e, gpl),
          |gn AS MATERIALIZED (SELECT n.vec_id, n.qd, n.nsq, bk.bucket
          |       FROM n JOIN bk USING (vec_id)),
-         |gp AS (SELECT vec_id, qd, nsq, unnest([$probeList]) AS probe FROM gn),
+         |gbc AS (SELECT bucket,
+         |  CAST((count(*) + ${seedCap - 1}) // $seedCap AS BIGINT) AS nsub
+         |  FROM gn GROUP BY bucket),
+         |gns AS (SELECT gn.vec_id, gn.qd, gn.nsq, gn.bucket,
+         |  ${md5Mod("gn.vec_id", "gn.bucket")} % gbc.nsub AS sub
+         |  FROM gn JOIN gbc USING (bucket)),
+         |gp0 AS (SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
+         |  list_transform(range(0, planes),
+         |    p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
+         |  FROM gn, gpl),
+         |gp AS (SELECT gp0.vec_id, gp0.qd, gp0.nsq, gp0.probe,
+         |  ${md5Mod("gp0.vec_id", "gp0.probe")} % gbc.nsub AS psub
+         |  FROM gp0 JOIN gbc ON gbc.bucket = gp0.probe),
          |g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |    CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT) AS d2,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |      CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
          |      b.vec_id) AS rk
-         |  FROM gp a JOIN gn b ON a.probe = b.bucket AND a.vec_id <> b.vec_id) t
+         |  FROM gp a JOIN gns b ON a.probe = b.bucket AND a.psub = b.sub
+         |    AND a.vec_id <> b.vec_id) t
          |  WHERE rk <= $m)""".stripMargin
     val refines = (1 to refineRounds).map { r =>
       s"""gb$r AS MATERIALIZED (SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}),
+         |ghh$r AS (SELECT src, dst FROM (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+         |  FROM g${r - 1}) t WHERE rk <= ${m / 2}),
+         |gbh$r AS MATERIALIZED (SELECT src, dst FROM ghh$r
+         |  UNION SELECT dst, src FROM ghh$r),
          |gc$r AS (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM gb$r
          |    UNION
-         |    SELECT x.src, y.dst FROM gb$r x JOIN gb$r y
+         |    SELECT x.src, y.dst FROM gb$r x JOIN gbh$r y
          |      ON x.dst = y.src AND y.dst <> x.src) u),
          |g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |  SELECT c.src, c.dst,
