@@ -62,14 +62,24 @@ object Dedup {
     * keep-set itself is one row per surviving DISTINCT shingle.
     * Semantics identical to the window form (count of ROWS per s;
     * `shingleRows` emits distinct shingles per doc, so rows = docs). */
-  private[operators] def dfCapRows(rows: DataFrame, cap: Int): DataFrame = {
-    val keep = rows.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select("s")
+  /** SINGLE owner of the two-phase sub-cap keep-set: (distinct shingle)
+    * rows whose df passes `capFilter` — the map-side-partial groupBy
+    * count, the cap filter, and the `s`-only projection live here and
+    * nowhere else (a second copy of this logic silently diverging is
+    * exactly the drift bloomPosSql's extraction prevents). */
+  private def subCapShingleSet(rows: DataFrame,
+      capFilter: DataFrame => DataFrame): DataFrame =
+    capFilter(rows.groupBy("s").agg(count(lit(1)).as("df"))).select("s")
+
+  private def dfCapRowsBy(rows: DataFrame,
+      capFilter: DataFrame => DataFrame): DataFrame =
     // shuffle-hash, never broadcast: the keep-set is the corpus's distinct
     // sub-cap shingles — vocabulary-sized, far past broadcast range at
     // corpus scale even though AQE would happily broadcast it at test SFs
-    rows.join(keep.hint("shuffle_hash"), Seq("s"))
-  }
+    rows.join(subCapShingleSet(rows, capFilter).hint("shuffle_hash"), Seq("s"))
+
+  private[operators] def dfCapRows(rows: DataFrame, cap: Int): DataFrame =
+    dfCapRowsBy(rows, _.filter(col("df") <= cap))
 
   /** [[dfCapRows]] with the cap as a BROADCAST 1-row frame (column
     * `capdf`) instead of a driver-side Int — the round-10 verdict's
@@ -77,23 +87,17 @@ object Dedup {
     * cap sized via a driver count costs one extra full-corpus action
     * BEFORE the pipeline proper; as a 1-row aggregate it rides the
     * plan instead. */
-  private[operators] def dfCapRowsDyn(rows: DataFrame, capF: DataFrame): DataFrame = {
-    val keep = rows.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(capF))
-      .filter(col("df") <= col("capdf")).select("s")
-    rows.join(keep.hint("shuffle_hash"), Seq("s"))
-  }
+  private[operators] def dfCapRowsDyn(rows: DataFrame, capF: DataFrame): DataFrame =
+    dfCapRowsBy(rows,
+      _.crossJoin(broadcast(capF)).filter(col("df") <= col("capdf")))
 
   /** [[trainShingleSet]] with the plan-side cap frame ([[dfCapRowsDyn]]'s
     * rationale — the shipped corpus is the BIG side in an incremental
     * release, exactly where an extra count scan hurts). */
   private[operators] def trainShingleSetDyn(trainDocs: DataFrame, idCol: String,
       textCol: String, n: Int, capF: DataFrame): DataFrame =
-    shingleRows(trainDocs, idCol, textCol, n)
-      .groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(capF))
-      .filter(col("df") <= col("capdf"))
-      .select("s")
+    subCapShingleSet(shingleRows(trainDocs, idCol, textCol, n),
+      _.crossJoin(broadcast(capF)).filter(col("df") <= col("capdf")))
 
   /** Exact pairwise n-gram Jaccard for all pairs sharing at least one
     * shingle; keeps pairs with jaccard >= minJaccard.
@@ -469,10 +473,8 @@ object Dedup {
                       n: Int, maxDf: Int): DataFrame =
     // the two-phase cap's keep-set IS the answer here: distinct surviving
     // shingles — no join-back needed
-    shingleRows(trainDocs, idCol, textCol, n)
-      .groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("s")
+    subCapShingleSet(shingleRows(trainDocs, idCol, textCol, n),
+      _.filter(col("df") <= maxDf))
 
   /** Ingest-time contamination check of `docs` against a precomputed
     * [[trainShingleSet]]: per incoming doc, the count of its distinct

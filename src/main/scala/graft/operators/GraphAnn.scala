@@ -166,18 +166,20 @@ object GraphAnn {
       m: Int, planes: Int, dim: Int, refineRounds: Int): DataFrame =
     nswGraphResult(corpus, idCol, vecCol, m, planes, dim, refineRounds).edges
 
-  /** Hub-entry beam search over [[nswGraphResult]]'s graph (see the
-    * object scaladoc). Output (qid, nid, d2, rank ≤ k), MATERIALIZED —
-    * every intermediate (graph, per-round visited pools) is released
-    * before return; the result handle owns only the bounded output. */
-  def nswSearchResult(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int, planes: Int, dim: Int,
-      refineRounds: Int, beamWidth: Int, searchRounds: Int,
-      hubs: Int = 16): NswTopK = {
+  /** Hub-entry beam search against a PREBUILT [[NswGraph]] handle — the
+    * build-once/query-many serving form (the [[IvfAdcIndex]] doctrine: a
+    * production store answers many query batches against one built
+    * artifact; a search that rebuilds per batch pays seed + NN-descent
+    * every time). Does NOT release `g` — the caller owns it across
+    * batches. Output (qid, nid, d2, rank ≤ k), MATERIALIZED — every
+    * per-round visited pool is released before return; the result
+    * handle owns only the bounded output. */
+  def nswSearchOn(queries: DataFrame, g: NswGraph, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, beamWidth: Int,
+      searchRounds: Int, hubs: Int = 16): NswTopK = {
     import org.apache.spark.sql.expressions.Window
     require(beamWidth > 0 && searchRounds > 0, "beam/searchRounds must be > 0")
     require(hubs > 0 && hubs <= 4096, s"hubs=$hubs out of range")
-    val g = nswGraphResult(corpus, idCol, vecCol, m, planes, dim, refineRounds)
     val n = Similarity.prepared(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("vid"), col("q"), col("nsq"))
       .persist()
@@ -217,9 +219,23 @@ object GraphAnn {
         .select("qid", "nid", "d2", "rank"))
     out.count()
     Graph.release(vh)
-    g.release()
     n.unpersist()
     NswTopK(out, oh)
+  }
+
+  /** Build + one-shot search: constructs the graph, serves one query
+    * batch via [[nswSearchOn]], and releases the graph before return.
+    * Callers with more than one batch should hold an [[nswGraphResult]]
+    * handle and call [[nswSearchOn]] per batch instead. */
+  def nswSearchResult(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, planes: Int, dim: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int,
+      hubs: Int = 16): NswTopK = {
+    val g = nswGraphResult(corpus, idCol, vecCol, m, planes, dim, refineRounds)
+    val out = nswSearchOn(queries, g, corpus, idCol, vecCol, k, beamWidth,
+      searchRounds, hubs)
+    g.release()
+    out
   }
 
   /** Convenience form of [[nswSearchResult]] (ContextCleaner-managed

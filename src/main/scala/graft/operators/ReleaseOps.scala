@@ -255,9 +255,15 @@ object ReleaseOps {
     val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val s2 = s1.join(k2, Seq("fp", "doc_id"))
 
-    // stage 3: Bloom-routed carry-over vs the shipped corpus
-    val wOld = Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
-      .select("h").distinct()
+    // stage 3: Bloom-routed carry-over vs the shipped corpus. The old
+    // corpus's distinct window-hash set feeds BOTH the bitmap build and
+    // the exact re-check join; without a snapshot each consumer re-scans
+    // and re-hashes the full shipped corpus — the single most expensive
+    // old-side pass, paid twice. Lineage-truncated, Spark-managed (the
+    // nearDupClusters convenience-form storage contract).
+    val wOld = Graph.snapshot(
+      Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
+        .select("h").distinct())._1
     val wNew = Dedup.charWindowRows(s2, "doc_id", "text", 40, 10)
       .select("doc_id", "h").distinct()
     val bloomHits = Dedup.bloomProbe(wNew,

@@ -680,8 +680,11 @@ object Similarity {
     *    plan RAISES too (round-10 advice item 1): a guarded
     *    `raise_error` fires before any term can overflow, making the
     *    cross-engine behavior identical (loud) instead of silently
-    *    divergent. A per-batch drift monitor scores BATCHES (bounded)
-    *    against a base reference, so the bound is generous in practice. */
+    *    divergent. The guard fires at nbt·ndt >= 1e16: at EXACTLY 1e16
+    *    the worst-case numerator is already 10^38 > DECIMAL(38,0)'s
+    *    max of 10^38 − 1 (a strict > would readmit the boundary case).
+    *    A per-batch drift monitor scores BATCHES (bounded) against a
+    *    base reference, so the bound is generous in practice. */
   def scalarDriftChi2(base: DataFrame, delta: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -709,7 +712,7 @@ object Similarity {
       .na.fill(0L, Seq("nb_b", "nd_b"))
       .crossJoin(broadcast(tot))
       .withColumn("chi2_term_ppm",
-        expr("""CASE WHEN CAST(nbt AS DECIMAL(38,0)) * ndt > 10000000000000000
+        expr("""CASE WHEN CAST(nbt AS DECIMAL(38,0)) * ndt >= 10000000000000000
                |  THEN CAST(raise_error(
                |    'scalarDriftChi2: base_rows*delta_rows exceeds 1e16 — chi2 term would overflow DECIMAL(38,0); score a bounded batch') AS BIGINT)
                |ELSE CAST(

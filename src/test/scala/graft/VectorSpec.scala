@@ -562,6 +562,28 @@ class VectorSpec extends SparkTestBase {
     assert(rNsw >= 0.5, s"NSW recall@5 collapsed: $rNsw")
   }
 
+  test("NSW handle serves multiple query batches without rebuilding, " +
+    "batch-composition-independent") {
+    import graft.operators.GraphAnn
+    val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+      m = 16, planes = 3, dim = 64, refineRounds = 1)
+    val b1 = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 5), g, emb,
+      "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+    val b2 = GraphAnn.nswSearchOn(
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10), g, emb,
+      "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+    val both = (b1.rows.collect() ++ b2.rows.collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    b1.release(); b2.release()
+    g.release()
+    val oneShot = GraphAnn.nswSearch(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, m = 16, planes = 3, dim = 64,
+        refineRounds = 1, beamWidth = 8, searchRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(both === oneShot,
+      "batched serving from one handle differs from the one-shot search")
+  }
+
   test("MIPS ADC serving: the persisted artifact is metric-free — a loaded " +
     "index serves IP identically to the in-memory handle, with gold recall") {
     import graft.operators.IvfAdcIndex
