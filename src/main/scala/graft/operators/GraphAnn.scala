@@ -7,9 +7,41 @@ import org.apache.spark.sql.functions._
 
 /** The NSW graph with an explicit release handle ([[ClusterLabels]] /
   * [[KeepList]] pattern): `edges` must not be consumed after release. */
-final case class NswGraph(edges: DataFrame,
-                          private val rdd: RDD[_]) {
-  def release(): Unit = Graph.release(rdd)
+final class NswGraph private[operators] (
+    val edges: DataFrame,
+    releaseStorage: () => Unit) {
+  def release(): Unit = releaseStorage()
+
+  /** Persist the graph as an on-disk artifact — the graph family's
+    * FAISS `write_index` analog (q230): the (src, dst, d2) edge table
+    * as parquet plus a version params table. [[NswGraph.load]] in a
+    * later session serves from this with ZERO seed/NN-descent work —
+    * the graph is the expensive artifact; search is the cheap phase.
+    * Overwrites any prior save at `path`. */
+  def save(path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    Seq(NswGraph.FormatVersion).toDF("version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object NswGraph {
+  private[operators] val FormatVersion = 1
+
+  /** Rebuild a serving handle from a [[NswGraph.save]] artifact: one
+    * parquet read, cached and materialized — no construction jobs. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): NswGraph = {
+    val params = spark.read.parquet(s"$path/params").collect()
+    require(params.length == 1, s"malformed NSW artifact at $path")
+    val v = params.head.getAs[Int]("version")
+    require(v == FormatVersion,
+      s"NSW artifact version $v != supported $FormatVersion")
+    val e = spark.read.parquet(s"$path/edges").persist()
+    e.count()
+    new NswGraph(e, () => { e.unpersist(); () })
+  }
 }
 
 /** A materialized NSW search result (bounded: k rows per query) with its
@@ -156,7 +188,7 @@ object GraphAnn {
       e = e2; eh = eh2; r += 1
     }
     n.unpersist()
-    NswGraph(e, eh)
+    new NswGraph(e, () => Graph.release(eh))
   }
 
   /** Convenience form of [[nswGraphResult]]: the snapshot is

@@ -1925,9 +1925,7 @@ object SimilarityOps {
     //      or one mis-ranked frontier row anywhere breaks the hash.
     //      VectorSpec pins recall ≥ the IVF route at equal candidate
     //      budget. ----
-    Q("q226_nsw_graph_knn",
-      nswOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
-        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
+    Q("q226_nsw_graph_knn", NswOracleSqlStd) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       // occupancy-scaled seed planes (the q83 rule at targetBucket=64):
       // a FIXED plane count makes the bucket self-join quadratic in the
@@ -1993,8 +1991,46 @@ object SimilarityOps {
       idx.queryIp(emb.filter(col("vec_id") < 10), k = 5, candidates = 50,
           nprobe = 2)
         .orderBy("qid", "rank")
+    },
+
+    // ---- NSW graph artifact save → load → serve (the q189 pattern for
+    //      the GRAPH family): the ORACLE IS q226's — the hash proves a
+    //      handle loaded from the on-disk artifact serves exactly what
+    //      the freshly built graph serves, with zero seed/NN-descent
+    //      jobs on the load path. The timed work is the round-trip
+    //      itself, the cost a deployment pays to survive restart. ----
+    Q("q230_nsw_save_load", NswOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val dir = nswDir(d)
+      g.save(dir)
+      g.release()
+      val loaded = NswGraph.load(s, dir)
+      // nswSearchOn materializes its bounded output into its OWN
+      // snapshot, so the rows stay valid past the loaded handle's
+      // release (the q187 rule is satisfied by construction)
+      val out = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 10),
+        loaded, emb, "vec_id", "embedding", k = 5, beamWidth = 8,
+        searchRounds = 3)
+      loaded.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
+
+  // data dir -> the ONE NSW artifact dir (the idxDirs reuse rule)
+  private val nswDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nswDir(d: String): String =
+    nswDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-nswidx").toString)
+
+  /** The ONE NSW oracle instance shared by q226 (build-and-serve) and
+    * q230 (save/load round-trip) — identical hash ⇒ load ≡ build. */
+  private lazy val NswOracleSqlStd: String =
+    nswOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+      beamWidth = 8, searchRounds = 3, k = 5)
 
   /** DuckDB replay of [[GraphAnn.nswGraph]] + [[GraphAnn.nswSearch]]:
     * bucketed seed → NN-descent rounds → beam rounds → final cut, one
