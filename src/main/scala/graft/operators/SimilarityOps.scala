@@ -2016,8 +2016,68 @@ object SimilarityOps {
         searchRounds = 3)
       loaded.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- STREAMING NSW serving (the q193 arrival pattern for the
+    //      graph family): query vectors arrive as a REAL file stream
+    //      (three single-file micro-batches), each served via
+    //      foreachBatch against ONE resident graph handle — zero
+    //      seed/NN-descent work per batch, per-query search independent
+    //      of co-arriving queries, so the union over micro-batches must
+    //      equal one batch serve. Gated against the SAME oracle as
+    //      q226/q230: the hash proves stream-served ≡ batch-served ≡
+    //      built-and-served. Driver accumulation bounded at
+    //      k·|queries| = 50 rows. ----
+    Q("q231_nsw_stream_serve", NswOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val dir = nswStreamDir(d)
+      Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
+      }
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+      val query = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            // nswSearchOn materializes its own bounded snapshot; release
+            // it as soon as the rows are drained into the buffer
+            val served = GraphAnn.nswSearchOn(batch, g, emb, "vec_id",
+              "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+            served.rows.collect().foreach(buf.add)
+            served.release()
+            ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      g.release()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType)))
+      s.createDataFrame(new java.util.ArrayList(buf), schema)
+        .orderBy("qid", "rank")
     }
   )
+
+  // data dir -> the ONE NSW stream staging dir (the idxDirs reuse rule)
+  private val nswStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nswStreamDir(d: String): String =
+    nswStreamDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-nswstream").toString)
 
   // data dir -> the ONE NSW artifact dir (the idxDirs reuse rule)
   private val nswDirs =
