@@ -255,6 +255,27 @@ object GraphAnn {
     NswTopK(out, oh)
   }
 
+  /** DELETE ids from the graph — the graph family's FAISS `remove_ids`
+    * analog (q219's stance, applied to edges instead of codes): the
+    * surviving edges are still exact distances between surviving
+    * vectors — geometry, not membership — so no rebuild is needed; but
+    * every edge INCIDENT to a deleted node must go (one anti-join per
+    * side), or search would route through and even RETURN deleted
+    * vectors. Returns a NEW snapshot-backed handle; the input handle is
+    * untouched and the two share no storage obligations. Serving must
+    * pass the SURVIVING corpus to [[nswSearchOn]] (the hub layer and
+    * exact scoring read it): deleted nodes also vanish as hubs. */
+  def nswDelete(g: NswGraph, deleted: DataFrame, idCol: String): NswGraph = {
+    val del = deleted.select(col(idCol).cast("long").as("_del"))
+    val kept = g.edges
+      .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
+      .join(del.withColumnRenamed("_del", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst", "d2")
+    val (e, eh) = Graph.snapshot(kept)
+    e.count()
+    new NswGraph(e, () => Graph.release(eh))
+  }
+
   /** Build + one-shot search: constructs the graph, serves one query
     * batch via [[nswSearchOn]], and releases the graph before return.
     * Callers with more than one batch should hold an [[nswGraphResult]]

@@ -2058,19 +2058,52 @@ object SimilarityOps {
         .start()
       try query.processAllAvailable() finally query.stop()
       g.release()
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("qid",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("nid",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("d2",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType)))
-      s.createDataFrame(new java.util.ArrayList(buf), schema)
-        .orderBy("qid", "rank")
+      serveStreamed(s, buf)
+    },
+
+    // ---- NSW deletion (the q219 remove_ids stance, graph-side): the
+    //      surviving edges are exact distances between surviving
+    //      vectors — geometry, not membership — so delete is two
+    //      anti-joins on the edge table, no rebuild; every edge
+    //      INCIDENT to a deleted node goes, or search would route
+    //      through (and return) deleted vectors. The oracle builds the
+    //      graph over EVERYTHING and filters only the serving side
+    //      (edges + the hub list), so the hash proves delete ≡
+    //      build-on-all-serve-survivors, and that deleted ids never
+    //      appear as results OR as route hops. ----
+    Q("q232_nsw_delete",
+      nswOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5,
+        delPred = Some("(%ID% >= 20 AND %ID% % 7 = 3)"))) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val isDel = col("vec_id") >= 20 && col("vec_id") % 7 === 3
+      val g2 = GraphAnn.nswDelete(g, emb.filter(isDel).select("vec_id"),
+        "vec_id")
+      g.release()
+      val out = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 10), g2,
+        emb.filter(!isDel), "vec_id", "embedding", k = 5, beamWidth = 8,
+        searchRounds = 3)
+      g2.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
+
+  /** Drain a bounded (qid, nid, d2, rank) row buffer into an ordered
+    * frame (the q231 stream-serve accumulation — factored so the
+    * foreachBatch body stays readable). */
+  private def serveStreamed(s: org.apache.spark.sql.SparkSession,
+      buf: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("qid", LongType), StructField("nid", LongType),
+      StructField("d2", LongType), StructField("rank", IntegerType)))
+    s.createDataFrame(new java.util.ArrayList(buf), schema)
+      .orderBy("qid", "rank")
+  }
 
   // data dir -> the ONE NSW stream staging dir (the idxDirs reuse rule)
   private val nswStreamDirs =
@@ -2098,7 +2131,15 @@ object SimilarityOps {
     * [[PreparedCte]] `e`/`n` frames; queries are `vec_id < 10`. */
   private def nswOracleSql(m: Int, targetBucket: Int, refineRounds: Int,
       beamWidth: Int, searchRounds: Int, k: Int,
-      hubCount: Int = 16): String = {
+      hubCount: Int = 16, delPred: Option[String] = None): String = {
+    // delPred: a predicate over the placeholder %ID% (e.g.
+    // "(%ID% >= 20 AND %ID% % 7 = 3)") marking DELETED ids — the q219
+    // stance replayed graph-side: construction reads EVERYTHING, the
+    // serving side filters (edges incident to deleted nodes, the hub
+    // list, nothing else), so the hash proves delete ≡
+    // build-on-all-serve-survivors
+    def pred(idExpr: String): String =
+      delPred.get.replace("%ID%", idExpr)
     val md5Mod = (a: String, b: String) =>
       s"CAST(('0x' || substr(md5(CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT)"
     val seedCap = 64
@@ -2156,10 +2197,19 @@ object SimilarityOps {
          |  JOIN n nb ON nb.vec_id = c.dst) t
          |  WHERE rk <= $m)""".stripMargin
     }
-    val g = s"g$refineRounds"
+    val g = delPred match {
+      case Some(_) => "gdel"
+      case None => s"g$refineRounds"
+    }
+    val delCte = delPred.map { _ =>
+      s"""gdel AS (SELECT * FROM g$refineRounds
+         |  WHERE NOT ${pred("src")} AND NOT ${pred("dst")}),
+         |""".stripMargin
+    }.getOrElse("")
+    val hidWhere = delPred.map(_ => s" WHERE NOT ${pred("vec_id")}").getOrElse("")
     val init =
-      s"""qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE vec_id < 10),
-         |hid AS (SELECT vec_id FROM n ORDER BY vec_id LIMIT $hubCount),
+      s"""${delCte}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE vec_id < 10),
+         |hid AS (SELECT vec_id FROM n$hidWhere ORDER BY vec_id LIMIT $hubCount),
          |hp AS (SELECT n.vec_id, n.qd, n.nsq FROM n JOIN hid USING (vec_id)),
          |sv0 AS MATERIALIZED (SELECT qv.qid, hp.vec_id AS nid,
          |    CAST(qv.qnsq + hp.nsq - 2 * list_dot_product(qv.qqd, hp.qd) AS BIGINT) AS d2
