@@ -255,6 +255,48 @@ object GraphAnn {
     NswTopK(out, oh)
   }
 
+  /** APPEND a delta to an existing graph — the graph family's
+    * incremental-insert (q187's nightly-delta stance, HNSW's insert
+    * batched): each delta vector beam-searches the EXISTING graph over
+    * the base corpus (entry hubs = base smallest ids) and its top-m
+    * hits become insert edges; delta↔delta edges come from the
+    * sharded-bucket SEED over the delta alone (NN-descent's starting
+    * point — the next full rebuild refines them); then every node's
+    * edge list re-ranks top-m over base edges ∪ insert edges (both
+    * directions) ∪ delta seed (both directions). Untouched base nodes
+    * keep their lists BY CONSTRUCTION (their candidate set is exactly
+    * their old edges), so the re-rank is a global statement, not a
+    * global cost. Returns a NEW snapshot-backed handle; `g` is
+    * untouched. Serving the appended graph passes base ∪ delta as the
+    * corpus (hubs come from the union's smallest ids). */
+  def nswAppend(g: NswGraph, base: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int, beamWidth: Int,
+      searchRounds: Int, hubs: Int = 16, targetBucket: Int = 64): NswGraph = {
+    import org.apache.spark.sql.expressions.Window
+    val ins = nswSearchOn(delta, g, base, idCol, vecCol, k = m,
+      beamWidth, searchRounds, hubs)
+    val planesD = Similarity.adaptivePlanes(delta.count(), targetBucket)
+    val gd = nswGraphResult(delta, idCol, vecCol, m, planesD, dim,
+      refineRounds = 0)
+    val a = ins.rows.select(col("qid").as("src"), col("nid").as("dst"),
+      col("d2"))
+    val w = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val pool = g.edges
+      .union(a)
+      .union(a.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+      .union(gd.edges)
+      .union(gd.edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("d2")))
+      .distinct()
+    val (e, eh) = Graph.snapshot(
+      pool.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+        .drop("rk"))
+    e.count()
+    ins.release()
+    gd.release()
+    new NswGraph(e, () => Graph.release(eh))
+  }
+
   /** DELETE ids from the graph — the graph family's FAISS `remove_ids`
     * analog (q219's stance, applied to edges instead of codes): the
     * surviving edges are still exact distances between surviving

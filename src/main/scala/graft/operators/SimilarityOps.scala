@@ -2088,6 +2088,36 @@ object SimilarityOps {
         searchRounds = 3)
       g2.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- NSW incremental append (the q187 nightly-delta stance for
+    //      the graph family, HNSW insert batched): the base graph is
+    //      built over ids < 400, each delta vector beam-searches it for
+    //      its top-m insert edges, delta↔delta seeds with the sharded
+    //      buckets, and every node re-ranks top-m over the pooled
+    //      candidates — untouched base nodes keep their lists by
+    //      construction. The oracle replays base construction, the
+    //      per-delta insert search (base hubs), the delta seed, the
+    //      pooled re-rank and the final serve over the appended graph
+    //      with full-corpus hubs; one flipped edge anywhere in the
+    //      insert path breaks the hash. ----
+    Q("q233_nsw_append",
+      nswAppendOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val delta = emb.filter(col("vec_id") >= 400)
+      val planesB = Similarity.adaptivePlanes(base.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(base, "vec_id", "embedding",
+        m = 16, planes = planesB, dim = Dim, refineRounds = 1)
+      val appended = GraphAnn.nswAppend(g, base, delta, "vec_id",
+        "embedding", m = 16, dim = Dim, beamWidth = 8, searchRounds = 3)
+      g.release()
+      val out = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 10),
+        appended, emb, "vec_id", "embedding", k = 5, beamWidth = 8,
+        searchRounds = 3)
+      appended.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
 
@@ -2129,6 +2159,119 @@ object SimilarityOps {
     * bucketed seed → NN-descent rounds → beam rounds → final cut, one
     * CTE block per bounded round (the lloydCte pattern). Reads the
     * [[PreparedCte]] `e`/`n` frames; queries are `vec_id < 10`. */
+  private def NswMd5Mod(a: String, b: String): String =
+    s"CAST(('0x' || substr(md5(CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** NSW graph-construction CTE chain, name-prefixed with `x` over the
+    * node subset `nWhere` (a predicate on e.vec_id; "TRUE" = all) —
+    * occupancy-scaled planes from the SUBSET's count, sharded hot
+    * buckets, seed top-m, `refineRounds` sampled NN-descent rounds.
+    * Final CTE: `${x}g$refineRounds`. One owner for q226/q230/q231/q232
+    * (x = "") and the q233 append replay (x = "b" base / "d" delta). */
+  private def nswGraphCtes(x: String, nWhere: String, m: Int,
+      targetBucket: Int, refineRounds: Int): String = {
+    val seedCap = GraphAnn.SeedCap
+    val seed =
+      s"""${x}gcnt AS (SELECT count(*) AS n FROM e WHERE $nWhere),
+         |${x}gpl AS (SELECT GREATEST(2, COALESCE(
+         |  (SELECT min(p) FROM range(0, 25) t(p), ${x}gcnt
+         |   WHERE (CAST($targetBucket AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
+         |${x}bk AS (SELECT vec_id, ${bucketSqlDuckDyn("planes")} AS bucket
+         |  FROM e, ${x}gpl WHERE $nWhere),
+         |${x}gn AS MATERIALIZED (SELECT n.vec_id, n.qd, n.nsq, ${x}bk.bucket
+         |       FROM n JOIN ${x}bk USING (vec_id)),
+         |${x}gbc AS (SELECT bucket,
+         |  CAST((count(*) + ${seedCap - 1}) // $seedCap AS BIGINT) AS nsub
+         |  FROM ${x}gn GROUP BY bucket),
+         |${x}gns AS (SELECT ${x}gn.vec_id, ${x}gn.qd, ${x}gn.nsq, ${x}gn.bucket,
+         |  ${NswMd5Mod(s"${x}gn.vec_id", s"${x}gn.bucket")} % ${x}gbc.nsub AS sub
+         |  FROM ${x}gn JOIN ${x}gbc USING (bucket)),
+         |${x}gp0 AS (SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
+         |  list_transform(range(0, planes),
+         |    p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
+         |  FROM ${x}gn, ${x}gpl),
+         |${x}gp AS (SELECT ${x}gp0.vec_id, ${x}gp0.qd, ${x}gp0.nsq, ${x}gp0.probe,
+         |  ${NswMd5Mod(s"${x}gp0.vec_id", s"${x}gp0.probe")} % ${x}gbc.nsub AS psub
+         |  FROM ${x}gp0 JOIN ${x}gbc ON ${x}gbc.bucket = ${x}gp0.probe),
+         |${x}g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT) AS d2,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
+         |      b.vec_id) AS rk
+         |  FROM ${x}gp a JOIN ${x}gns b ON a.probe = b.bucket AND a.psub = b.sub
+         |    AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= $m)""".stripMargin
+    val refines = (1 to refineRounds).map { r =>
+      s"""${x}gb$r AS MATERIALIZED (SELECT src, dst FROM ${x}g${r - 1} UNION SELECT dst, src FROM ${x}g${r - 1}),
+         |${x}ghh$r AS (SELECT src, dst FROM (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+         |  FROM ${x}g${r - 1}) t WHERE rk <= ${m / 2}),
+         |${x}gbh$r AS MATERIALIZED (SELECT src, dst FROM ${x}ghh$r
+         |  UNION SELECT dst, src FROM ${x}ghh$r),
+         |${x}gc$r AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM ${x}gb$r
+         |    UNION
+         |    SELECT x.src, y.dst FROM ${x}gb$r x JOIN ${x}gbh$r y
+         |      ON x.dst = y.src AND y.dst <> x.src) u),
+         |${x}g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |  SELECT c.src, c.dst,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2,
+         |    row_number() OVER (PARTITION BY c.src ORDER BY
+         |      CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT),
+         |      c.dst) AS rk
+         |  FROM ${x}gc$r c JOIN n na ON na.vec_id = c.src
+         |  JOIN n nb ON nb.vec_id = c.dst) t
+         |  WHERE rk <= $m)""".stripMargin
+    }
+    (Seq(seed) ++ refines).mkString(",\n")
+  }
+
+  /** NSW hub-entry beam-search CTE chain, name-prefixed with `y`, over
+    * edge CTE `graph`: queries from `n WHERE $qWhere`, hubs from
+    * `n$hubWhere`. Final visited pool: `${y}sv$searchRounds`. */
+  private def nswSearchCtes(y: String, graph: String, qWhere: String,
+      hubWhere: String, beamWidth: Int, searchRounds: Int,
+      hubCount: Int): String = {
+    val init =
+      s"""${y}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE $qWhere),
+         |${y}hid AS (SELECT vec_id FROM n$hubWhere ORDER BY vec_id LIMIT $hubCount),
+         |${y}hp AS (SELECT n.vec_id, n.qd, n.nsq FROM n JOIN ${y}hid USING (vec_id)),
+         |${y}sv0 AS MATERIALIZED (SELECT ${y}qv.qid, ${y}hp.vec_id AS nid,
+         |    CAST(${y}qv.qnsq + ${y}hp.nsq - 2 * list_dot_product(${y}qv.qqd, ${y}hp.qd) AS BIGINT) AS d2
+         |  FROM ${y}qv, ${y}hp),
+         |${y}bm0 AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM ${y}sv0) t WHERE rk <= $beamWidth)""".stripMargin
+    val hops = (1 to searchRounds).map { r =>
+      s"""${y}sx$r AS (
+         |  SELECT DISTINCT b.qid, $graph.dst AS nid
+         |  FROM ${y}bm${r - 1} b JOIN $graph ON $graph.src = b.nid),
+         |${y}sd$r AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(${y}qv.qnsq + nn.nsq - 2 * list_dot_product(${y}qv.qqd, nn.qd) AS BIGINT) AS d2
+         |  FROM ${y}sx$r s JOIN ${y}qv ON ${y}qv.qid = s.qid JOIN n nn ON nn.vec_id = s.nid),
+         |${y}sv$r AS MATERIALIZED (SELECT DISTINCT qid, nid, d2 FROM
+         |  (SELECT * FROM ${y}sv${r - 1} UNION ALL SELECT * FROM ${y}sd$r) u),
+         |${y}bm$r AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM ${y}sv$r) t WHERE rk <= $beamWidth)""".stripMargin
+    }
+    (Seq(init) ++ hops).mkString(",\n")
+  }
+
+  /** Final top-k cut over a search chain's visited pool. */
+  private def nswFinalSelect(y: String, searchRounds: Int, k: Int): String =
+    s"""SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+       |  FROM ${y}sv$searchRounds WHERE nid <> qid) t
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   private def nswOracleSql(m: Int, targetBucket: Int, refineRounds: Int,
       beamWidth: Int, searchRounds: Int, k: Int,
       hubCount: Int = 16, delPred: Option[String] = None): String = {
@@ -2140,63 +2283,6 @@ object SimilarityOps {
     // build-on-all-serve-survivors
     def pred(idExpr: String): String =
       delPred.get.replace("%ID%", idExpr)
-    val md5Mod = (a: String, b: String) =>
-      s"CAST(('0x' || substr(md5(CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT)"
-    val seedCap = 64
-    val seed =
-      s"""gcnt AS (SELECT count(*) AS n FROM e),
-         |gpl AS (SELECT GREATEST(2, COALESCE(
-         |  (SELECT min(p) FROM range(0, 25) t(p), gcnt
-         |   WHERE (CAST($targetBucket AS BIGINT) << CAST(p AS INTEGER)) >= n), 24)) AS planes),
-         |bk AS (SELECT vec_id, ${bucketSqlDuckDyn("planes")} AS bucket FROM e, gpl),
-         |gn AS MATERIALIZED (SELECT n.vec_id, n.qd, n.nsq, bk.bucket
-         |       FROM n JOIN bk USING (vec_id)),
-         |gbc AS (SELECT bucket,
-         |  CAST((count(*) + ${seedCap - 1}) // $seedCap AS BIGINT) AS nsub
-         |  FROM gn GROUP BY bucket),
-         |gns AS (SELECT gn.vec_id, gn.qd, gn.nsq, gn.bucket,
-         |  ${md5Mod("gn.vec_id", "gn.bucket")} % gbc.nsub AS sub
-         |  FROM gn JOIN gbc USING (bucket)),
-         |gp0 AS (SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
-         |  list_transform(range(0, planes),
-         |    p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
-         |  FROM gn, gpl),
-         |gp AS (SELECT gp0.vec_id, gp0.qd, gp0.nsq, gp0.probe,
-         |  ${md5Mod("gp0.vec_id", "gp0.probe")} % gbc.nsub AS psub
-         |  FROM gp0 JOIN gbc ON gbc.bucket = gp0.probe),
-         |g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT) AS d2,
-         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |      CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
-         |      b.vec_id) AS rk
-         |  FROM gp a JOIN gns b ON a.probe = b.bucket AND a.psub = b.sub
-         |    AND a.vec_id <> b.vec_id) t
-         |  WHERE rk <= $m)""".stripMargin
-    val refines = (1 to refineRounds).map { r =>
-      s"""gb$r AS MATERIALIZED (SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}),
-         |ghh$r AS (SELECT src, dst FROM (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
-         |  FROM g${r - 1}) t WHERE rk <= ${m / 2}),
-         |gbh$r AS MATERIALIZED (SELECT src, dst FROM ghh$r
-         |  UNION SELECT dst, src FROM ghh$r),
-         |gc$r AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM gb$r
-         |    UNION
-         |    SELECT x.src, y.dst FROM gb$r x JOIN gbh$r y
-         |      ON x.dst = y.src AND y.dst <> x.src) u),
-         |g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
-         |  SELECT c.src, c.dst,
-         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2,
-         |    row_number() OVER (PARTITION BY c.src ORDER BY
-         |      CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT),
-         |      c.dst) AS rk
-         |  FROM gc$r c JOIN n na ON na.vec_id = c.src
-         |  JOIN n nb ON nb.vec_id = c.dst) t
-         |  WHERE rk <= $m)""".stripMargin
-    }
     val g = delPred match {
       case Some(_) => "gdel"
       case None => s"g$refineRounds"
@@ -2207,39 +2293,53 @@ object SimilarityOps {
          |""".stripMargin
     }.getOrElse("")
     val hidWhere = delPred.map(_ => s" WHERE NOT ${pred("vec_id")}").getOrElse("")
-    val init =
-      s"""${delCte}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE vec_id < 10),
-         |hid AS (SELECT vec_id FROM n$hidWhere ORDER BY vec_id LIMIT $hubCount),
-         |hp AS (SELECT n.vec_id, n.qd, n.nsq FROM n JOIN hid USING (vec_id)),
-         |sv0 AS MATERIALIZED (SELECT qv.qid, hp.vec_id AS nid,
-         |    CAST(qv.qnsq + hp.nsq - 2 * list_dot_product(qv.qqd, hp.qd) AS BIGINT) AS d2
-         |  FROM qv, hp),
-         |bm0 AS (SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
-         |  FROM sv0) t WHERE rk <= $beamWidth)""".stripMargin
-    val hops = (1 to searchRounds).map { r =>
-      s"""sx$r AS (
-         |  SELECT DISTINCT b.qid, $g.dst AS nid
-         |  FROM bm${r - 1} b JOIN $g ON $g.src = b.nid),
-         |sd$r AS (
-         |  SELECT s.qid, s.nid,
-         |    CAST(qv.qnsq + nn.nsq - 2 * list_dot_product(qv.qqd, nn.qd) AS BIGINT) AS d2
-         |  FROM sx$r s JOIN qv ON qv.qid = s.qid JOIN n nn ON nn.vec_id = s.nid),
-         |sv$r AS MATERIALIZED (SELECT DISTINCT qid, nid, d2 FROM
-         |  (SELECT * FROM sv${r - 1} UNION ALL SELECT * FROM sd$r) u),
-         |bm$r AS MATERIALIZED (SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
-         |  FROM sv$r) t WHERE rk <= $beamWidth)""".stripMargin
-    }
-    val fin =
-      s"""SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT qid, nid, d2,
-         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
-         |  FROM sv$searchRounds WHERE nid <> qid) t
-         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
     s"WITH $PreparedCte,\n" +
-      (Seq(seed) ++ refines ++ Seq(init) ++ hops).mkString(",\n") + "\n" + fin
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
+      delCte +
+      nswSearchCtes("", g, "vec_id < 10", hidWhere, beamWidth,
+        searchRounds, hubCount) + "\n" +
+      nswFinalSelect("", searchRounds, k)
+  }
+
+  /** The q233 append replay: build the BASE graph (ids < baseMax), beam-
+    * search every delta vector against it (entry hubs = base smallest
+    * ids), take each delta node's top-m as insert edges, seed
+    * delta↔delta with the sharded-bucket construction (refine 0), pool
+    * base edges ∪ insert edges (both directions) ∪ delta seed (both
+    * directions), re-rank EVERY node's top-m — untouched base nodes
+    * keep their lists by construction — then serve the standard queries
+    * over the appended graph with FULL-corpus hubs. */
+  private def nswAppendOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int, k: Int,
+      hubCount: Int = 16, baseMax: Int = 400): String = {
+    val bg = s"bg$refineRounds"
+    val insertAndPool =
+      s"""asr AS (SELECT qid AS src, nid AS dst, d2 FROM (
+         |  SELECT qid, nid, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM asv$searchRounds WHERE nid <> qid) t WHERE rk <= $m)""".stripMargin
+    val pool =
+      s"""apool AS (SELECT DISTINCT src, dst, d2 FROM (
+         |  SELECT src, dst, d2 FROM $bg
+         |  UNION ALL SELECT src, dst, d2 FROM asr
+         |  UNION ALL SELECT dst AS src, src AS dst, d2 FROM asr
+         |  UNION ALL SELECT src, dst, d2 FROM dg0
+         |  UNION ALL SELECT dst AS src, src AS dst, d2 FROM dg0) u),
+         |ga AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |  SELECT src, dst, d2,
+         |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+         |  FROM apool) t WHERE rk <= $m)""".stripMargin
+    s"WITH $PreparedCte,\n" +
+      nswGraphCtes("b", s"vec_id < $baseMax", m, targetBucket,
+        refineRounds) + ",\n" +
+      nswSearchCtes("a", bg, s"vec_id >= $baseMax",
+        s" WHERE vec_id < $baseMax", beamWidth, searchRounds,
+        hubCount) + ",\n" +
+      insertAndPool + ",\n" +
+      nswGraphCtes("d", s"vec_id >= $baseMax", m, targetBucket, 0) + ",\n" +
+      pool + ",\n" +
+      nswSearchCtes("f", "ga", "vec_id < 10", "", beamWidth,
+        searchRounds, hubCount) + "\n" +
+      nswFinalSelect("f", searchRounds, k)
   }
 }

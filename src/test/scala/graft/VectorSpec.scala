@@ -584,6 +584,40 @@ class VectorSpec extends SparkTestBase {
       "batched serving from one handle differs from the one-shot search")
   }
 
+  test("NSW append: the appended graph's recall tracks the full rebuild") {
+    import graft.operators.GraphAnn
+    val queries = emb.filter(col("vec_id") < 10)
+    val gold = Similarity.exactL2Knn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val g = GraphAnn.nswGraphResult(base, "vec_id", "embedding",
+      m = 16, planes = Similarity.adaptivePlanes(400, 64), dim = 64,
+      refineRounds = 1)
+    val appended = GraphAnn.nswAppend(g, base, delta, "vec_id", "embedding",
+      m = 16, dim = 64, beamWidth = 8, searchRounds = 3)
+    g.release()
+    val servedApp = GraphAnn.nswSearchOn(queries, appended, emb, "vec_id",
+        "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+    val app = servedApp.rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    servedApp.release(); appended.release()
+    val rebuilt = GraphAnn.nswSearch(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, planes = Similarity.adaptivePlanes(emb.count(), 64),
+        dim = 64, refineRounds = 1, beamWidth = 8, searchRounds = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rApp = (app & gold).size.toDouble / gold.size
+    val rReb = (rebuilt & gold).size.toDouble / gold.size
+    // the insert path's edges come from a bounded search + an unrefined
+    // delta seed, so some recall give-up vs the rebuild is expected —
+    // but it must stay in the same serving class, not collapse
+    assert(rApp >= rReb - 0.15,
+      s"appended recall $rApp collapsed vs rebuilt $rReb")
+    assert(rApp >= 0.5, s"appended recall floor broken: $rApp")
+  }
+
   test("MIPS ADC serving: the persisted artifact is metric-free — a loaded " +
     "index serves IP identically to the in-memory handle, with gold recall") {
     import graft.operators.IvfAdcIndex
