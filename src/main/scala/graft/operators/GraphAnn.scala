@@ -21,7 +21,15 @@ final class NswGraph private[operators] (
   def save(path: String): Unit = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.write.mode("overwrite").parquet(s"$path/edges")
+    // snapshot before writing: a LOADED handle's edge frame still reads
+    // the parquet at `path`, and Spark refuses to overwrite a path a
+    // plan is reading from — the lineage-truncated copy has no file
+    // relation, so in-place refresh (load(p).save(p)) works as the
+    // scaladoc promises. One bounded pass over the m·n edge rows.
+    val (flat, h) = Graph.snapshot(edges)
+    flat.count()
+    flat.write.mode("overwrite").parquet(s"$path/edges")
+    Graph.release(h)
     Seq(NswGraph.FormatVersion).toDF("version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
@@ -33,9 +41,16 @@ object NswGraph {
   /** Rebuild a serving handle from a [[NswGraph.save]] artifact: one
     * parquet read, cached and materialized — no construction jobs. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): NswGraph = {
-    val params = spark.read.parquet(s"$path/params").collect()
-    require(params.length == 1, s"malformed NSW artifact at $path")
-    val v = params.head.getAs[Int]("version")
+    val pf = spark.read.parquet(s"$path/params")
+    // fail with the DESIGNED message on any malformed params table: a
+    // missing column or a foreign integer width (a BIGINT version from
+    // another writer) must not surface as ClassCastException/NPE
+    require(pf.columns.contains("version"),
+      s"malformed NSW artifact at $path: params has no version column")
+    val params = pf.select(col("version").cast("long")).collect()
+    require(params.length == 1 && !params.head.isNullAt(0),
+      s"malformed NSW artifact at $path")
+    val v = params.head.getLong(0)
     require(v == FormatVersion,
       s"NSW artifact version $v != supported $FormatVersion")
     val e = spark.read.parquet(s"$path/edges").persist()
@@ -98,6 +113,17 @@ object GraphAnn {
     * bucket with c nodes splits into ceil(c/SeedCap) md5-assigned
     * shards, hard-bounding every node's seed-join contribution. */
   private[operators] val SeedCap = 64
+
+  /** The ONE declaration of [[nswSearchOn]]'s output schema — drain
+    * paths (the q231 stream buffer) must build rows against this, and
+    * [[nswSearchOn]] asserts its plan still produces it, so a column
+    * change fails at the source instead of corrupting a drain. */
+  val TopKSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("qid", LongType), StructField("nid", LongType),
+      StructField("d2", LongType), StructField("rank", IntegerType)))
+  }
 
   /** The NSW neighbor graph: (src, dst, d2), at most m out-edges per
     * node that shares a bucket with at least one peer. Deterministic:
@@ -252,6 +278,9 @@ object GraphAnn {
     out.count()
     Graph.release(vh)
     n.unpersist()
+    require(out.schema.map(f => (f.name, f.dataType)) ==
+      TopKSchema.map(f => (f.name, f.dataType)),
+      s"nswSearchOn output drifted from TopKSchema: ${out.schema}")
     NswTopK(out, oh)
   }
 
@@ -273,6 +302,17 @@ object GraphAnn {
       idCol: String, vecCol: String, m: Int, dim: Int, beamWidth: Int,
       searchRounds: Int, hubs: Int = 16, targetBucket: Int = 64): NswGraph = {
     import org.apache.spark.sql.expressions.Window
+    // fail loudly on id overlap: re-ingesting an existing id (the natural
+    // upsert mistake) would merge two nodes' edge lists under one src and
+    // serve duplicate/corrupt top-k with no error. One id-only semi-join,
+    // probed from the bounded delta side, short-circuited at the first hit.
+    val clash = delta.select(col(idCol).cast("long").as("_vid"))
+      .join(base.select(col(idCol).cast("long").as("_vid")),
+        Seq("_vid"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      "nswAppend: delta shares ids with base — an update is a delete " +
+        "then an append, never a re-insert")
     val ins = nswSearchOn(delta, g, base, idCol, vecCol, k = m,
       beamWidth, searchRounds, hubs)
     val planesD = Similarity.adaptivePlanes(delta.count(), targetBucket)

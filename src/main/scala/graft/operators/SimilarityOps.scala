@@ -42,33 +42,59 @@ object SimilarityOps {
   // (each q189 invocation overwrite-saves the same dir — the save is the
   // operator under test — but repeated bench/verify passes must not
   // accumulate a fresh index copy per call; the FormatOps.rtDirs rule)
+  private def dirFor(map: java.util.concurrent.ConcurrentHashMap[String, String],
+      prefix: String, d: String): String =
+    map.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create(prefix).toString)
+
+  /** The REAL micro-batch scaffold q193/q213/q231 share: a schema'd
+    * file stream over staged single-file parquet batches
+    * (maxFilesPerTrigger=1 → one genuine micro-batch per file), each
+    * batch drained through `serve` into a bounded driver buffer and
+    * emitted as ONE ordered frame. Staging stays per-site — the
+    * arrival patterns genuinely differ — but the streaming discipline
+    * has one owner. */
+  private def fileStreamDrain(s: org.apache.spark.sql.SparkSession,
+      inSchema: org.apache.spark.sql.types.StructType, glob: String,
+      outSchema: org.apache.spark.sql.types.StructType,
+      orderCols: Seq[String])(
+      serve: org.apache.spark.sql.DataFrame => Array[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val stream = s.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+    val query = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          serve(batch.toDF()).foreach(buf.add)
+          ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    s.createDataFrame(new java.util.ArrayList(buf), outSchema)
+      .orderBy(orderCols.map(col): _*)
+  }
+
   private val idxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def idxDir(d: String): String =
-    idxDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-annidx").toString)
+  private def idxDir(d: String): String = dirFor(idxDirs, "graft-annidx", d)
 
   // data dir -> the ONE q216 lifecycle-chain artifact dir (same reuse rule;
   // holds the night0/ and night1/ artifacts of the persisted chain)
   private val chainDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def chainDir(d: String): String =
-    chainDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-annchain").toString)
+  private def chainDir(d: String): String = dirFor(chainDirs, "graft-annchain", d)
 
   // data dir -> the ONE q217 delta-arrival staging dir (same reuse rule)
   private val maintDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def maintDir(d: String): String =
-    maintDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-annmaint").toString)
+  private def maintDir(d: String): String = dirFor(maintDirs, "graft-annmaint", d)
 
   // data dir -> the ONE q193 query-arrival staging dir (same reuse rule)
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def streamDir(d: String): String =
-    streamDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-annstream").toString)
+  private def streamDir(d: String): String = dirFor(streamDirs, "graft-annstream", d)
   // multi-probe kNN uses fewer planes: 2^6 buckets over the fixture keeps
   // inverted lists populated so every query finds candidates (recall knob)
   private val MpPlanes = 6
@@ -1135,32 +1161,20 @@ object SimilarityOps {
           .withColumn("grp", lit(g))
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/dg$g")
       }
-      val inSchema = emb.withColumn("grp", lit(0)).schema
-      val buf =
-        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-      val stream = s.readStream.schema(inSchema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$dir/dg*")
-      val query = stream.writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            val g = batch.select(min(col("grp"))).head().getInt(0)
-            Similarity.normDriftChi2(base, batch, "vec_id", "embedding")
-              .withColumn("grp", lit(g))
-              .select("grp", "bucket", "base_n", "delta_n",
-                "chi2_term_ppm", "chi2_total_ppm", "drifted")
-              .collect().foreach(buf.add)
-            ()
-        }
-        .start()
-      try query.processAllAvailable() finally query.stop()
       val outSchema = Similarity.normDriftChi2(base, emb.limit(0),
           "vec_id", "embedding")
         .withColumn("grp", lit(0))
         .select("grp", "bucket", "base_n", "delta_n",
           "chi2_term_ppm", "chi2_total_ppm", "drifted").schema
-      s.createDataFrame(new java.util.ArrayList(buf), outSchema)
-        .orderBy("grp", "bucket")
+      fileStreamDrain(s, emb.withColumn("grp", lit(0)).schema,
+          s"$dir/dg*", outSchema, Seq("grp", "bucket")) { batch =>
+        val g = batch.select(min(col("grp"))).head().getInt(0)
+        Similarity.normDriftChi2(base, batch, "vec_id", "embedding")
+          .withColumn("grp", lit(g))
+          .select("grp", "bucket", "base_n", "delta_n",
+            "chi2_term_ppm", "chi2_total_ppm", "drifted")
+          .collect()
+      }
     },
 
     // ---- IVF-ADC: the COMPLETE billion-scale ANN architecture — q109's
@@ -1586,24 +1600,12 @@ object SimilarityOps {
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
       }
-      val buf =
-        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
-      val query = stream.writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            idx.query(batch, k = 5, candidates = 50, nprobe = 2)
-              .collect().foreach(buf.add)
-            ()
-        }
-        .start()
-      try query.processAllAvailable() finally query.stop()
       val schema = idx.query(emb.limit(0), k = 5, candidates = 50,
         nprobe = 2).schema
-      s.createDataFrame(new java.util.ArrayList(buf), schema)
-        .orderBy("qid", "rank")
+      fileStreamDrain(s, emb.schema, s"$dir/b*", schema,
+          Seq("qid", "rank")) { batch =>
+        idx.query(batch, k = 5, candidates = 50, nprobe = 2).collect()
+      }
     },
 
     // ---- HYBRID retrieval (RRF): the production RAG front door fuses
@@ -2039,26 +2041,18 @@ object SimilarityOps {
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
       }
-      val buf =
-        new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
-      val query = stream.writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            // nswSearchOn materializes its own bounded snapshot; release
-            // it as soon as the rows are drained into the buffer
-            val served = GraphAnn.nswSearchOn(batch, g, emb, "vec_id",
-              "embedding", k = 5, beamWidth = 8, searchRounds = 3)
-            served.rows.collect().foreach(buf.add)
-            served.release()
-            ()
-        }
-        .start()
-      try query.processAllAvailable() finally query.stop()
+      val out = fileStreamDrain(s, emb.schema, s"$dir/b*",
+          GraphAnn.TopKSchema, Seq("qid", "rank")) { batch =>
+        // nswSearchOn materializes its own bounded snapshot; release
+        // it as soon as the rows are drained into the buffer
+        val served = GraphAnn.nswSearchOn(batch, g, emb, "vec_id",
+          "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+        val rows = served.rows.collect()
+        served.release()
+        rows
+      }
       g.release()
-      serveStreamed(s, buf)
+      out
     },
 
     // ---- NSW deletion (the q219 remove_ids stance, graph-side): the
@@ -2121,33 +2115,16 @@ object SimilarityOps {
     }
   )
 
-  /** Drain a bounded (qid, nid, d2, rank) row buffer into an ordered
-    * frame (the q231 stream-serve accumulation — factored so the
-    * foreachBatch body stays readable). */
-  private def serveStreamed(s: org.apache.spark.sql.SparkSession,
-      buf: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row])
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("qid", LongType), StructField("nid", LongType),
-      StructField("d2", LongType), StructField("rank", IntegerType)))
-    s.createDataFrame(new java.util.ArrayList(buf), schema)
-      .orderBy("qid", "rank")
-  }
 
   // data dir -> the ONE NSW stream staging dir (the idxDirs reuse rule)
   private val nswStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def nswStreamDir(d: String): String =
-    nswStreamDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-nswstream").toString)
+  private def nswStreamDir(d: String): String = dirFor(nswStreamDirs, "graft-nswstream", d)
 
   // data dir -> the ONE NSW artifact dir (the idxDirs reuse rule)
   private val nswDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def nswDir(d: String): String =
-    nswDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-nswidx").toString)
+  private def nswDir(d: String): String = dirFor(nswDirs, "graft-nswidx", d)
 
   /** The ONE NSW oracle instance shared by q226 (build-and-serve) and
     * q230 (save/load round-trip) — identical hash ⇒ load ≡ build. */
@@ -2155,11 +2132,9 @@ object SimilarityOps {
     nswOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
       beamWidth = 8, searchRounds = 3, k = 5)
 
-  /** DuckDB replay of [[GraphAnn.nswGraph]] + [[GraphAnn.nswSearch]]:
-    * bucketed seed → NN-descent rounds → beam rounds → final cut, one
-    * CTE block per bounded round (the lloydCte pattern). Reads the
-    * [[PreparedCte]] `e`/`n` frames; queries are `vec_id < 10`. */
-  private def NswMd5Mod(a: String, b: String): String =
+  /** DuckDB twin of the md5-hash shard/sub assignment used by the NSW
+    * seed ('0x'-parse ≡ Spark's conv — the bloom precedent). */
+  private def nswMd5Mod(a: String, b: String): String =
     s"CAST(('0x' || substr(md5(CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)), 1, 8)) AS BIGINT)"
 
   /** NSW graph-construction CTE chain, name-prefixed with `x` over the
@@ -2184,14 +2159,14 @@ object SimilarityOps {
          |  CAST((count(*) + ${seedCap - 1}) // $seedCap AS BIGINT) AS nsub
          |  FROM ${x}gn GROUP BY bucket),
          |${x}gns AS (SELECT ${x}gn.vec_id, ${x}gn.qd, ${x}gn.nsq, ${x}gn.bucket,
-         |  ${NswMd5Mod(s"${x}gn.vec_id", s"${x}gn.bucket")} % ${x}gbc.nsub AS sub
+         |  ${nswMd5Mod(s"${x}gn.vec_id", s"${x}gn.bucket")} % ${x}gbc.nsub AS sub
          |  FROM ${x}gn JOIN ${x}gbc USING (bucket)),
          |${x}gp0 AS (SELECT vec_id, qd, nsq, unnest(list_concat([bucket],
          |  list_transform(range(0, planes),
          |    p -> xor(bucket, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS probe
          |  FROM ${x}gn, ${x}gpl),
          |${x}gp AS (SELECT ${x}gp0.vec_id, ${x}gp0.qd, ${x}gp0.nsq, ${x}gp0.probe,
-         |  ${NswMd5Mod(s"${x}gp0.vec_id", s"${x}gp0.probe")} % ${x}gbc.nsub AS psub
+         |  ${nswMd5Mod(s"${x}gp0.vec_id", s"${x}gp0.probe")} % ${x}gbc.nsub AS psub
          |  FROM ${x}gp0 JOIN ${x}gbc ON ${x}gbc.bucket = ${x}gp0.probe),
          |${x}g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2272,6 +2247,11 @@ object SimilarityOps {
        |  FROM ${y}sv$searchRounds WHERE nid <> qid) t
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB replay of [[GraphAnn.nswGraphResult]] + [[GraphAnn
+    * .nswSearchOn]] for the STANDARD gates (q226/q230/q231, and with
+    * `delPred`, q232): graph CTEs + vec_id<10 search CTEs + final cut,
+    * assembled from the prefixed fragments the q233 append replay also
+    * composes. Reads the [[PreparedCte]] `e`/`n` frames. */
   private def nswOracleSql(m: Int, targetBucket: Int, refineRounds: Int,
       beamWidth: Int, searchRounds: Int, k: Int,
       hubCount: Int = 16, delPred: Option[String] = None): String = {
