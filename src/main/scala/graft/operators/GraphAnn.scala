@@ -358,6 +358,66 @@ object GraphAnn {
     new NswGraph(e, () => Graph.release(eh))
   }
 
+  /** The graph family's MAINTENANCE LOOP ([[AnnMaintenance
+    * .appendServeWithCanary]]'s stance): append the delta under the
+    * EXISTING graph ([[nswAppend]] — bounded insert search + seed +
+    * re-rank, never a rebuild), score a recall canary against
+    * [[Similarity.exactL2Knn]] gold over base ∪ delta on the bounded
+    * query sample, and REBUILD the graph from scratch only when the
+    * canary says the insert path has cost too much recall. The decision
+    * is pure integer math (hits·100 < minRecallPct·|gold|), so a SQL
+    * oracle replays it exactly; output carries the q190 audit columns
+    * (`mean_recall`, `retrained`) on every row. All intermediate
+    * handles release before return; results materialize driver-side
+    * first (bounded: k·|queries| rows). */
+  def appendServeWithCanary(base: DataFrame, delta: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, m: Int,
+      dim: Int, beamWidth: Int, searchRounds: Int, minRecallPct: Int,
+      hubs: Int = 16, targetBucket: Int = 64): DataFrame = {
+    // fail fast (the round-10 advice lesson): validate before any build
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
+    val spark = base.sparkSession
+    val planesB = Similarity.adaptivePlanes(base.count(), targetBucket)
+    val g = nswGraphResult(base, idCol, vecCol, m, planesB, dim,
+      refineRounds = 1)
+    val appended = nswAppend(g, base, delta, idCol, vecCol, m, dim,
+      beamWidth, searchRounds, hubs, targetBucket)
+    g.release()
+    val union = base.select(col(idCol), col(vecCol))
+      .union(delta.select(col(idCol), col(vecCol)))
+    val servedH = nswSearchOn(queries, appended, union, idCol, vecCol,
+      k, beamWidth, searchRounds, hubs)
+    val apprRows = servedH.rows.collect()
+    servedH.release()
+    appended.release()
+    val gold = Similarity.exactL2Knn(queries, union, idCol, vecCol, k)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = apprRows.count(r => gold.contains((r.getLong(0), r.getLong(1))))
+    val total = gold.size
+    val retrained = hits.toLong * 100L < minRecallPct.toLong * total.toLong
+    val servedRows =
+      if (!retrained) apprRows
+      else {
+        val planesU = Similarity.adaptivePlanes(union.count(), targetBucket)
+        val g2 = nswGraphResult(union, idCol, vecCol, m, planesU, dim,
+          refineRounds = 1)
+        val out = nswSearchOn(queries, g2, union, idCol, vecCol, k,
+          beamWidth, searchRounds, hubs)
+        val rows = out.rows.collect()
+        out.release()
+        g2.release()
+        rows
+      }
+    import spark.implicits._
+    val meanRecall = hits.toDouble / total
+    servedRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        meanRecall, retrained))
+      .toDF("qid", "nid", "d2", "rank", "mean_recall", "retrained")
+  }
+
   /** Build + one-shot search: constructs the graph, serves one query
     * batch via [[nswSearchOn]], and releases the graph before return.
     * Callers with more than one batch should hold an [[nswGraphResult]]

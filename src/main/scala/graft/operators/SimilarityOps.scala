@@ -2112,6 +2112,29 @@ object SimilarityOps {
         searchRounds = 3)
       appended.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- NSW maintenance loop (the q190 stance for the graph family):
+    //      append under the existing graph, recall canary vs exact gold
+    //      over base ∪ delta, rebuild ONLY when the canary trips, serve
+    //      with audit columns. The oracle extends the q233 replay with
+    //      the gold CTE, the recall division and the integer retrain
+    //      decision; the fixture passes the canary (minRecallPct = 60
+    //      against a measured ~0.9 appended recall), so the emitted
+    //      rows are the appended route's on both engines. VectorSpec
+    //      gates the OTHER branch: minRecallPct = 100 trips and the
+    //      served rows become the full rebuild's. ----
+    Q("q234_nsw_maintain",
+      nswAppendOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5,
+        canaryMinPct = Some(60))) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      GraphAnn.appendServeWithCanary(
+          emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, m = 16, dim = Dim, beamWidth = 8, searchRounds = 3,
+          minRecallPct = 60)
+        .orderBy("qid", "rank")
     }
   )
 
@@ -2291,7 +2314,8 @@ object SimilarityOps {
     * over the appended graph with FULL-corpus hubs. */
   private def nswAppendOracleSql(m: Int, targetBucket: Int,
       refineRounds: Int, beamWidth: Int, searchRounds: Int, k: Int,
-      hubCount: Int = 16, baseMax: Int = 400): String = {
+      hubCount: Int = 16, baseMax: Int = 400,
+      canaryMinPct: Option[Int] = None): String = {
     val bg = s"bg$refineRounds"
     val insertAndPool =
       s"""asr AS (SELECT qid AS src, nid AS dst, d2 FROM (
@@ -2319,7 +2343,35 @@ object SimilarityOps {
       nswGraphCtes("d", s"vec_id >= $baseMax", m, targetBucket, 0) + ",\n" +
       pool + ",\n" +
       nswSearchCtes("f", "ga", "vec_id < 10", "", beamWidth,
-        searchRounds, hubCount) + "\n" +
-      nswFinalSelect("f", searchRounds, k)
+        searchRounds, hubCount) +
+      (canaryMinPct match {
+        case None => "\n" + nswFinalSelect("f", searchRounds, k)
+        case Some(pct) =>
+          // q234: the appended serve becomes a CTE (the nswFinalSelect
+          // cut, un-ordered), joined against the exact gold for the
+          // canary recall and the integer retrain decision — the q190
+          // audit columns on every row. The fixture passes the canary,
+          // so the emitted rows ARE the appended route's (the branch
+          // the Spark side takes for the same integer compare).
+          s""",
+             |fsrv AS (SELECT qid, nid, d2, rank FROM (
+             |  SELECT qid, nid, d2,
+             |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+             |  FROM fsv$searchRounds WHERE nid <> qid) t
+             |  WHERE rank <= $k),
+             |ggold AS (SELECT qid, nid FROM (
+             |  SELECT qa.vec_id AS qid, nb.vec_id AS nid,
+             |    row_number() OVER (PARTITION BY qa.vec_id ORDER BY
+             |      CAST(qa.nsq + nb.nsq - 2 * list_dot_product(qa.qd, nb.qd) AS BIGINT),
+             |      nb.vec_id) AS rank
+             |  FROM n qa JOIN n nb ON nb.vec_id <> qa.vec_id
+             |  WHERE qa.vec_id < 10) t WHERE rank <= $k),
+             |ghit AS (SELECT count(*) AS h FROM fsrv JOIN ggold USING (qid, nid)),
+             |gtot AS (SELECT count(*) AS t FROM ggold)
+             |SELECT fsrv.qid, fsrv.nid, fsrv.d2, CAST(fsrv.rank AS INTEGER) AS rank,
+             |  CAST(h AS DOUBLE) / t AS mean_recall,
+             |  h * 100 < $pct * t AS retrained
+             |FROM fsrv, ghit, gtot ORDER BY fsrv.qid, fsrv.rank""".stripMargin
+      })
   }
 }

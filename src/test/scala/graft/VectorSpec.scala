@@ -618,6 +618,28 @@ class VectorSpec extends SparkTestBase {
     assert(rApp >= 0.5, s"appended recall floor broken: $rApp")
   }
 
+  test("NSW maintenance: a tripped canary rebuilds and serves the rebuilt graph") {
+    import graft.operators.GraphAnn
+    // the q234 oracle gates the pass branch; this gates the DECISION —
+    // minRecallPct=100 must trip (appended recall < 1.0 on this fixture)
+    // and the served rows must equal the full rebuild's serve
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = GraphAnn.appendServeWithCanary(base, delta, queries,
+      "vec_id", "embedding", k = 5, m = 16, dim = 64, beamWidth = 8,
+      searchRounds = 3, minRecallPct = 100)
+    val rows = served.collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(5)),
+      "minRecallPct=100 did not trip the canary")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val rebuilt = GraphAnn.nswSearch(queries, emb, "vec_id", "embedding",
+        k = 5, m = 16, planes = Similarity.adaptivePlanes(emb.count(), 64),
+        dim = 64, refineRounds = 1, beamWidth = 8, searchRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === rebuilt, "tripped-canary serve differs from the full rebuild")
+  }
+
   test("MIPS ADC serving: the persisted artifact is metric-free — a loaded " +
     "index serves IP identically to the in-memory handle, with gold recall") {
     import graft.operators.IvfAdcIndex
