@@ -103,6 +103,14 @@ object Bench {
       val min = if (ok) times.min else -1.0
       (q.name, median, min, ok)
     }
+    // structural coverage gate (round-11 verdict item 2): the measured key
+    // set must equal the driver contract's query set, so a query landing
+    // after a "definitive" run — the recurring one-query-gap class (r10
+    // q224, r11 q234) — fails the bench loudly instead of going unmeasured
+    val gap = SparkEntry.queries.keySet -- results.map(_._1).toSet
+    val extra = results.map(_._1).toSet -- SparkEntry.queries.keySet
+    require(gap.isEmpty && extra.isEmpty,
+      s"bench coverage gap: unmeasured=$gap not-in-contract=$extra")
     val qs = results
       .map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")

@@ -27,10 +27,15 @@ final class NswGraph private[operators] (
     // relation, so in-place refresh (load(p).save(p)) works as the
     // scaladoc promises. One bounded pass over the m·n edge rows.
     val (flat, h) = Graph.snapshot(edges)
-    flat.count()
+    val nEdges = flat.count()
     flat.write.mode("overwrite").parquet(s"$path/edges")
     Graph.release(h)
-    Seq(NswGraph.FormatVersion).toDF("version")
+    // params are written LAST and carry the edge count (round-11 advice):
+    // a crash mid-edges-write leaves the PRIOR params beside a partial
+    // edges parquet, and parquet reads partial part-file sets without
+    // error — load() verifies the recorded count so a torn artifact fails
+    // loudly instead of silently serving a truncated graph
+    Seq((NswGraph.FormatVersion, nEdges)).toDF("version", "n_edges")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 }
@@ -47,14 +52,25 @@ object NswGraph {
     // another writer) must not surface as ClassCastException/NPE
     require(pf.columns.contains("version"),
       s"malformed NSW artifact at $path: params has no version column")
-    val params = pf.select(col("version").cast("long")).collect()
-    require(params.length == 1 && !params.head.isNullAt(0),
-      s"malformed NSW artifact at $path")
+    require(pf.columns.contains("n_edges"),
+      s"malformed NSW artifact at $path: params has no n_edges column")
+    val params = pf.select(col("version").cast("long"),
+      col("n_edges").cast("long")).collect()
+    require(params.length == 1 && !params.head.isNullAt(0) &&
+      !params.head.isNullAt(1), s"malformed NSW artifact at $path")
     val v = params.head.getLong(0)
     require(v == FormatVersion,
       s"NSW artifact version $v != supported $FormatVersion")
+    val want = params.head.getLong(1)
     val e = spark.read.parquet(s"$path/edges").persist()
-    e.count()
+    val got = e.count()
+    if (got != want) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"torn NSW artifact at $path: params records $want edges, " +
+          s"edges/ holds $got — a crash mid-save leaves a partial parquet " +
+          "that reads without error; refuse to serve it")
+    }
     new NswGraph(e, () => { e.unpersist(); () })
   }
 }
@@ -195,8 +211,11 @@ object GraphAnn {
       // half-half cut (4× cheaper) measurably degraded the graph
       // (fixture recall 0.94 → 0.78). Top-half by the same (d2, dst)
       // order the final cut uses, so both engines agree.
+      // max(1, m/2): at m=1 a bare m/2 cut is 0 and silently empties the
+      // two-hop expansion, turning refine rounds into near no-ops (the
+      // round-11 advice finding); the oracle CTE uses the same floor
       val bh0 = e.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= m / 2).select("src", "dst")
+        .filter(col("rk") <= math.max(1, m / 2)).select("src", "dst")
       val bh = bh0.union(bh0.select(col("dst").as("src"), col("src").as("dst")))
       val hop2 = b.as("x").join(bh.as("y"),
           col("x.dst") === col("y.src") && col("y.dst") =!= col("x.src"))
@@ -396,6 +415,12 @@ object GraphAnn {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = apprRows.count(r => gold.contains((r.getLong(0), r.getLong(1))))
     val total = gold.size
+    // an empty query sample (or an empty union) yields total=0; without
+    // this guard mean_recall is NaN and retrained silently false — fail
+    // loudly instead (the round-11 advice finding)
+    require(total > 0,
+      "appendServeWithCanary: empty exact-gold set — the canary cannot " +
+        "adjudicate recall over zero queries; pass a non-empty query sample")
     val retrained = hits.toLong * 100L < minRecallPct.toLong * total.toLong
     val servedRows =
       if (!retrained) apprRows

@@ -2205,7 +2205,7 @@ object SimilarityOps {
          |${x}ghh$r AS (SELECT src, dst FROM (
          |  SELECT src, dst,
          |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
-         |  FROM ${x}g${r - 1}) t WHERE rk <= ${m / 2}),
+         |  FROM ${x}g${r - 1}) t WHERE rk <= ${math.max(1, m / 2)}),
          |${x}gbh$r AS MATERIALIZED (SELECT src, dst FROM ${x}ghh$r
          |  UNION SELECT dst, src FROM ${x}ghh$r),
          |${x}gc$r AS (
