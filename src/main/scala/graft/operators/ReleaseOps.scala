@@ -50,22 +50,23 @@ object ReleaseOps {
     * variant keeps those dups (q225's planted fixture demonstrates the
     * gap). Default stays raw: the single-space fixture corpus and the
     * q215 gate are byte-identical under it. */
+  /** The ONE robust-mode canonicalization (q225/q235): NFC-normalize (the
+    * q221 Expression) then re-tokenize on separator-robust word-char runs
+    * (the q218 rule), re-joined on single spaces — snapshotted ONCE: the
+    * NFC + regex re-tokenization is the pipeline's most expensive scalar
+    * work, and without a materialization barrier CollapseProject folds it
+    * into EVERY consuming stage's projection — measured ~2.5× the whole
+    * release pipeline's wall. Lineage-truncated and Spark-managed
+    * (ContextCleaner reclaims the blocks on GC — the nearDupClusters
+    * convenience-form storage contract); a production release
+    * materializes its canonical corpus exactly once too. */
+  private def canonicalized(docs: DataFrame): DataFrame =
+    Graph.snapshot(docs.withColumn("text", concat_ws(" ",
+      TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
+
   def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pre =
-      if (robust)
-        // snapshot the canonicalized corpus ONCE: the NFC + regex
-        // re-tokenization is the pipeline's most expensive scalar work,
-        // and without a materialization barrier CollapseProject folds it
-        // into EVERY stage's projection — measured ~2.5× the whole
-        // pipeline's wall. Lineage-truncated and Spark-managed
-        // (ContextCleaner reclaims the blocks on GC — the
-        // nearDupClusters convenience-form storage contract); a
-        // production release materializes its canonical corpus exactly
-        // once too.
-        Graph.snapshot(docs.withColumn("text", concat_ws(" ",
-          TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
-      else docs
+    val pre = if (robust) canonicalized(docs) else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
     // (round-10 verdict note): no driver count(), no extra corpus action
     val capF = docs.agg(
@@ -228,11 +229,27 @@ object ReleaseOps {
     * window-hash set (shuffle-joined against the bounded Bloom hits,
     * never broadcast) and the capped eval shingle set; the Bloom bitmap
     * is m/63 words REGARDLESS of corpus size. Everything else is
-    * delta-sized. */
-  def prepareDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    * delta-sized.
+    *
+    * `robust = true` (round-11 verdict item 1) canonicalizes BOTH sides
+    * with the q225 front-end ([[canonicalized]]: NFC + word-char-run
+    * re-tokenization) before any fingerprint, window hash, or shingle is
+    * taken — the shipped corpus's window-hash set and the delta probe it
+    * through the SAME token stream. Without it a multilingual delta
+    * leaks separator/encoding near-dups straight past the Bloom
+    * carry-over drop: the old hashes are raw-byte, the twin's bytes
+    * differ (NBSP, U+3000, decomposed accents), nothing matches, and the
+    * release re-ships content it already shipped (q235's planted fixture
+    * demonstrates exactly that; ReleaseRobustSpec pins the raw leak). */
+  def prepareDelta(oldDocs0: DataFrame, newDocs0: DataFrame,
+      robust: Boolean = false): DataFrame = {
+    val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
+    val newDocs = if (robust) canonicalized(newDocs0) else newDocs0
     // plan-side df cap sized from the SHIPPED corpus (the big side —
-    // exactly where a driver count() scan would hurt most)
-    val capF = oldDocs.agg(
+    // exactly where a driver count() scan would hurt most); the count is
+    // canonicalization-invariant, so read the raw frame and keep the cap
+    // scan off the snapshotted blocks
+    val capF = oldDocs0.agg(
       greatest(lit(4L), expr("count(1) div 300")).as("capdf"))
 
     // stage 1: quality funnel — the q140 rules, verbatim from prepareCorpus
@@ -514,6 +531,42 @@ object ReleaseOps {
     v1.union(v2).withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** The q235 planted fixture — the incremental-release twin of
+    * [[multilingualFixtureCtes]], with the exotic separators on the
+    * SHIPPED side (which has no quality funnel, so the construction is
+    * free to be aggressive): the old corpus carries each doc with EVERY
+    * space replaced by IDEOGRAPHIC SPACE plus an NBSP/NFC-decomposed
+    * café tail; the delta is the clean-ASCII re-crawl of the same
+    * content (ids + 1e6). Every 40-char window of the shipped text
+    * contains at least one U+3000 (words are ≤ 8 chars, so no window
+    * fits inside one word), so NO raw delta window can byte-match and
+    * the raw carry-over drops nothing — the release re-ships content it
+    * already shipped. Canonicalized, the two sides are string-identical,
+    * so the robust carry-over drops every delta doc. First ten sources
+    * only (the q225 volume rule). */
+  private val shippedTwinFixtureCtes =
+    """dhalf AS (SELECT * FROM documents
+      |  WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+      |dold AS (SELECT doc_id, source,
+      |  replace(text, ' ', '　') || '　汉字' || chr(160) || 'cafe' || chr(769) AS text
+      |  FROM dhalf),
+      |dnew AS (SELECT doc_id + 1000000 AS doc_id, source,
+      |  text || ' 汉字 café' AS text FROM dhalf),
+      |""".stripMargin
+
+  /** Spark twin of [[shippedTwinFixtureCtes]]: (shipped corpus, delta). */
+  private[graft] def shippedTwinFixture(
+      docs0: DataFrame): (DataFrame, DataFrame) = {
+    val docs = docs0.filter(
+      substring(col("source"), 4, 8).cast("int") < 10)
+    val old = docs.select(col("doc_id"), col("source"),
+      concat(translate(col("text"), " ", "　"),
+        lit("　汉字 café")).as("text"))
+    val neu = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("source"), concat(col("text"), lit(" 汉字 café")).as("text"))
+    (old, neu)
+  }
+
   /** The canonicalization the robust pipeline applies, as DuckDB SQL —
     * nfc_normalize ≡ the q221 JDK-NFC Expression, regexp_extract_all of
     * word-char runs ≡ the q218 tokensRe split, both pinned cross-engine
@@ -557,8 +610,53 @@ object ReleaseOps {
     //      dropping docs), and every delta stage. Old = src0–src9,
     //      delta = src10–src19 (the q125 convention). ----
     Q("q228_incremental_release",
-      s"""WITH od AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10),
-         |nd AS (SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10),
+      deltaSql("",
+        "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10)",
+        "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10)",
+        "text")) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val idx = substring(col("source"), 4, 8).cast("int")
+      prepareDelta(docs.filter(idx < 10), docs.filter(idx >= 10))
+        .orderBy("source")
+    },
+
+    // ---- ROBUST incremental release (round-11 verdict item 1): the
+    //      q228 delta pipeline with the q225 canonicalization in front —
+    //      the SHIPPED corpus carries the multilingual formatting (every
+    //      space an IDEOGRAPHIC SPACE, NBSP + NFC-decomposed café tail;
+    //      the shipped side has no quality funnel, so the construction
+    //      can be total), the delta is the clean-ASCII re-crawl of the
+    //      same content. Robust window hashes are taken over the
+    //      canonical token stream — string-identical on both sides — so
+    //      EVERY delta doc Bloom-hits the shipped corpus and the
+    //      carry-over stage drops it (n_vs_old = 0 in the report); the
+    //      raw pipeline's byte-level hashes match nothing (every shipped
+    //      window contains a U+3000; no clean 40-char window fits inside
+    //      one ≤8-char word) and the release re-ships everything
+    //      (ReleaseRobustSpec pins that leak). The oracle replays
+    //      fixture, canonicalization, the Bloom bitmap and every delta
+    //      stage from the SHARED q228 SQL body — the two gates differ
+    //      only in input and canonicalization, exactly the claim under
+    //      test. ----
+    Q("q235_incremental_release_robust",
+      deltaSql(shippedTwinFixtureCtes, "dold", "dnew", robustTextSql)) {
+      (s, d) =>
+      val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
+      prepareDelta(old, neu, robust = true).orderBy("source")
+    }
+  )
+
+  /** The q228 incremental-release oracle, parameterized over its input
+    * relations and the text expression both sides see (the [[releaseSql]]
+    * pattern): `preCtes` supplies fixture CTEs (ending with a comma),
+    * `textExpr` is `text` for the raw pipeline and the NFC +
+    * word-char-run canonicalization for the robust one. q228 and q235
+    * share every downstream character of this string, so the gates
+    * differ ONLY in input and canonicalization. */
+  private def deltaSql(preCtes: String, oldRel: String, newRel: String,
+      textExpr: String): String =
+      s"""WITH ${preCtes}od AS (SELECT doc_id, source, $textExpr AS text FROM $oldRel),
+         |nd AS (SELECT doc_id, source, $textExpr AS text FROM $newRel),
          |f AS (
          |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -663,11 +761,5 @@ object ReleaseOps {
          |LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
          |LEFT JOIN a3 USING (source) LEFT JOIN a4 USING (source)
          |LEFT JOIN a5 USING (source)
-         |ORDER BY a0.source""".stripMargin) { (s, d) =>
-      val docs = Tables.t(s, d, "documents")
-      val idx = substring(col("source"), 4, 8).cast("int")
-      prepareDelta(docs.filter(idx < 10), docs.filter(idx >= 10))
-        .orderBy("source")
-    }
-  )
+         |ORDER BY a0.source""".stripMargin
 }

@@ -32,6 +32,34 @@ class ReleaseRobustSpec extends SparkTestBase {
     assert(e * 2 === q, s"expected n_exact == n_quality/2, got q=$q e=$e")
   }
 
+  private def deltaSums(robust: Boolean): (Long, Long, Long) = {
+    val (old, neu) =
+      ReleaseOps.shippedTwinFixture(Tables.t(spark, Sf, "documents"))
+    val r = ReleaseOps.prepareDelta(old, neu, robust = robust)
+      .agg(sum("n_exact").cast("long"), sum("n_vs_old").cast("long"),
+        sum("n_final").cast("long"))
+      .head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("robust incremental release drops every shipped doc at carry-over") {
+    val (e, vsOld, fin) = deltaSums(robust = true)
+    assert(e > 0, "degenerate fixture: quality funnel admitted nothing")
+    // the canonical window hashes of each clean re-crawled doc are exactly
+    // its shipped original's, so the Bloom-routed carry-over drops ALL
+    assert(vsOld === 0L, s"robust carry-over leaked $vsOld docs")
+    assert(fin === 0L, s"robust delta shipped $fin already-shipped docs")
+  }
+
+  test("raw incremental release re-ships the content the robust delta drops") {
+    val (e, vsOld, fin) = deltaSums(robust = false)
+    // raw window hashes are byte-level: every shipped window contains a
+    // U+3000 separator, no clean-ASCII window matches, and the re-crawled
+    // content rides the whole delta pipeline back into the release
+    assert(vsOld === e, s"raw carry-over unexpectedly caught docs: $vsOld < $e")
+    assert(fin > 0L, "raw delta shipped nothing — fixture degenerate")
+  }
+
   test("raw release keeps the separator twins the robust release drops") {
     val (qRaw, eRaw, nRaw) = stageSums(robust = false)
     val (_, eRob, nRob) = stageSums(robust = true)
