@@ -303,6 +303,98 @@ object GraphAnn {
     NswTopK(out, oh)
   }
 
+  /** METADATA-FILTERED beam search against a prebuilt graph (the q220
+    * allow-list stance for the graph family, round-11 verdict item 3):
+    * only ids in `allowed` may be RETURNED — and, crucially, the filter
+    * constrains BEAM EXPANSION, not just the final cut. Post-filtering
+    * the top-k starves recall under a selective predicate (a 20 %
+    * allow-list leaves ~1 allowed row in a k=5 cut), and a beam whose
+    * slots fill with disallowed near-query nodes spends its entire
+    * candidate budget on rows it can never return. Here the visited
+    * pool — and therefore every frontier — holds ALLOWED nodes only:
+    * entry hubs are the smallest allowed ids, and each round expands a
+    * frontier node through (a) its direct allowed out-neighbors and
+    * (b) its disallowed out-neighbors' allowed out-neighbors — the
+    * filtered-ANN "bridge" step (ACORN / filtered-DiskANN's
+    * predicate-agnostic traversal, collapsed to two hops): the walk may
+    * ROUTE through a disallowed node but never grants it a beam slot,
+    * so the allowed subgraph's disconnection (under a selective
+    * predicate most same-bucket neighbors are disallowed) doesn't stall
+    * the search. Candidate volume per round is bounded by
+    * beamWidth·m·(1+m) BEFORE the allow join — bounded, never
+    * corpus-sized. Deterministic (d2, id) order throughout; DuckDB
+    * replays it bit-for-bit (q236). Does not release `g` or consume
+    * `allowed` destructively; the result is materialized and owns only
+    * its bounded output. */
+  def nswSearchFilteredOn(queries: DataFrame, g: NswGraph, corpus: DataFrame,
+      allowed: DataFrame, idCol: String, vecCol: String, k: Int,
+      beamWidth: Int, searchRounds: Int, hubs: Int = 16): NswTopK = {
+    import org.apache.spark.sql.expressions.Window
+    require(beamWidth > 0 && searchRounds > 0, "beam/searchRounds must be > 0")
+    require(hubs > 0 && hubs <= 4096, s"hubs=$hubs out of range")
+    val alw = allowed.select(col(idCol).cast("long").as("vid")).distinct()
+    // allowed corpus side, quantized once: hub layer, scoring, and the
+    // allow joins all read this one persisted frame
+    val na = Similarity.prepared(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("vid"), col("q"), col("nsq"))
+      .join(alw, "vid")
+      .persist()
+    val qp = Similarity.prepared(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    val hub = na.join(broadcast(na.select(col("vid")).orderBy("vid")
+      .limit(hubs)), "vid")
+    val nn = na.select(col("vid").as("nid"), col("q").as("nq"),
+      col("nsq").as("nnsq"))
+    val alwCand = alw.withColumnRenamed("vid", "cand")
+    val wb = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    var (visited, vh) = Graph.snapshot(
+      qp.crossJoin(broadcast(hub))
+        .select(col("qid"), col("vid").as("nid"),
+          (col("qnsq") + col("nsq")
+            - lit(2L) * dot(col("qq"), col("q"))).cast("long").as("d2")))
+    visited.count()
+    val e1 = g.edges.select(col("src").as("e1s"), col("dst").as("e1d"))
+    val e2 = g.edges.select(col("src").as("e2s"), col("dst").as("e2d"))
+    var r = 0
+    while (r < searchRounds) {
+      val beam = visited.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= beamWidth).drop("rk")
+      // 1-hop neighborhood of the (all-allowed) frontier
+      val adj = beam.join(e1, col("nid") === col("e1s"))
+        .select(col("qid"), col("e1d").as("cand")).distinct()
+      // bridge: expand DISALLOWED 1-hop nodes one more hop — route
+      // through them without granting them beam slots or pool rows
+      val bridge = adj
+        .join(alwCand, Seq("cand"), "left_anti")
+        .withColumnRenamed("cand", "mid")
+        .join(e2, col("mid") === col("e2s"))
+        .select(col("qid"), col("e2d").as("cand"))
+      val scored = adj.union(bridge).distinct()
+        .join(alwCand, Seq("cand"))
+        .select(col("qid"), col("cand").as("nid"))
+        .join(qp, "qid").join(nn, "nid")
+        .select(col("qid"), col("nid"),
+          (col("qnsq") + col("nnsq")
+            - lit(2L) * dot(col("qq"), col("nq"))).cast("long").as("d2"))
+      val (v2, vh2) = Graph.snapshot(visited.union(scored).distinct())
+      v2.count()
+      Graph.release(vh)
+      visited = v2; vh = vh2; r += 1
+    }
+    val (out, oh) = Graph.snapshot(
+      visited.filter(col("qid") =!= col("nid"))
+        .withColumn("rank", row_number().over(wb)).filter(col("rank") <= k)
+        .select("qid", "nid", "d2", "rank"))
+    out.count()
+    Graph.release(vh)
+    na.unpersist()
+    require(out.schema.map(f => (f.name, f.dataType)) ==
+      TopKSchema.map(f => (f.name, f.dataType)),
+      s"nswSearchFilteredOn output drifted from TopKSchema: ${out.schema}")
+    NswTopK(out, oh)
+  }
+
   /** APPEND a delta to an existing graph — the graph family's
     * incremental-insert (q187's nightly-delta stance, HNSW's insert
     * batched): each delta vector beam-searches the EXISTING graph over

@@ -2135,6 +2135,32 @@ object SimilarityOps {
           k = 5, m = 16, dim = Dim, beamWidth = 8, searchRounds = 3,
           minRecallPct = 60)
         .orderBy("qid", "rank")
+    },
+
+    // ---- NSW metadata-filtered search (round-11 verdict item 3 — the
+    //      q220 allow-list stance for the graph family): only ids with
+    //      vec_id % 5 = 1 (a 20 % predicate) may be returned, and the
+    //      filter constrains BEAM EXPANSION, not just the final cut —
+    //      the visited pool and every frontier hold allowed nodes only,
+    //      entry hubs are the smallest allowed ids, and disallowed
+    //      1-hop neighbors are bridged one more hop (route through,
+    //      never a beam slot). The oracle builds the graph over
+    //      EVERYTHING and filters the serving side (the q232 stance),
+    //      replaying hubs, both expansion arms and every frontier cut;
+    //      VectorSpec pins recall vs exact gold over the allowed set. ----
+    Q("q236_nsw_filtered_knn",
+      nswFilteredOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5,
+        allowPred = "(%ID% % 5 = 1)")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val out = GraphAnn.nswSearchFilteredOn(emb.filter(col("vec_id") < 10),
+        g, emb, emb.filter(col("vec_id") % 5 === 1).select("vec_id"),
+        "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+      g.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
 
@@ -2261,6 +2287,62 @@ object SimilarityOps {
     }
     (Seq(init) ++ hops).mkString(",\n")
   }
+
+  /** Filtered NSW search CTE chain (the q236 replay of [[GraphAnn
+    * .nswSearchFilteredOn]]): allowed-only visited pool, hubs from the
+    * smallest ALLOWED ids, and per round the two expansion arms — direct
+    * allowed out-neighbors plus the bridge through disallowed 1-hop
+    * nodes to their allowed out-neighbors. `allowPred` is a predicate
+    * over the placeholder %ID%. */
+  private def nswFilteredSearchCtes(y: String, graph: String,
+      qWhere: String, allowPred: String, beamWidth: Int,
+      searchRounds: Int, hubCount: Int): String = {
+    def allow(e: String): String = allowPred.replace("%ID%", e)
+    val init =
+      s"""${y}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE $qWhere),
+         |${y}hid AS (SELECT vec_id FROM n WHERE ${allow("vec_id")} ORDER BY vec_id LIMIT $hubCount),
+         |${y}hp AS (SELECT n.vec_id, n.qd, n.nsq FROM n JOIN ${y}hid USING (vec_id)),
+         |${y}sv0 AS MATERIALIZED (SELECT ${y}qv.qid, ${y}hp.vec_id AS nid,
+         |    CAST(${y}qv.qnsq + ${y}hp.nsq - 2 * list_dot_product(${y}qv.qqd, ${y}hp.qd) AS BIGINT) AS d2
+         |  FROM ${y}qv, ${y}hp),
+         |${y}bm0 AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM ${y}sv0) t WHERE rk <= $beamWidth)""".stripMargin
+    val hops = (1 to searchRounds).map { r =>
+      s"""${y}sx$r AS (SELECT DISTINCT b.qid, ga.dst AS nid
+         |  FROM ${y}bm${r - 1} b JOIN $graph ga ON ga.src = b.nid
+         |  WHERE ${allow("ga.dst")}),
+         |${y}sb$r AS (SELECT DISTINCT b.qid, gb.dst AS nid
+         |  FROM ${y}bm${r - 1} b JOIN $graph gm ON gm.src = b.nid
+         |  JOIN $graph gb ON gb.src = gm.dst
+         |  WHERE NOT ${allow("gm.dst")} AND ${allow("gb.dst")}),
+         |${y}sc$r AS (SELECT qid, nid FROM ${y}sx$r UNION SELECT qid, nid FROM ${y}sb$r),
+         |${y}sd$r AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(${y}qv.qnsq + nn.nsq - 2 * list_dot_product(${y}qv.qqd, nn.qd) AS BIGINT) AS d2
+         |  FROM ${y}sc$r s JOIN ${y}qv ON ${y}qv.qid = s.qid JOIN n nn ON nn.vec_id = s.nid),
+         |${y}sv$r AS MATERIALIZED (SELECT DISTINCT qid, nid, d2 FROM
+         |  (SELECT * FROM ${y}sv${r - 1} UNION ALL SELECT * FROM ${y}sd$r) u),
+         |${y}bm$r AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM ${y}sv$r) t WHERE rk <= $beamWidth)""".stripMargin
+    }
+    (Seq(init) ++ hops).mkString(",\n")
+  }
+
+  /** DuckDB replay of build-over-everything + [[GraphAnn
+    * .nswSearchFilteredOn]] (q236): graph CTEs over the full corpus,
+    * filtered search CTEs, final cut. */
+  private def nswFilteredOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int, k: Int,
+      allowPred: String, hubCount: Int = 16): String =
+    s"WITH $PreparedCte,\n" +
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
+      nswFilteredSearchCtes("", s"g$refineRounds", "vec_id < 10",
+        allowPred, beamWidth, searchRounds, hubCount) + "\n" +
+      nswFinalSelect("", searchRounds, k)
 
   /** Final top-k cut over a search chain's visited pool. */
   private def nswFinalSelect(y: String, searchRounds: Int, k: Int): String =

