@@ -103,14 +103,14 @@ object Bench {
       val min = if (ok) times.min else -1.0
       (q.name, median, min, ok)
     }
-    // structural coverage gate (round-11 verdict item 2): the measured key
-    // set must equal the driver contract's query set, so a query landing
-    // after a "definitive" run — the recurring one-query-gap class (r10
-    // q224, r11 q234) — fails the bench loudly instead of going unmeasured
-    val gap = SparkEntry.queries.keySet -- results.map(_._1).toSet
-    val extra = results.map(_._1).toSet -- SparkEntry.queries.keySet
-    require(gap.isEmpty && extra.isEmpty,
-      s"bench coverage gap: unmeasured=$gap not-in-contract=$extra")
+    // NOTE: coverage is NOT enforced here — an in-process compare of the
+    // measured keys against SparkEntry.queries is tautological (both
+    // derive from the same contract in the same JVM; round-12 advice).
+    // The one-query-gap class (r10 q224, r11 q234) is a PERSISTED record
+    // going stale after a query lands, so the gate lives where the gap
+    // can occur: BenchRecordSpec compares the newest curated
+    // bench/BENCH_r*_full.json key set against the current contract,
+    // with bench/UNBENCHED.txt as the explicit not-yet-measured ledger.
     val qs = results
       .map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")

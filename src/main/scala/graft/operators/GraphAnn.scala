@@ -41,7 +41,11 @@ final class NswGraph private[operators] (
 }
 
 object NswGraph {
-  private[operators] val FormatVersion = 1
+  /** v1 wrote (version) only; v2 (round 12) added `n_edges` for
+    * torn-write detection. Writers emit v2; [[load]] still accepts a
+    * v1 artifact (documented to stay loadable across sessions) — it
+    * just lacks the torn-write verification v2 provides. */
+  private[operators] val FormatVersion = 2
 
   /** Rebuild a serving handle from a [[NswGraph.save]] artifact: one
     * parquet read, cached and materialized — no construction jobs. */
@@ -52,25 +56,35 @@ object NswGraph {
     // another writer) must not surface as ClassCastException/NPE
     require(pf.columns.contains("version"),
       s"malformed NSW artifact at $path: params has no version column")
-    require(pf.columns.contains("n_edges"),
-      s"malformed NSW artifact at $path: params has no n_edges column")
-    val params = pf.select(col("version").cast("long"),
-      col("n_edges").cast("long")).collect()
-    require(params.length == 1 && !params.head.isNullAt(0) &&
-      !params.head.isNullAt(1), s"malformed NSW artifact at $path")
+    // a v1 artifact (pre-round-12 writer) has no n_edges column; it is
+    // still a valid, documented-loadable artifact — it just predates the
+    // torn-write verification, so load it without that check rather
+    // than rejecting it as malformed (round-12 advice)
+    val hasEdgeCount = pf.columns.contains("n_edges")
+    val params =
+      (if (hasEdgeCount)
+        pf.select(col("version").cast("long"), col("n_edges").cast("long"))
+      else pf.select(col("version").cast("long"), lit(null).cast("long")))
+        .collect()
+    require(params.length == 1 && !params.head.isNullAt(0),
+      s"malformed NSW artifact at $path")
     val v = params.head.getLong(0)
-    require(v == FormatVersion,
-      s"NSW artifact version $v != supported $FormatVersion")
-    val want = params.head.getLong(1)
+    require(v == 1L || v == FormatVersion,
+      s"NSW artifact version $v != supported 1..$FormatVersion")
+    require(v == 1L || !params.head.isNullAt(1),
+      s"malformed NSW artifact at $path: v$v params has null n_edges")
     val e = spark.read.parquet(s"$path/edges").persist()
-    val got = e.count()
-    if (got != want) {
-      e.unpersist()
-      throw new IllegalArgumentException(
-        s"torn NSW artifact at $path: params records $want edges, " +
-          s"edges/ holds $got — a crash mid-save leaves a partial parquet " +
-          "that reads without error; refuse to serve it")
-    }
+    if (v >= 2L) {
+      val want = params.head.getLong(1)
+      val got = e.count()
+      if (got != want) {
+        e.unpersist()
+        throw new IllegalArgumentException(
+          s"torn NSW artifact at $path: params records $want edges, " +
+            s"edges/ holds $got — a crash mid-save leaves a partial parquet " +
+            "that reads without error; refuse to serve it")
+      }
+    } else e.count() // still materialize the cache in one bounded pass
     new NswGraph(e, () => { e.unpersist(); () })
   }
 }
@@ -339,6 +353,16 @@ object GraphAnn {
       .select(col(idCol).cast("long").as("vid"), col("q"), col("nsq"))
       .join(alw, "vid")
       .persist()
+    // fail loudly when the allow-list misses the corpus entirely (the
+    // round-12 advice finding): an empty intersection empties the hub
+    // layer and every frontier, and the search would SILENTLY return
+    // zero rows — indistinguishable from "no near neighbors" — while
+    // the analogous canary/torn-artifact paths all fail with a designed
+    // message. One bounded probe (first hit short-circuits the scan).
+    require(na.limit(1).count() == 1L,
+      "nswSearchFilteredOn: the allow-list shares no ids with the " +
+        "corpus — every candidate would be filtered out; pass an " +
+        "allow-list drawn from the corpus id space")
     val qp = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"))

@@ -48,6 +48,47 @@ class FormatsRobustnessSpec extends SparkTestBase {
     assert(df.filter(col("id").isNull).count() === 1)
   }
 
+  test("NSW artifact versioning: v1 (no n_edges) loads as legacy, torn v2 " +
+    "refused, unknown version refused") {
+    import graft.operators.NswGraph
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-nswv"); dir.toFile.deleteOnExit()
+    val edges = Seq((1L, 2L, 10L), (2L, 1L, 10L), (1L, 3L, 20L))
+      .toDF("src", "dst", "d2")
+
+    // v1: a pre-round-12 writer emitted (version) only — documented to
+    // stay loadable across sessions, so it must load WITHOUT the
+    // torn-write check instead of being rejected as malformed
+    edges.write.mode("overwrite").parquet(s"$dir/v1/edges")
+    Seq(Tuple1(1)).toDF("version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v1/params")
+    val g1 = NswGraph.load(spark, s"$dir/v1")
+    assert(g1.edges.count() === 3L)
+    g1.release()
+
+    // torn v2: params records more edges than edges/ holds (a crash
+    // mid-save leaves a partial parquet that reads without error)
+    edges.write.mode("overwrite").parquet(s"$dir/torn/edges")
+    Seq((2, 99L)).toDF("version", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/torn/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      NswGraph.load(spark, s"$dir/torn")
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+
+    // unknown future version: refused with the version message, not a
+    // cast error or a silent serve
+    edges.write.mode("overwrite").parquet(s"$dir/v9/edges")
+    Seq((9, 3L)).toDF("version", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v9/params")
+    val exV = intercept[IllegalArgumentException] {
+      NswGraph.load(spark, s"$dir/v9")
+    }
+    assert(exV.getMessage.contains("version"),
+      s"wrong failure for a v9 artifact: ${exV.getMessage}")
+  }
+
   test("deterministic sampling: same seed same rows, different seed differs") {
     val li = Tables.t(spark, Sf, "lineitem")
     val s1 = li.sample(0.1, seed = 42).count()
