@@ -2148,10 +2148,7 @@ object SimilarityOps {
     //      EVERYTHING and filters the serving side (the q232 stance),
     //      replaying hubs, both expansion arms and every frontier cut;
     //      VectorSpec pins recall vs exact gold over the allowed set. ----
-    Q("q236_nsw_filtered_knn",
-      nswFilteredOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
-        beamWidth = 8, searchRounds = 3, k = 5,
-        allowPred = "(%ID% % 5 = 1)")) { (s, d) =>
+    Q("q236_nsw_filtered_knn", NswFilteredOracleSqlStd) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
       val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
@@ -2160,6 +2157,36 @@ object SimilarityOps {
         g, emb, emb.filter(col("vec_id") % 5 === 1).select("vec_id"),
         "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
       g.release()
+      out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- FILTERED search from the PERSISTED graph artifact (round-12
+    //      verdict item 5 — the q220↔q189 analog for the graph family):
+    //      the q236 allow-list serve composed with the q230 artifact
+    //      round-trip — build, save, LOAD into a fresh handle, and run
+    //      the metadata-filtered beam search from the LOADED graph, with
+    //      zero seed/NN-descent jobs on the load path and the torn-
+    //      artifact check honored on the way in. Gated against the SAME
+    //      oracle instance as q236, so the hash proves
+    //      load→filter→serve ≡ build→filter→serve — the artifact
+    //      round-trip loses nothing the filtered walk (hubs, both
+    //      expansion arms, every frontier cut) depends on. ----
+    Q("q241_nsw_filtered_from_artifact", NswFilteredOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val dir = nswFilteredDir(d)
+      g.save(dir)
+      g.release()
+      val loaded = NswGraph.load(s, dir)
+      // nswSearchFilteredOn materializes its bounded output into its
+      // OWN snapshot, so the rows stay valid past the loaded handle's
+      // release (the q187 rule, satisfied by construction)
+      val out = GraphAnn.nswSearchFilteredOn(emb.filter(col("vec_id") < 10),
+        loaded, emb, emb.filter(col("vec_id") % 5 === 1).select("vec_id"),
+        "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+      loaded.release()
       out.rows.orderBy("qid", "rank")
     }
   )
@@ -2174,6 +2201,23 @@ object SimilarityOps {
   private val nswDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def nswDir(d: String): String = dirFor(nswDirs, "graft-nswidx", d)
+
+  // data dir -> the ONE q241 filtered-serve artifact dir (own dir: q230
+  // and q241 both overwrite-save inside their bodies, and sharing one
+  // path would let a concurrently running suite read a half-overwritten
+  // artifact)
+  private val nswFilteredDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nswFilteredDir(d: String): String =
+    dirFor(nswFilteredDirs, "graft-nswfidx", d)
+
+  /** The ONE filtered-NSW oracle instance shared by q236 (serve from the
+    * live-built graph) and q241 (serve from the persisted artifact) —
+    * identical hash ⇒ load→filter→serve ≡ build→filter→serve. */
+  private lazy val NswFilteredOracleSqlStd: String =
+    nswFilteredOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+      beamWidth = 8, searchRounds = 3, k = 5,
+      allowPred = "(%ID% % 5 = 1)")
 
   /** The ONE NSW oracle instance shared by q226 (build-and-serve) and
     * q230 (save/load round-trip) — identical hash ⇒ load ≡ build. */
