@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   * plan, not a driver count. Nothing corpus-sized is collected or
   * broadcast; no driver-side value exists at all.
   */
+/** A LOADED corpus release — the two frames a persisted release serves
+  * ([[ReleaseOps.saveRelease]]/[[ReleaseOps.loadRelease]]): the kept
+  * corpus (`docs`: doc_id, source, text, ntok, the q137 mixing columns
+  * w_mil/u/reps, and the q147 md5 `shard` it is partitioned by) and the
+  * release `card` (the q215 per-source stage report). Both are persisted
+  * reads of the artifact — consuming them runs ZERO pipeline stages.
+  * Neither frame may be consumed after [[release]]. */
+final class ReleaseArtifact private[operators] (
+    val docs: DataFrame,
+    val card: DataFrame,
+    releaseStorage: () => Unit) {
+  def release(): Unit = releaseStorage()
+}
+
+object ReleaseArtifact {
+  private[operators] val FormatVersion = 1
+}
+
 object ReleaseOps {
 
   /** Per-source release report over the full prep chain; see the object
@@ -64,7 +82,18 @@ object ReleaseOps {
     Graph.snapshot(docs.withColumn("text", concat_ws(" ",
       TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
 
-  def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame = {
+  def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame =
+    corpusPipeline(docs, robust)._2
+
+  /** The full pipeline, exposing BOTH outputs a release produces: the
+    * KEPT corpus (one row per final doc: doc_id, source, text, ntok,
+    * and the q137 mixing columns w_mil/u/reps plus the q147 md5 shard)
+    * and the release CARD (the q215 per-source report). [[prepareCorpus]]
+    * consumes only the card, so the kept frame's extra lineage (the
+    * text join, the shard column) costs q215 nothing — it is never
+    * executed there. [[saveRelease]] consumes both. */
+  private def corpusPipeline(docs: DataFrame,
+      robust: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val pre = if (robust) canonicalized(docs) else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
@@ -180,7 +209,7 @@ object ReleaseOps {
         max("b").cast("long").as("budget"))
       .crossJoin(s6.select(Sampling.hashBucket(col("doc_id"), 16)
         .as("shard")).distinct().agg(count(lit(1)).as("n_shards")))
-    a0.join(a1, Seq("source"), "left")
+    val card = a0.join(a1, Seq("source"), "left")
       .join(a2, Seq("source"), "left")
       .join(a3, Seq("source"), "left")
       .join(a4, Seq("source"), "left")
@@ -207,6 +236,86 @@ object ReleaseOps {
         coalesce(col("budget"), lit(0L)).as("budget"),
         coalesce(col("water_cap"), lit(0L)).as("water_cap"),
         col("n_shards"))
+    // the kept corpus: the mixing frame plus the q147 md5 shard and the
+    // doc text (joined back from the pipeline input — s6 is deliberately
+    // narrow so the water-fill window never shuffles text bytes)
+    val kept = mx
+      .withColumn("shard",
+        Sampling.hashBucket(col("doc_id"), 16).cast("int"))
+      .join(pre.select(col("doc_id"), col("text")), "doc_id")
+      .select("doc_id", "source", "text", "ntok", "w_mil", "u", "reps",
+        "shard")
+    (kept, card)
+  }
+
+  /** PERSIST a full release as an on-disk artifact (round-12 verdict
+    * item 1 — the single highest-leverage gap: the release pipeline is
+    * the bench's most expensive family, and without persistence every
+    * downstream consumer — q137/q222 mixing, q86 packing — re-runs all
+    * eight stages). Layout:
+    *
+    *   `path/docs`   — the kept corpus, partitioned by the q147 md5
+    *                   16-way `shard` manifest (repartitioned by shard
+    *                   first, so each shard directory is ONE colocated
+    *                   file set — the layout a 100 TB release ships);
+    *   `path/card`   — the q215 per-source release card;
+    *   `path/params` — written LAST (the NswGraph torn-artifact stance)
+    *                   with the version and BOTH row counts AS WRITTEN
+    *                   (counted from the parquet on disk, not the
+    *                   pipeline): a crash mid-docs-write leaves the
+    *                   prior params beside a partial parquet that reads
+    *                   without error — [[loadRelease]] verifies both
+    *                   counts and refuses a torn artifact loudly.
+    *
+    * Runs the pipeline ONCE (both outputs derive from one
+    * [[corpusPipeline]] call); overwrites any prior save at `path`. */
+  def saveRelease(docs0: DataFrame, path: String,
+      robust: Boolean = false): Unit = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val (kept, card) = corpusPipeline(docs0, robust)
+    kept.repartition(col("shard")).write.mode("overwrite")
+      .partitionBy("shard").parquet(s"$path/docs")
+    card.coalesce(1).write.mode("overwrite").parquet(s"$path/card")
+    val nDocs = spark.read.parquet(s"$path/docs").count()
+    val nCard = spark.read.parquet(s"$path/card").count()
+    Seq((ReleaseArtifact.FormatVersion, nDocs, nCard))
+      .toDF("version", "n_docs", "n_card_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Rebuild a serving [[ReleaseArtifact]] from a [[saveRelease]] dir:
+    * two parquet reads, persisted — zero pipeline stages. Verifies the
+    * format version and both recorded row counts (the torn-artifact
+    * check); fails with a DESIGNED message on any malformed params
+    * table rather than a ClassCastException/NPE. */
+  def loadRelease(spark: org.apache.spark.sql.SparkSession,
+      path: String): ReleaseArtifact = {
+    val pf = spark.read.parquet(s"$path/params")
+    for (c <- Seq("version", "n_docs", "n_card_rows"))
+      require(pf.columns.contains(c),
+        s"malformed release artifact at $path: params has no $c column")
+    val params = pf.select(col("version").cast("long"),
+      col("n_docs").cast("long"), col("n_card_rows").cast("long")).collect()
+    require(params.length == 1 && (0 to 2).forall(!params.head.isNullAt(_)),
+      s"malformed release artifact at $path")
+    val v = params.head.getLong(0)
+    require(v == ReleaseArtifact.FormatVersion,
+      s"release artifact version $v != supported ${ReleaseArtifact.FormatVersion}")
+    val docs = spark.read.parquet(s"$path/docs").persist()
+    val card = spark.read.parquet(s"$path/card").persist()
+    val (gotDocs, gotCard) = (docs.count(), card.count())
+    val (wantDocs, wantCard) = (params.head.getLong(1), params.head.getLong(2))
+    if (gotDocs != wantDocs || gotCard != wantCard) {
+      docs.unpersist(); card.unpersist()
+      throw new IllegalArgumentException(
+        s"torn release artifact at $path: params records $wantDocs docs / " +
+          s"$wantCard card rows, disk holds $gotDocs / $gotCard — a crash " +
+          "mid-save leaves a partial parquet that reads without error; " +
+          "refuse to serve it")
+    }
+    new ReleaseArtifact(docs, card,
+      () => { docs.unpersist(); card.unpersist(); () })
   }
 
   /** INCREMENTAL release (round-10 verdict item 6): crawl N+1 → delta
@@ -574,14 +683,78 @@ object ReleaseOps {
   private val robustTextSql =
     """array_to_string(regexp_extract_all(nfc_normalize(text), '[\p{L}\p{N}]+'), ' ')"""
 
+  /** The ONE raw-pipeline release oracle instance shared by q215 (run
+    * the pipeline) and q240 (save → load → re-derive the card from the
+    * artifact) — identical hash ⇒ the artifact round-trip loses nothing. */
+  private lazy val ReleaseOracleSqlStd: String =
+    releaseSql("", "documents", "text")
+
+  // data dir -> the ONE release-artifact dir this JVM round-trips
+  // through (the SimilarityOps idxDirs rule: each q240 invocation
+  // overwrite-saves — the save IS the operator — but repeated
+  // bench/verify passes must not accumulate artifact copies)
+  private val relDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def relDir(d: String): String =
+    relDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-release").toString)
+
   val defs: Seq[Q] = Seq(
     // ---- the full release composition; oracle replays ALL EIGHT stages
     //      (see prepareCorpus scaladoc). Single-owner CTE text where a
     //      stage has a gated original: shingleCteN / minhashSigSql /
     //      bandsSql (q74), MixWeightCaseSql (q137). ----
-    Q("q215_corpus_release",
-      releaseSql("", "documents", "text")) { (s, d) =>
+    Q("q215_corpus_release", ReleaseOracleSqlStd) { (s, d) =>
       prepareCorpus(Tables.t(s, d, "documents")).orderBy("source")
+    },
+
+    // ---- release artifact PERSISTENCE (round-12 verdict item 1): save
+    //      the full release — kept corpus sharded by the q147 md5
+    //      manifest + the release card, params-written-last — LOAD it
+    //      into a fresh handle, and serve the card with every column a
+    //      consumer derives from the corpus RE-DERIVED from the LOADED
+    //      docs frame (n_final, tokens_final, the q137 epoch columns,
+    //      n_packs, n_shards), joined to the persisted card's upstream
+    //      stage counts. Gated against the SAME oracle instance as
+    //      q215, so the hash proves BOTH artifact components at once:
+    //      the docs parquet carries exactly the final corpus (a lost or
+    //      duplicated row breaks five re-derived columns) and the card
+    //      parquet carries exactly the stage report — with zero
+    //      pipeline re-runs on the load path. ----
+    Q("q240_release_save_load", ReleaseOracleSqlStd) { (s, d) =>
+      val dir = relDir(d)
+      saveRelease(Tables.t(s, d, "documents"), dir)
+      val art = loadRelease(s, dir)
+      val fromDocs = art.docs.groupBy("source").agg(
+        count(lit(1)).as("n_final"),
+        sum("ntok").cast("long").as("tokens_final"),
+        sum("reps").cast("long").as("epoch_docs"),
+        sum(col("reps") * col("ntok")).cast("long").as("epoch_tokens"))
+        .withColumn("n_packs", expr("(epoch_tokens + 2047) div 2048"))
+      val nsh = art.docs.select("shard").distinct()
+        .agg(count(lit(1)).as("n_shards"))
+      val out = art.card
+        .drop("n_final", "tokens_final", "epoch_docs", "epoch_tokens",
+          "n_packs", "n_shards")
+        .join(fromDocs, Seq("source"), "left")
+        .crossJoin(broadcast(nsh))
+        .select(col("source"), col("n_input"), col("n_quality"),
+          col("n_exact"), col("n_neardup"), col("n_decontam"),
+          col("n_domcap"), col("tokens_domcap"), col("allocated"),
+          col("capped"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+          coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"),
+          coalesce(col("epoch_tokens"), lit(0L)).as("epoch_tokens"),
+          coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+          col("budget"), col("water_cap"), col("n_shards"))
+        .orderBy("source")
+      // materialize (bounded: |sources| rows) before release — the
+      // artifact dir is overwritten by the NEXT invocation, so nothing
+      // may stay lazy over this load's files (the q187 rule)
+      val served = out.collect()
+      art.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     // ---- the SAME eight stages, unicode-robust (round-10 advice item

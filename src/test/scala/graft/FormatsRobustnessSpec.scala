@@ -89,6 +89,57 @@ class FormatsRobustnessSpec extends SparkTestBase {
       s"wrong failure for a v9 artifact: ${exV.getMessage}")
   }
 
+  test("release artifact: save/load round-trips both frames; torn, " +
+    "malformed and future-version artifacts are refused loudly") {
+    import graft.operators.ReleaseOps
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rel"); dir.toFile.deleteOnExit()
+    val docs = Tables.t(spark, Sf, "documents")
+
+    // happy path: loaded docs/card agree with each other and with a
+    // fresh pipeline run (the q240 oracle pins the full hash; this pin
+    // is the storage-contract subset that must hold for ANY input)
+    ReleaseOps.saveRelease(docs, s"$dir/ok")
+    val art = ReleaseOps.loadRelease(spark, s"$dir/ok")
+    val cardFinal = art.card.agg(sum("n_final")).head.getLong(0)
+    assert(art.docs.count() === cardFinal,
+      "loaded corpus row count != card's summed n_final")
+    val fresh = ReleaseOps.prepareCorpus(docs).orderBy("source").collect()
+    assert(art.card.orderBy("source").collect().toSeq === fresh.toSeq,
+      "loaded card != freshly derived card")
+    // the shard partition column survives the round-trip (16-way q147)
+    assert(art.docs.select("shard").distinct().count() <= 16)
+    art.release()
+
+    // torn: params records more docs than docs/ holds
+    ReleaseOps.saveRelease(docs.limit(200), s"$dir/torn")
+    Seq((1, 999999L, 20L)).toDF("version", "n_docs", "n_card_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/torn/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      ReleaseOps.loadRelease(spark, s"$dir/torn")
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+
+    // malformed: params missing a required column
+    Seq(Tuple1(1)).toDF("version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bad/params")
+    val exBad = intercept[IllegalArgumentException] {
+      ReleaseOps.loadRelease(spark, s"$dir/bad")
+    }
+    assert(exBad.getMessage.contains("malformed"),
+      s"wrong failure for a malformed artifact: ${exBad.getMessage}")
+
+    // unknown future version: refused with the version message
+    Seq((9, 1L, 1L)).toDF("version", "n_docs", "n_card_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v9/params")
+    val exV = intercept[IllegalArgumentException] {
+      ReleaseOps.loadRelease(spark, s"$dir/v9")
+    }
+    assert(exV.getMessage.contains("version"),
+      s"wrong failure for a v9 artifact: ${exV.getMessage}")
+  }
+
   test("deterministic sampling: same seed same rows, different seed differs") {
     val li = Tables.t(spark, Sf, "lineitem")
     val s1 = li.sample(0.1, seed = 42).count()
