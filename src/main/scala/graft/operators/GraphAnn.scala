@@ -38,6 +38,26 @@ final class NswGraph private[operators] (
     Seq((NswGraph.FormatVersion, nEdges)).toDF("version", "n_edges")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
+
+  /** COMPACT the edge storage — the graph family's LSM merge (the q205
+    * IvfAdcIndex.compact analog, round-12 verdict item 3): after N
+    * [[GraphAnn.nswAppend]]s the edge table's blocks descend from N+1
+    * union legs (base edges, each delta's insert edges and seed), so a
+    * beam round's `src` equi-join reads every node's out-edges from
+    * scattered blocks. One shuffle ON `src` re-colocates each node's
+    * full edge list (sorted by the serving cut's (d2, dst) order inside
+    * each partition), persisted as INDEPENDENT storage: the fragmented
+    * source handle can be released immediately, and every subsequent
+    * search round joins against locality-clustered lists. Pure storage
+    * reorganization — the edge SET is untouched, so a compacted graph
+    * serves bit-identically (q238 gates it against the append oracle;
+    * VectorSpec pins set-equality, src colocation and independence). */
+  def compact(): NswGraph = {
+    val (e, eh) = Graph.snapshot(
+      edges.repartition(col("src")).sortWithinPartitions("src", "d2", "dst"))
+    e.count()
+    new NswGraph(e, () => Graph.release(eh))
+  }
 }
 
 object NswGraph {
@@ -417,6 +437,52 @@ object GraphAnn {
       TopKSchema.map(f => (f.name, f.dataType)),
       s"nswSearchFilteredOn output drifted from TopKSchema: ${out.schema}")
     NswTopK(out, oh)
+  }
+
+  /** Graph INTROSPECTION (round-12 verdict item 3 — the q207 invlists
+    * stats analog for the graph family): the out-degree histogram plus
+    * whole-graph summary columns on every row — edge total, reciprocity
+    * (directed edges whose reverse also exists, the NSW health signal:
+    * NN-descent drives edge lists toward mutual neighborhoods, so a
+    * falling reciprocity share after appends says the insert path is
+    * grafting one-way spokes), and the undirected component count (a
+    * count > 1 means some region is UNREACHABLE from the hub entry —
+    * the exact failure q234's recall canary sees but cannot explain).
+    * All integer-exact: reciprocity in truncating ppm, components from
+    * the pointer-jumping CC fixpoint (unique: min id per component —
+    * any converged CC agrees, which is what lets a recursive-closure
+    * SQL oracle replay it bit-for-bit).
+    *
+    * Scale shape: one groupBy over the m·n edge table for degrees, one
+    * self-semi-join on the (src,dst) key for reciprocity, O(log d) CC
+    * rounds — nothing corpus-sized leaves the cluster; the three
+    * summary scalars are 1-row aggregates (the pagerank `n` class).
+    * Isolated vectors (no bucket peer at build time) have no edges and
+    * are invisible here by construction — degree-0 is representable
+    * only in the corpus, not the edge table. */
+  def nswStats(g: NswGraph): DataFrame = {
+    val edges = g.edges
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val sums = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(
+        edges.select("src", "dst").join(rev, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("reciprocal_edges")))
+      .collect()(0)
+    val (nEdges, nRecip) = (sums.getLong(0), sums.getLong(1))
+    // fail loudly on an empty graph (the q236 allow-list stance): a
+    // zero-row stats frame is indistinguishable from "never ran"
+    require(nEdges > 0,
+      "nswStats over an empty graph — nothing to introspect; build or " +
+        "load a graph first")
+    val cc = Graph.connectedComponentsResult(edges.select("src", "dst"))
+    val nComp = cc.labels.agg(countDistinct("component")).head.getLong(0)
+    cc.release()
+    edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .groupBy("od").agg(count(lit(1)).cast("long").as("n_nodes"))
+      .select(col("od").cast("long").as("out_degree"), col("n_nodes"),
+        lit(nEdges).as("n_edges"), lit(nRecip).as("reciprocal_edges"),
+        lit(nRecip * 1000000L / nEdges).as("reciprocity_ppm"),
+        lit(nComp).as("n_components"))
   }
 
   /** APPEND a delta to an existing graph — the graph family's

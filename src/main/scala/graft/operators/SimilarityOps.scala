@@ -2095,9 +2095,7 @@ object SimilarityOps {
     //      pooled re-rank and the final serve over the appended graph
     //      with full-corpus hubs; one flipped edge anywhere in the
     //      insert path breaks the hash. ----
-    Q("q233_nsw_append",
-      nswAppendOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
-        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
+    Q("q233_nsw_append", NswAppendOracleSqlStd) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val base = emb.filter(col("vec_id") < 400)
       val delta = emb.filter(col("vec_id") >= 400)
@@ -2188,6 +2186,61 @@ object SimilarityOps {
         "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
       loaded.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- NSW graph INTROSPECTION (round-12 verdict item 3 — the q207
+    //      invlists-stats analog for the graph family): out-degree
+    //      histogram + edge total + reciprocity ppm + undirected
+    //      component count, so a q234 canary failure becomes
+    //      diagnosable (components > 1 = regions unreachable from the
+    //      hub entry; falling reciprocity = one-way spokes from the
+    //      insert path). The oracle replays the construction AND all
+    //      three summaries — components via a RECURSIVE min-label
+    //      closure, which agrees with the engine's pointer-jumping
+    //      fixpoint because the fixpoint is unique. ----
+    Q("q237_nsw_stats",
+      nswStatsOracleSql(m = 16, targetBucket = 64, refineRounds = 1)) {
+      (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val out = GraphAnn.nswStats(g).orderBy("out_degree")
+      // materialize (bounded: ≤ m distinct degree values) before the
+      // graph handle releases — the stats frame reads g.edges lazily
+      val rows = out.collect()
+      g.release()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+
+    // ---- NSW graph COMPACTION after append (round-12 verdict item 3 —
+    //      the q205 LSM merge for the graph family): after nswAppend
+    //      the edge table's blocks descend from base ∪ insert ∪ seed
+    //      union legs; compact() shuffles ONCE by src so each node's
+    //      out-edge list is colocated (sorted in the serving cut's
+    //      (d2, dst) order), persists independent storage, and the
+    //      fragmented source handle is released before serving. Gated
+    //      against the SAME oracle instance as q233 — compaction is
+    //      pure storage reorganization, so the hash proves compacted ≡
+    //      appended; VectorSpec pins edge-set equality, src colocation
+    //      and storage independence. ----
+    Q("q238_nsw_compact", NswAppendOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val delta = emb.filter(col("vec_id") >= 400)
+      val planesB = Similarity.adaptivePlanes(base.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(base, "vec_id", "embedding",
+        m = 16, planes = planesB, dim = Dim, refineRounds = 1)
+      val appended = GraphAnn.nswAppend(g, base, delta, "vec_id",
+        "embedding", m = 16, dim = Dim, beamWidth = 8, searchRounds = 3)
+      g.release()
+      val compacted = appended.compact()
+      appended.release() // compacted storage is independent by contract
+      val out = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 10),
+        compacted, emb, "vec_id", "embedding", k = 5, beamWidth = 8,
+        searchRounds = 3)
+      compacted.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
 
@@ -2218,6 +2271,48 @@ object SimilarityOps {
     nswFilteredOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
       beamWidth = 8, searchRounds = 3, k = 5,
       allowPred = "(%ID% % 5 = 1)")
+
+  /** The ONE append-replay oracle instance shared by q233 (append) and
+    * q238 (append → compact) — identical hash ⇒ compaction is pure
+    * storage reorganization. */
+  private lazy val NswAppendOracleSqlStd: String =
+    nswAppendOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+      beamWidth = 8, searchRounds = 3, k = 5)
+
+  /** DuckDB replay of [[GraphAnn.nswGraphResult]] + [[GraphAnn.nswStats]]
+    * (q237): graph CTEs, then the degree histogram, the reciprocity
+    * EXISTS-count, and the undirected component count via a RECURSIVE
+    * min-label closure — CC's fixpoint is unique (min id per component),
+    * so the engine's pointer-jumping rounds and this transitive closure
+    * agree bit-for-bit. The closure is Σ|component|² rows — fine at
+    * oracle scale, and exactly why the ENGINE runs O(log d) pointer
+    * jumping instead. */
+  private def nswStatsOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int): String = {
+    val g = s"g$refineRounds"
+    s"WITH RECURSIVE $PreparedCte,\n" +
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + s""",
+         |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM $g
+         |  UNION SELECT dst, src FROM $g),
+         |reach AS (SELECT a AS v, a AS l FROM und
+         |  UNION SELECT und.b AS v, reach.l AS l
+         |  FROM reach JOIN und ON und.a = reach.v),
+         |lab AS (SELECT v, min(l) AS comp FROM reach GROUP BY v),
+         |ncomp AS (SELECT count(DISTINCT comp) AS nc FROM lab),
+         |deg AS (SELECT src, count(*) AS od FROM $g GROUP BY src),
+         |hist AS (SELECT od, count(*) AS n_nodes FROM deg GROUP BY od),
+         |rec AS (SELECT count(*) AS nrec FROM $g x
+         |  WHERE EXISTS (SELECT 1 FROM $g y
+         |                WHERE y.src = x.dst AND y.dst = x.src)),
+         |tot AS (SELECT count(*) AS ne FROM $g)
+         |SELECT CAST(od AS BIGINT) AS out_degree,
+         |  CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(ne AS BIGINT) AS n_edges,
+         |  CAST(nrec AS BIGINT) AS reciprocal_edges,
+         |  CAST(nrec * 1000000 // ne AS BIGINT) AS reciprocity_ppm,
+         |  CAST(nc AS BIGINT) AS n_components
+         |FROM hist, rec, tot, ncomp ORDER BY out_degree""".stripMargin
+  }
 
   /** The ONE NSW oracle instance shared by q226 (build-and-serve) and
     * q230 (save/load round-trip) — identical hash ⇒ load ≡ build. */

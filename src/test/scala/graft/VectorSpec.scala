@@ -617,6 +617,67 @@ class VectorSpec extends SparkTestBase {
       s"wrong failure for a disjoint allow-list: ${ex.getMessage}")
   }
 
+  test("NSW stats: degree histogram, reciprocity and component count " +
+    "discriminate on a planted two-component graph") {
+    import graft.operators.{GraphAnn, NswGraph}
+    import spark.implicits._
+    // component A: a fully reciprocal triangle (out-degree 2 each);
+    // component B: a directed 3-cycle (undirected-connected, zero
+    // reciprocal edges, out-degree 1 each) — built as an artifact so
+    // the test drives the same load path production stats would
+    val dir = java.nio.file.Files.createTempDirectory("graft-nswstats")
+    dir.toFile.deleteOnExit()
+    Seq((1L, 2L, 5L), (2L, 1L, 5L), (1L, 3L, 7L), (3L, 1L, 7L),
+        (2L, 3L, 9L), (3L, 2L, 9L),
+        (10L, 11L, 4L), (11L, 12L, 6L), (12L, 10L, 8L))
+      .toDF("src", "dst", "d2")
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    Seq((2, 9L)).toDF("version", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val g = NswGraph.load(spark, dir.toString)
+    val rows = GraphAnn.nswStats(g).orderBy("out_degree").collect()
+    g.release()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (2L, 3L)), "degree histogram")
+    val r0 = rows.head
+    assert(r0.getLong(2) === 9L, "n_edges")
+    assert(r0.getLong(3) === 6L, "reciprocal_edges")
+    assert(r0.getLong(4) === 666666L, "reciprocity_ppm (truncating)")
+    assert(r0.getLong(5) === 2L, "n_components")
+    // empty graph: fail loudly, never a silent zero-row stats frame
+    Seq.empty[(Long, Long, Long)].toDF("src", "dst", "d2")
+      .write.mode("overwrite").parquet(s"$dir/empty/edges")
+    Seq((2, 0L)).toDF("version", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/empty/params")
+    val ge = NswGraph.load(spark, s"$dir/empty")
+    val ex = intercept[IllegalArgumentException] { GraphAnn.nswStats(ge) }
+    ge.release()
+    assert(ex.getMessage.contains("empty graph"))
+  }
+
+  test("NSW compact: edge set identical, every src colocated in one " +
+    "partition, compacted storage independent of the source handle") {
+    import graft.operators.GraphAnn
+    val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+      m = 8, planes = 3, dim = 64, refineRounds = 1)
+    val compacted = g.compact()
+    // pure storage reorganization: the edge SET is untouched
+    assert(compacted.edges.exceptAll(g.edges).count() === 0L)
+    assert(g.edges.exceptAll(compacted.edges).count() === 0L)
+    val n = g.edges.count()
+    g.release() // independence: compacted must keep serving
+    assert(compacted.edges.count() === n)
+    // colocation: after the src shuffle no node's out-edge list spans
+    // partitions (the LSM-merge property the compaction exists for)
+    val spread = compacted.edges
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("src")
+      .agg(countDistinct("p").as("np"))
+      .agg(max("np")).head.getLong(0)
+    compacted.release()
+    assert(spread === 1L, s"some src spans $spread partitions")
+  }
+
   test("NSW handle serves multiple query batches without rebuilding, " +
     "batch-composition-independent") {
     import graft.operators.GraphAnn
