@@ -1642,45 +1642,13 @@ object SimilarityOps {
          |  SELECT qid, nid,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS drank
          |  FROM dsc) t WHERE drank <= 10),
-         |${TextOps.bm25Ctes("doc_id < 5")},
-         |btop AS (SELECT qid, nid, rn AS brank FROM bmr WHERE rn <= 10),
-         |fused AS (
-         |  SELECT coalesce(d.qid, b.qid) AS qid, coalesce(d.nid, b.nid) AS nid,
-         |    coalesce(1000000 // (60 + d.drank), 0)
-         |      + coalesce(1000000 // (60 + b.brank), 0) AS rrf,
-         |    coalesce(d.drank, 0) AS drank, coalesce(b.brank, 0) AS brank
-         |  FROM dtop d FULL OUTER JOIN btop b
-         |    ON d.qid = b.qid AND d.nid = b.nid),
-         |fr AS (SELECT qid, nid, rrf, drank, brank,
-         |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
-         |  FROM fused)
-         |SELECT qid, CAST(rank AS INTEGER) AS rank, nid,
-         |  CAST(rrf AS BIGINT) AS rrf_ppm,
-         |  CAST(drank AS INTEGER) AS dense_rank,
-         |  CAST(brank AS INTEGER) AS bm25_rank
-         |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+         |${rrfFusionTailSql("dtop")}""".stripMargin) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val dense = Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "embedding", k = 10, nlist = 8, nprobe = 2,
           trainRounds = 2)
         .select(col("qid"), col("nid"), col("rank").as("drank"))
-      val sparse = TextOps.bm25Ranked(s, d, col("doc_id") < 5)
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("nid"), col("rank").as("brank"))
-      val w = Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("nid"))
-      dense.join(sparse, Seq("qid", "nid"), "full_outer")
-        .select(col("qid"), col("nid"),
-          (coalesce(expr("1000000 div (60 + drank)"), lit(0L)) +
-            coalesce(expr("1000000 div (60 + brank)"), lit(0L)))
-            .cast("long").as("rrf_ppm"),
-          coalesce(col("drank"), lit(0)).cast("int").as("dense_rank"),
-          coalesce(col("brank"), lit(0)).cast("int").as("bm25_rank"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
-          col("rrf_ppm"), col("dense_rank"), col("bm25_rank"))
-        .orderBy("qid", "rank")
+      fuseRrf(s, d, dense)
     },
 
     // ---- DRIFT-TRIGGERED RETRAIN (the maintenance loop q187/q188/q184
@@ -2241,6 +2209,33 @@ object SimilarityOps {
         searchRounds = 3)
       compacted.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- HYBRID retrieval with the NSW dense leg (round-12 verdict
+    //      item 4): q194's RRF front door was wired to the IVF route
+    //      only, leaving the higher-recall graph family unreachable
+    //      from production RAG. The fusion body is now single-owner
+    //      (fuseRrf / rrfFusionTailSql — q194 and q239 share every
+    //      fused character), and the dense leg PLUGS: here the top-10
+    //      comes from the NSW beam walk over the built graph, fused
+    //      with the same BM25 leg. The oracle substitutes the q236-
+    //      style graph + search CTEs for q194's IVF CTEs and replays
+    //      the shared fusion tail. ----
+    Q("q239_hybrid_rrf_nsw",
+      nswHybridOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3)) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val served = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 5),
+        g, emb, "vec_id", "embedding", k = 10, beamWidth = 8,
+        searchRounds = 3)
+      g.release()
+      // the served handle stays unreleased (convenience form): the
+      // fused frame reads its bounded snapshot lazily downstream
+      fuseRrf(s, d, served.rows
+        .select(col("qid"), col("nid"), col("rank").as("drank")))
     }
   )
 
@@ -2271,6 +2266,71 @@ object SimilarityOps {
     nswFilteredOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
       beamWidth = 8, searchRounds = 3, k = 5,
       allowPred = "(%ID% % 5 = 1)")
+
+  /** The ONE RRF fusion body (q194/q239): full-outer join of the two
+    * top-10 legs, reciprocal-rank fusion in integer PPM (1000000 div
+    * (60+r) — rank-discriminating for r ≤ 10, exact in both engines),
+    * fused top-5 with both source ranks as audit columns. The dense leg
+    * is the PLUGGABLE part (q194 routes IVF, q239 routes NSW — round-12
+    * verdict item 4); the sparse leg and every fused character live
+    * here, single-owner, so the two gates differ ONLY in the dense
+    * route — exactly the claim under test. */
+  private def fuseRrf(s: org.apache.spark.sql.SparkSession, d: String,
+      dense: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextOps.bm25Ranked(s, d, col("doc_id") < 5)
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), col("rank").as("brank"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        (coalesce(expr("1000000 div (60 + drank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + brank)"), lit(0L)))
+          .cast("long").as("rrf_ppm"),
+        coalesce(col("drank"), lit(0)).cast("int").as("dense_rank"),
+        coalesce(col("brank"), lit(0)).cast("int").as("bm25_rank"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("nid"),
+        col("rrf_ppm"), col("dense_rank"), col("bm25_rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The [[fuseRrf]] oracle twin: BM25 CTEs + fusion + final select,
+    * parameterized over the dense-leg CTE (columns qid, nid, drank). */
+  private def rrfFusionTailSql(dtop: String): String =
+    s"""${TextOps.bm25Ctes("doc_id < 5")},
+       |btop AS (SELECT qid, nid, rn AS brank FROM bmr WHERE rn <= 10),
+       |fused AS (
+       |  SELECT coalesce(d.qid, b.qid) AS qid, coalesce(d.nid, b.nid) AS nid,
+       |    coalesce(1000000 // (60 + d.drank), 0)
+       |      + coalesce(1000000 // (60 + b.brank), 0) AS rrf,
+       |    coalesce(d.drank, 0) AS drank, coalesce(b.brank, 0) AS brank
+       |  FROM $dtop d FULL OUTER JOIN btop b
+       |    ON d.qid = b.qid AND d.nid = b.nid),
+       |fr AS (SELECT qid, nid, rrf, drank, brank,
+       |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+       |  FROM fused)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid,
+       |  CAST(rrf AS BIGINT) AS rrf_ppm,
+       |  CAST(drank AS INTEGER) AS dense_rank,
+       |  CAST(brank AS INTEGER) AS bm25_rank
+       |FROM fr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The q239 oracle: graph construction + the q236-style beam walk for
+    * the vec_id < 5 queries, its visited pool cut to a top-10 dense leg,
+    * fused through the SHARED [[rrfFusionTailSql]]. */
+  private def nswHybridOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int): String =
+    s"WITH $PreparedCte,\n" +
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
+      nswSearchCtes("", s"g$refineRounds", "vec_id < 5", "", beamWidth,
+        searchRounds, 16) + s""",
+         |dtop AS (SELECT qid, nid, rank AS drank FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+         |  FROM sv$searchRounds WHERE nid <> qid) t WHERE rank <= 10),
+         |${rrfFusionTailSql("dtop")}""".stripMargin
 
   /** The ONE append-replay oracle instance shared by q233 (append) and
     * q238 (append → compact) — identical hash ⇒ compaction is pure
