@@ -271,9 +271,25 @@ object ReleaseOps {
     * [[corpusPipeline]] call); overwrites any prior save at `path`. */
   def saveRelease(docs0: DataFrame, path: String,
       robust: Boolean = false): Unit = {
-    val spark = docs0.sparkSession
-    import spark.implicits._
     val (kept, card) = corpusPipeline(docs0, robust)
+    writeArtifact(kept, card, path)
+  }
+
+  /** PERSIST an incremental (delta) release — the [[saveRelease]] twin
+    * for [[prepareDelta]]'s outputs, in the SAME artifact format (docs
+    * partitioned by the md5 shard manifest, card, params LAST), so
+    * [[loadRelease]] loads either. The monthly-release shape ships the
+    * delta corpus exactly like the full release ships the base. */
+  def saveDelta(oldDocs0: DataFrame, newDocs0: DataFrame, path: String,
+      robust: Boolean = false): Unit = {
+    val (kept, card) = deltaPipeline(oldDocs0, newDocs0, robust)
+    writeArtifact(kept, card, path)
+  }
+
+  private def writeArtifact(kept: DataFrame, card: DataFrame,
+      path: String): Unit = {
+    val spark = kept.sparkSession
+    import spark.implicits._
     kept.repartition(col("shard")).write.mode("overwrite")
       .partitionBy("shard").parquet(s"$path/docs")
     card.coalesce(1).write.mode("overwrite").parquet(s"$path/card")
@@ -351,7 +367,15 @@ object ReleaseOps {
     * release re-ships content it already shipped (q235's planted fixture
     * demonstrates exactly that; ReleaseRobustSpec pins the raw leak). */
   def prepareDelta(oldDocs0: DataFrame, newDocs0: DataFrame,
-      robust: Boolean = false): DataFrame = {
+      robust: Boolean = false): DataFrame =
+    deltaPipeline(oldDocs0, newDocs0, robust)._2
+
+  /** The delta pipeline, exposing the KEPT delta corpus next to the
+    * report (the [[corpusPipeline]] split): one row per final delta doc
+    * (doc_id, source, text, ntok, the md5 `shard`). [[prepareDelta]]
+    * consumes only the report; [[saveDelta]] consumes both. */
+  private def deltaPipeline(oldDocs0: DataFrame, newDocs0: DataFrame,
+      robust: Boolean): (DataFrame, DataFrame) = {
     val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
     val newDocs = if (robust) canonicalized(newDocs0) else newDocs0
     // plan-side df cap sized from the SHIPPED corpus (the big side —
@@ -422,7 +446,7 @@ object ReleaseOps {
     val a4 = s4.groupBy("source").agg(count(lit(1)).as("n_neardup"))
     val a5 = s5.groupBy("source").agg(count(lit(1)).as("n_final"),
       sum("ntok").cast("long").as("tokens_final"))
-    a0.join(a1, Seq("source"), "left")
+    val report = a0.join(a1, Seq("source"), "left")
       .join(a2, Seq("source"), "left")
       .join(a3, Seq("source"), "left")
       .join(a4, Seq("source"), "left")
@@ -434,6 +458,11 @@ object ReleaseOps {
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
         coalesce(col("n_final"), lit(0L)).as("n_final"),
         coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+    val kept = s5
+      .withColumn("shard",
+        Sampling.hashBucket(col("doc_id"), 16).cast("int"))
+      .select("doc_id", "source", "text", "ntok", "shard")
+    (kept, report)
   }
 
   private val md5Bucket =
@@ -445,8 +474,25 @@ object ReleaseOps {
     * the NFC + word-char-run canonicalization (q221 + q218's pinned
     * cross-engine pair) for the robust one. q215 and q225 share every
     * downstream character of this string, so the two gates differ ONLY
-    * in input and canonicalization — exactly the claim under test. */
+    * in input and canonicalization — exactly the claim under test.
+    * q240/q242 reuse the full card select; q243 swaps in the epoch-mix
+    * select over the SAME CTE body ([[releaseBodySql]] owns it). */
   private def releaseSql(preCtes: String, inputRel: String,
+      textExpr: String): String =
+    releaseBodySql(preCtes, inputRel, textExpr) + "\n" + CardSelectSql
+
+  /** The q243 oracle: the SAME eight-stage CTE body, final select = the
+    * q137 epoch expansion over the kept corpus (mx2) — one row per
+    * (doc, epoch copy), which is exactly what a loaded release artifact
+    * must serve a mixing consumer. */
+  private def releaseMixSql(preCtes: String, inputRel: String,
+      textExpr: String): String =
+    releaseBodySql(preCtes, inputRel, textExpr) + "\n" +
+      """SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+        |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch_copy
+        |FROM mx2 WHERE reps > 0 ORDER BY source, doc_id, epoch_copy""".stripMargin
+
+  private def releaseBodySql(preCtes: String, inputRel: String,
       textExpr: String): String =
       s"""WITH ${preCtes}din AS (
          |  SELECT doc_id, source, n_chars, $textExpr AS text FROM $inputRel),
@@ -545,7 +591,7 @@ object ReleaseOps {
          |mx AS (SELECT doc_id, source, ntok,
          |  ${Sampling.MixWeightCaseSql} AS w_mil,
          |  $md5Bucket % 1000 AS u FROM s6),
-         |mx2 AS MATERIALIZED (SELECT source, ntok,
+         |mx2 AS MATERIALIZED (SELECT doc_id, source, ntok,
          |  w_mil // 1000 + CASE WHEN u < w_mil % 1000 THEN 1 ELSE 0 END AS reps
          |  FROM mx),
          |a0 AS (SELECT source, count(*) AS n_input FROM din GROUP BY source),
@@ -563,8 +609,11 @@ object ReleaseOps {
          |  FROM mx2 GROUP BY source),
          |gsh AS (SELECT count(DISTINCT $md5Bucket % 16) AS n_shards FROM s6),
          |gw AS (SELECT CAST(max(cap) AS BIGINT) AS water_cap,
-         |  CAST(max(b) AS BIGINT) AS budget FROM wf2)
-         |SELECT a0.source,
+         |  CAST(max(b) AS BIGINT) AS budget FROM wf2)""".stripMargin
+
+  /** The release-card final select over [[releaseBodySql]]'s CTEs. */
+  private val CardSelectSql: String =
+      s"""SELECT a0.source,
          |  CAST(a0.n_input AS BIGINT) AS n_input,
          |  CAST(coalesce(a1.n_quality, 0) AS BIGINT) AS n_quality,
          |  CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact,
@@ -689,15 +738,80 @@ object ReleaseOps {
   private lazy val ReleaseOracleSqlStd: String =
     releaseSql("", "documents", "text")
 
+  /** The ONE robust-pipeline release oracle instance shared by q225 and
+    * q242 (the robust save/load round-trip) — the q240↔q215 symmetry. */
+  private lazy val ReleaseRobustOracleSqlStd: String =
+    releaseSql(multilingualFixtureCtes, "mfix", robustTextSql)
+
   // data dir -> the ONE release-artifact dir this JVM round-trips
   // through (the SimilarityOps idxDirs rule: each q240 invocation
   // overwrite-saves — the save IS the operator — but repeated
-  // bench/verify passes must not accumulate artifact copies)
+  // bench/verify passes must not accumulate artifact copies). The
+  // robust gate saves a DIFFERENT pipeline's artifact, so it gets its
+  // own dir (never a half-overwritten read under suite concurrency).
   private val relDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def relDir(d: String): String =
     relDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
       _ => graft.TempDirs.create("graft-release").toString)
+  private val relRobustDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def relRobustDir(d: String): String =
+    relRobustDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-release-robust").toString)
+  private val relDeltaDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def relDeltaDir(d: String): String =
+    relDeltaDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-release-delta").toString)
+
+  /** The ONE incremental-release oracle instance shared by q228 (run
+    * the delta pipeline) and q244 (the delta artifact round-trip). */
+  private lazy val DeltaOracleSqlStd: String =
+    deltaSql("",
+      "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10)",
+      "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10)",
+      "text")
+
+  /** The q240/q242 serve body: load the artifact at `dir` and emit the
+    * release card with every corpus-derivable column RE-DERIVED from
+    * the LOADED docs frame (n_final, tokens_final, the q137 epoch
+    * columns, n_packs, n_shards), joined to the persisted card's
+    * upstream stage counts — so ONE gate pins both artifact components:
+    * a lost or duplicated doc row breaks five re-derived columns, a
+    * drifted card breaks the rest. Materializes (bounded: |sources|
+    * rows) before releasing the handle (the q187 rule). */
+  private def servedCardFromArtifact(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val art = loadRelease(s, dir)
+    val fromDocs = art.docs.groupBy("source").agg(
+      count(lit(1)).as("n_final"),
+      sum("ntok").cast("long").as("tokens_final"),
+      sum("reps").cast("long").as("epoch_docs"),
+      sum(col("reps") * col("ntok")).cast("long").as("epoch_tokens"))
+      .withColumn("n_packs", expr("(epoch_tokens + 2047) div 2048"))
+    val nsh = art.docs.select("shard").distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    val out = art.card
+      .drop("n_final", "tokens_final", "epoch_docs", "epoch_tokens",
+        "n_packs", "n_shards")
+      .join(fromDocs, Seq("source"), "left")
+      .crossJoin(broadcast(nsh))
+      .select(col("source"), col("n_input"), col("n_quality"),
+        col("n_exact"), col("n_neardup"), col("n_decontam"),
+        col("n_domcap"), col("tokens_domcap"), col("allocated"),
+        col("capped"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+        coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"),
+        coalesce(col("epoch_tokens"), lit(0L)).as("epoch_tokens"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        col("budget"), col("water_cap"), col("n_shards"))
+      .orderBy("source")
+    val served = out.collect()
+    art.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
 
   val defs: Seq[Q] = Seq(
     // ---- the full release composition; oracle replays ALL EIGHT stages
@@ -724,37 +838,47 @@ object ReleaseOps {
     Q("q240_release_save_load", ReleaseOracleSqlStd) { (s, d) =>
       val dir = relDir(d)
       saveRelease(Tables.t(s, d, "documents"), dir)
-      val art = loadRelease(s, dir)
-      val fromDocs = art.docs.groupBy("source").agg(
-        count(lit(1)).as("n_final"),
-        sum("ntok").cast("long").as("tokens_final"),
-        sum("reps").cast("long").as("epoch_docs"),
-        sum(col("reps") * col("ntok")).cast("long").as("epoch_tokens"))
-        .withColumn("n_packs", expr("(epoch_tokens + 2047) div 2048"))
-      val nsh = art.docs.select("shard").distinct()
-        .agg(count(lit(1)).as("n_shards"))
-      val out = art.card
-        .drop("n_final", "tokens_final", "epoch_docs", "epoch_tokens",
-          "n_packs", "n_shards")
-        .join(fromDocs, Seq("source"), "left")
-        .crossJoin(broadcast(nsh))
-        .select(col("source"), col("n_input"), col("n_quality"),
-          col("n_exact"), col("n_neardup"), col("n_decontam"),
-          col("n_domcap"), col("tokens_domcap"), col("allocated"),
-          col("capped"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
-          coalesce(col("epoch_docs"), lit(0L)).as("epoch_docs"),
-          coalesce(col("epoch_tokens"), lit(0L)).as("epoch_tokens"),
-          coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-          col("budget"), col("water_cap"), col("n_shards"))
-        .orderBy("source")
-      // materialize (bounded: |sources| rows) before release — the
-      // artifact dir is overwritten by the NEXT invocation, so nothing
-      // may stay lazy over this load's files (the q187 rule)
-      val served = out.collect()
-      art.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      servedCardFromArtifact(s, dir)
+    },
+
+    // ---- ROBUST release artifact round-trip (the q240↔q215 symmetry
+    //      applied to q225): the canonicalized pipeline's kept corpus —
+    //      non-ASCII text, twin-collapsed ids — saved, loaded, and the
+    //      card re-derived from the loaded docs, against the SAME
+    //      oracle instance as q225. The hash proves the canonical token
+    //      stream survives the parquet round-trip byte-for-byte and the
+    //      shard manifest is canonicalization-stable. ----
+    Q("q242_release_robust_save_load", ReleaseRobustOracleSqlStd) { (s, d) =>
+      val dir = relRobustDir(d)
+      saveRelease(multilingualFixture(Tables.t(s, d, "documents")), dir,
+        robust = true)
+      servedCardFromArtifact(s, dir)
+    },
+
+    // ---- epoch mixing SERVED FROM the loaded artifact (the consumer
+    //      composition the persistence exists for): the q137 epoch
+    //      expansion — one row per (kept doc, epoch copy) — derived
+    //      entirely from the artifact's persisted reps column, ZERO
+    //      pipeline stages on the serve path. The oracle replays the
+    //      full eight-stage chain and then the same expansion over its
+    //      kept corpus (the shared releaseBodySql, mix final select) —
+    //      the hash proves a mixing consumer reading the artifact gets
+    //      exactly what re-running the pipeline would hand it. ----
+    Q("q243_release_epoch_mix_from_artifact",
+      releaseMixSql("", "documents", "text")) { (s, d) =>
+      val dir = relDir(d)
+      saveRelease(Tables.t(s, d, "documents"), dir)
+      // verification (version + torn counts) through the one load path,
+      // then serve from a FILE-backed read: the epoch expansion is
+      // corpus-sized, so it must stay lazy past this body — file-backed
+      // frames need no live handle (unlike the persisted art.docs)
+      loadRelease(s, dir).release()
+      s.read.parquet(s"$dir/docs")
+        .filter(col("reps") > 0)
+        .select(col("doc_id"), col("source"), col("ntok"),
+          explode(sequence(lit(1L), col("reps").cast("long")))
+            .as("epoch_copy"))
+        .orderBy("source", "doc_id", "epoch_copy")
     },
 
     // ---- the SAME eight stages, unicode-robust (round-10 advice item
@@ -782,15 +906,41 @@ object ReleaseOps {
     //      positives included — only the exact re-check keeps them from
     //      dropping docs), and every delta stage. Old = src0–src9,
     //      delta = src10–src19 (the q125 convention). ----
-    Q("q228_incremental_release",
-      deltaSql("",
-        "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10)",
-        "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10)",
-        "text")) { (s, d) =>
+    Q("q228_incremental_release", DeltaOracleSqlStd) { (s, d) =>
       val docs = Tables.t(s, d, "documents")
       val idx = substring(col("source"), 4, 8).cast("int")
       prepareDelta(docs.filter(idx < 10), docs.filter(idx >= 10))
         .orderBy("source")
+    },
+
+    // ---- DELTA artifact round-trip (the q240 stance for the monthly
+    //      release): saveDelta persists the kept delta corpus (md5
+    //      shard manifest) + the per-source report in the SAME artifact
+    //      format loadRelease reads; the gate re-derives n_final and
+    //      tokens_final from the LOADED docs and joins the persisted
+    //      report's upstream stage counts — against the SAME oracle
+    //      instance as q228, so the hash pins both components with zero
+    //      pipeline re-runs on the serve path. ----
+    Q("q244_delta_save_load", DeltaOracleSqlStd) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val idx = substring(col("source"), 4, 8).cast("int")
+      val dir = relDeltaDir(d)
+      saveDelta(docs.filter(idx < 10), docs.filter(idx >= 10), dir)
+      val art = loadRelease(s, dir)
+      val fromDocs = art.docs.groupBy("source").agg(
+        count(lit(1)).as("n_final"),
+        sum("ntok").cast("long").as("tokens_final"))
+      val out = art.card
+        .drop("n_final", "tokens_final")
+        .join(fromDocs, Seq("source"), "left")
+        .select(col("source"), col("n_input"), col("n_quality"),
+          col("n_exact"), col("n_vs_old"), col("n_neardup"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+        .orderBy("source")
+      val served = out.collect() // bounded: |delta sources| rows
+      art.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     // ---- ROBUST incremental release (round-11 verdict item 1): the
