@@ -492,6 +492,26 @@ object ReleaseOps {
         |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch_copy
         |FROM mx2 WHERE reps > 0 ORDER BY source, doc_id, epoch_copy""".stripMargin
 
+  /** The q245 oracle: the SAME eight-stage CTE body, final select = the
+    * q86 greedy pack over the EPOCH-EXPANDED kept corpus — per-source
+    * running token offsets in (doc_id, epoch_copy) order, fixed 2048-
+    * token budget. The packing a training run does over the mixed
+    * stream, replayed from scratch so the artifact-served pack must
+    * match it. */
+  private def releasePackSql(preCtes: String, inputRel: String,
+      textExpr: String): String =
+    releaseBodySql(preCtes, inputRel, textExpr) + "\n" +
+      """,ex AS (SELECT doc_id, source, ntok,
+        |  unnest(range(1, reps + 1)) AS epoch_copy
+        |  FROM mx2 WHERE reps > 0),
+        |pc AS (SELECT source, ntok,
+        |  SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id, epoch_copy
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ex)
+        |SELECT source, CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS pack_tokens
+        |FROM pc GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   private def releaseBodySql(preCtes: String, inputRel: String,
       textExpr: String): String =
       s"""WITH ${preCtes}din AS (
@@ -879,6 +899,36 @@ object ReleaseOps {
           explode(sequence(lit(1L), col("reps").cast("long")))
             .as("epoch_copy"))
         .orderBy("source", "doc_id", "epoch_copy")
+    },
+
+    // ---- sequence PACKING served from the loaded artifact (the other
+    //      named consumer next to q243's mixing): the q86 greedy pack —
+    //      per-source running token offsets, fixed 2048-token budget —
+    //      over the EPOCH-EXPANDED kept corpus, everything derived from
+    //      the artifact's persisted (ntok, reps) columns with zero
+    //      pipeline stages. Packing stays PER SOURCE SHARD (window
+    //      partitioned by source — no global sort at corpus scale); the
+    //      oracle replays the eight stages plus the same expansion and
+    //      pack over the shared CTE body. ----
+    Q("q245_release_pack_from_artifact",
+      releasePackSql("", "documents", "text")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dir = relDir(d)
+      saveRelease(Tables.t(s, d, "documents"), dir)
+      loadRelease(s, dir).release() // torn/version verification only
+      val w = Window.partitionBy("source").orderBy("doc_id", "epoch_copy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$dir/docs")
+        .filter(col("reps") > 0)
+        .select(col("doc_id"), col("source"), col("ntok"),
+          explode(sequence(lit(1L), col("reps").cast("long")))
+            .as("epoch_copy"))
+        .withColumn("cum", sum("ntok").over(w))
+        .withColumn("pack_id", expr("(cum - ntok) div 2048"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").cast("long").as("pack_tokens"))
+        .orderBy("source", "pack_id")
     },
 
     // ---- the SAME eight stages, unicode-robust (round-10 advice item
