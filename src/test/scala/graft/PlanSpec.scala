@@ -741,6 +741,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q243/q245: artifact-served consumers read ONLY the artifact — " +
+    "file-backed parquet scan, zero joins on the serve path") {
+    // the returned frame IS the serve path (the save/load happen eagerly
+    // inside the body): if any release-pipeline stage leaked into it, a
+    // Join or an fp/s-keyed exchange would appear here
+    val p43 = planOf(q("q243_release_epoch_mix_from_artifact"))
+    assert(p43.contains("Scan parquet") || p43.contains("FileScan parquet"), p43)
+    assert(!p43.contains("Join"), p43)
+    assert(!p43.contains("hashpartitioning(fp#"), p43)
+    val p45 = planOf(q("q245_release_pack_from_artifact"))
+    assert(p45.contains("Scan parquet") || p45.contains("FileScan parquet"), p45)
+    assert(!p45.contains("Join"), p45)
+    // packing stays per source shard: the running-offset window rides a
+    // source partitioning, never one global task
+    assert("hashpartitioning\\(source#".r.findFirstIn(p45).isDefined, p45)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
