@@ -290,8 +290,18 @@ object ReleaseOps {
       path: String): Unit = {
     val spark = kept.sparkSession
     import spark.implicits._
-    kept.repartition(col("shard")).write.mode("overwrite")
-      .partitionBy("shard").parquet(s"$path/docs")
+    // an EMPTY kept corpus is a legitimate release outcome (a delta
+    // fully carried over by the shipped corpus — exactly q235's
+    // fixture), but a dynamic-partition write of zero rows emits NO
+    // schema-carrying files and the load would die on schema inference
+    // instead of serving an empty corpus; one bounded limit(1) probe
+    // picks the single-file plain write for that case (schema footer
+    // still written)
+    if (kept.limit(1).count() == 1L)
+      kept.repartition(col("shard")).write.mode("overwrite")
+        .partitionBy("shard").parquet(s"$path/docs")
+    else
+      kept.coalesce(1).write.mode("overwrite").parquet(s"$path/docs")
     card.coalesce(1).write.mode("overwrite").parquet(s"$path/card")
     val nDocs = spark.read.parquet(s"$path/docs").count()
     val nCard = spark.read.parquet(s"$path/card").count()
@@ -784,6 +794,11 @@ object ReleaseOps {
   private def relDeltaDir(d: String): String =
     relDeltaDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
       _ => graft.TempDirs.create("graft-release-delta").toString)
+  private val relDeltaRobustDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def relDeltaRobustDir(d: String): String =
+    relDeltaRobustDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-release-delta-robust").toString)
 
   /** The ONE incremental-release oracle instance shared by q228 (run
     * the delta pipeline) and q244 (the delta artifact round-trip). */
@@ -792,6 +807,12 @@ object ReleaseOps {
       "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10)",
       "(SELECT * FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10)",
       "text")
+
+  /** The ONE robust-delta oracle instance shared by q235 and q246 (the
+    * robust-delta artifact round-trip — an EMPTY kept corpus by fixture
+    * design, so q246 also gates the empty-release artifact path). */
+  private lazy val DeltaRobustOracleSqlStd: String =
+    deltaSql(shippedTwinFixtureCtes, "dold", "dnew", robustTextSql)
 
   /** (data dir, variant) -> the ONE snapshotted (kept, card) pipeline
     * output this JVM round-trips through — the q189 `buildCached` stance
@@ -1047,11 +1068,45 @@ object ReleaseOps {
     //      stage from the SHARED q228 SQL body — the two gates differ
     //      only in input and canonicalization, exactly the claim under
     //      test. ----
-    Q("q235_incremental_release_robust",
-      deltaSql(shippedTwinFixtureCtes, "dold", "dnew", robustTextSql)) {
+    Q("q235_incremental_release_robust", DeltaRobustOracleSqlStd) {
       (s, d) =>
       val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
       prepareDelta(old, neu, robust = true).orderBy("source")
+    },
+
+    // ---- ROBUST delta artifact round-trip — the last cell of the
+    //      full/delta × raw/robust × pipeline/artifact matrix, and the
+    //      EMPTY-release artifact gate: the q235 fixture's robust
+    //      carry-over drops EVERY delta doc, so the persisted kept
+    //      corpus has zero rows — the save must still emit a
+    //      schema-carrying parquet (a dynamic-partition write of zero
+    //      rows emits none and the load dies on schema inference), the
+    //      load must verify counts and serve an empty frame, and the
+    //      re-derived card must coalesce every docs-derived column to
+    //      0 for all ten sources. Gated against the SAME oracle
+    //      instance as q235. ----
+    Q("q246_delta_robust_save_load", DeltaRobustOracleSqlStd) { (s, d) =>
+      val dir = relDeltaRobustDir(d)
+      val (kept, card) = cachedPipeline(d, "delta-robust") {
+        val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
+        deltaPipeline(old, neu, robust = true)
+      }
+      writeArtifact(kept, card, dir)
+      val art = loadRelease(s, dir)
+      val fromDocs = art.docs.groupBy("source").agg(
+        count(lit(1)).as("n_final"),
+        sum("ntok").cast("long").as("tokens_final"))
+      val out = art.card
+        .drop("n_final", "tokens_final")
+        .join(fromDocs, Seq("source"), "left")
+        .select(col("source"), col("n_input"), col("n_quality"),
+          col("n_exact"), col("n_vs_old"), col("n_neardup"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+        .orderBy("source")
+      val served = out.collect() // bounded: |delta sources| rows
+      art.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     }
   )
 

@@ -138,6 +138,21 @@ class FormatsRobustnessSpec extends SparkTestBase {
     }
     assert(exV.getMessage.contains("version"),
       s"wrong failure for a v9 artifact: ${exV.getMessage}")
+
+    // EMPTY release (a delta fully carried over — q235's fixture): the
+    // production saveDelta path must still write a schema-carrying docs
+    // parquet (a dynamic-partition write of zero rows emits none), and
+    // the load must verify counts and serve an empty frame, not die on
+    // schema inference
+    val (old, neu) = graft.operators.ReleaseOps
+      .shippedTwinFixture(docs)
+    ReleaseOps.saveDelta(old, neu, s"$dir/emptyrel", robust = true)
+    val empty = ReleaseOps.loadRelease(spark, s"$dir/emptyrel")
+    assert(empty.docs.count() === 0L, "carried-over delta must keep 0 docs")
+    assert(empty.docs.columns.contains("shard"), "schema must survive")
+    assert(empty.card.count() === 10L, "card keeps one row per source")
+    assert(empty.card.agg(sum("n_final")).head.getLong(0) === 0L)
+    empty.release()
   }
 
   test("deterministic sampling: same seed same rows, different seed differs") {
