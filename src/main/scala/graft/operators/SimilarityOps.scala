@@ -2236,6 +2236,44 @@ object SimilarityOps {
       // fused frame reads its bounded snapshot lazily downstream
       fuseRrf(s, d, served.rows
         .select(col("qid"), col("nid"), col("rank").as("drank")))
+    },
+
+    // ---- the GRAPH family's full nightly lifecycle chain (the q216
+    //      analog, closing the quantized↔graph symmetry): build the
+    //      base graph → save (night 0) → load into a fresh handle →
+    //      append the delta under the LOADED graph → compact → save
+    //      (night 1) → load → serve. Every post-append step is pure
+    //      storage work, so the gate runs against the SAME oracle
+    //      instance as q233/q238 — the hash proves the whole chain
+    //      serves exactly what a one-shot append serves, across two
+    //      process-restart boundaries and with every superseded handle
+    //      released before the next step (storage independence by
+    //      contract at each hop). ----
+    Q("q247_nsw_lifecycle_chain", NswAppendOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val delta = emb.filter(col("vec_id") >= 400)
+      val planesB = Similarity.adaptivePlanes(base.count(), targetBucket = 64)
+      val night0 = nswChainDir(d) + "/n0"
+      val night1 = nswChainDir(d) + "/n1"
+      val built = GraphAnn.nswGraphResult(base, "vec_id", "embedding",
+        m = 16, planes = planesB, dim = Dim, refineRounds = 1)
+      built.save(night0)
+      built.release()
+      val loaded = NswGraph.load(s, night0)
+      val appended = GraphAnn.nswAppend(loaded, base, delta, "vec_id",
+        "embedding", m = 16, dim = Dim, beamWidth = 8, searchRounds = 3)
+      loaded.release()
+      val compacted = appended.compact()
+      appended.release() // compacted storage is independent by contract
+      compacted.save(night1)
+      compacted.release()
+      val serving = NswGraph.load(s, night1)
+      val out = GraphAnn.nswSearchOn(emb.filter(col("vec_id") < 10),
+        serving, emb, "vec_id", "embedding", k = 5, beamWidth = 8,
+        searchRounds = 3)
+      serving.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
 
@@ -2258,6 +2296,13 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def nswFilteredDir(d: String): String =
     dirFor(nswFilteredDirs, "graft-nswfidx", d)
+
+  // data dir -> the ONE q247 lifecycle-chain artifact dir (night0 +
+  // night1 live under it)
+  private val nswChainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nswChainDir(d: String): String =
+    dirFor(nswChainDirs, "graft-nswchain", d)
 
   /** The ONE filtered-NSW oracle instance shared by q236 (serve from the
     * live-built graph) and q241 (serve from the persisted artifact) —
