@@ -2274,6 +2274,47 @@ object SimilarityOps {
         searchRounds = 3)
       serving.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- beam-width/recall TUNING SWEEP (the q224 operating-curve
+    //      stance for the graph family): recall@5 vs exact gold at
+    //      beamWidth ∈ {2, 4, 8}, all three served from ONE built
+    //      graph — serving is the cheap phase, so the curve costs
+    //      three bounded beam walks + one exact pass over the 10-query
+    //      sample, never three builds. The oracle replays one shared
+    //      construction and a full search chain per width; curve
+    //      monotonicity is data, not assumption. ----
+    Q("q248_nsw_beam_sweep",
+      nswSweepOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        widths = Seq(2, 4, 8), searchRounds = 3, k = 5)) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.exactL2Knn(queries, emb, "vec_id",
+          "embedding", 5)
+        .select("qid", "nid")
+      val rows = Seq(2, 4, 8).flatMap { bw =>
+        val h = GraphAnn.nswSearchOn(queries, g, emb, "vec_id",
+          "embedding", k = 5, beamWidth = bw, searchRounds = 3)
+        val r = exact
+          .join(h.rows.select(col("qid"), col("nid"), lit(1).as("hit")),
+            Seq("qid", "nid"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+            count(lit(1)).as("total"))
+          .select(lit(bw).as("beam_width"), col("hits"), col("total"),
+            (col("hits").cast("double") / col("total")).as("recall"))
+        // materialize (1 row) before this width's serve handle releases
+        val out = r.collect().toSeq
+        h.release()
+        out
+      }
+      g.release()
+      import s.implicits._
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toDF("beam_width", "hits", "total", "recall")
+        .orderBy("beam_width")
     }
   )
 
@@ -2376,6 +2417,45 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
          |  FROM sv$searchRounds WHERE nid <> qid) t WHERE rank <= 10),
          |${rrfFusionTailSql("dtop")}""".stripMargin
+
+  /** The q248 oracle: ONE graph construction, then a full beam-search
+    * CTE chain PER beam width (prefixes b2/b4/b8 — the suffixed
+    * AdcCutRerankSql stance from q224), the exact-L2 gold, and a
+    * per-width hit join — the operating curve is data, not assumption. */
+  private def nswSweepOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, widths: Seq[Int], searchRounds: Int,
+      k: Int): String = {
+    val g = s"g$refineRounds"
+    val perBw = widths.map { bw =>
+      nswSearchCtes(s"b$bw", g, "vec_id < 10", "", bw, searchRounds, 16) +
+        s""",
+           |srv_$bw AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+           |  FROM b${bw}sv$searchRounds WHERE nid <> qid) t
+           |  WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val recalls = widths.map { bw =>
+      s"""SELECT $bw AS beam_width,
+         |  CAST(count(a.nid) AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(a.nid) AS DOUBLE) / count(*) AS recall
+         |FROM exact e LEFT JOIN srv_$bw a
+         |  ON a.qid = e.qid AND a.nid = e.nid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $PreparedCte,\n" +
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
+      perBw + s""",
+         |exact AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.nsq + b.nsq - 2 * list_dot_product(a.qd, b.qd) AS BIGINT),
+         |        b.vec_id) AS rk
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= $k)
+         |SELECT * FROM ($recalls) ORDER BY beam_width""".stripMargin
+  }
 
   /** The ONE append-replay oracle instance shared by q233 (append) and
     * q238 (append → compact) — identical hash ⇒ compaction is pure
