@@ -2315,6 +2315,35 @@ object SimilarityOps {
       rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toDF("beam_width", "hits", "total", "recall")
         .orderBy("beam_width")
+    },
+
+    // ---- MIPS for the GRAPH family (closing the metric-generality
+    //      symmetry — the quantized family has q227/q229): the textbook
+    //      norm-augmentation reduction composes MIPS onto the UNCHANGED
+    //      L2 graph machinery — corpus vectors gain a sqrt(mx−‖x‖²)
+    //      component, queries gain 0, and the augmented-L2 beam walk
+    //      returns largest-dot neighbors. Spark-first: no new operator,
+    //      a narrow augmentation map in front of the existing build and
+    //      serve (preference (a) in the design rules). The oracle
+    //      replays the augmentation in the quantized integer domain and
+    //      the standard graph/search CTE owners; VectorSpec pins recall
+    //      vs the exact-IP gold and that the IP order differs from L2. ----
+    Q("q249_nsw_mips",
+      nswMipsOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val corpusAug = mipsAugmented(emb)
+      val queriesAug = mipsAugmentedZero(emb.filter(col("vec_id") < 10))
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      // dim stays 64: the bucket hash reads the original components
+      // only (the augmented one carries no direction); d2 scoring reads
+      // the full augmented arrays
+      val g = GraphAnn.nswGraphResult(corpusAug, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val out = GraphAnn.nswSearchOn(queriesAug, g, corpusAug, "vec_id",
+        "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+      g.release()
+      out.rows.orderBy("qid", "rank")
     }
   )
 
@@ -2417,6 +2446,77 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
          |  FROM sv$searchRounds WHERE nid <> qid) t WHERE rank <= 10),
          |${rrfFusionTailSql("dtop")}""".stripMargin
+
+  /** The q249 Spark-side corpus augmentation — the textbook MIPS→L2
+    * reduction (Bachrach et al. 2014, the order-preserving transform
+    * FAISS and ScaNN both ship): append sqrt(maxNorm² − ‖x‖²) to every
+    * corpus vector and 0 to every query, and the augmented L2 order
+    * equals the inner-product order (augmented ‖x‖² is ~constant, so
+    * −2·q·x decides). Computed in the QUANTIZED integer domain the
+    * whole vector family lives in: nsq is the exact integer norm, the
+    * appended component is floor(sqrt(mx − nsq)) re-expressed as the
+    * double (aug + 0.5)/1000 so [[graft.functions.VectorFunctions
+    * .quantize]]'s floor(x·1000) recovers exactly `aug` (a bare
+    * aug/1000 can round 1 ulp low and floor to aug−1) — every step is
+    * correctly-rounded IEEE on identical inputs, so DuckDB replays the
+    * augmentation bit-for-bit. The floor quantization makes the
+    * reduction approximate at d2 ties (an index, not a gold), which is
+    * why VectorSpec pins recall against [[Similarity.exactIpKnn]]. */
+  private def mipsAugmented(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("nsq"))
+    val mx = p.agg(max("nsq").as("mx"))
+    emb.join(p, "vec_id").crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        concat(col("embedding"),
+          array(((floor(sqrt((col("mx") - col("nsq")).cast("double")))
+            + lit(0.5)) / lit(1000.0)).cast("float"))).as("embedding"))
+  }
+
+  /** Query twin of [[mipsAugmented]]: a zero component — dot products
+    * against augmented corpus vectors are then the ORIGINAL q·x. */
+  private def mipsAugmentedZero(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"),
+      concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+
+  /** The q249 oracle: replay the augmentation (quantized norms, max,
+    * floor(sqrt)), re-run the standard prepared chain over the
+    * augmented corpus, build + search with the UNCHANGED graph/search
+    * CTE owners (queries read the zero-augmented `nq` frame via the
+    * qSrc seam), final cut. The LSH bucket hashing stays over the
+    * first 64 components on both sides — the augmented component
+    * carries no direction. */
+  private def nswMipsOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int,
+      k: Int): String = {
+    val base =
+      s"""b0 AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS bq
+         |  FROM embeddings),
+         |b1 AS (SELECT vec_id, embedding,
+         |  list_dot_product(list_transform(bq, x -> CAST(x AS DOUBLE)),
+         |                   list_transform(bq, x -> CAST(x AS DOUBLE))) AS bnsq
+         |  FROM b0),
+         |bmx AS (SELECT max(bnsq) AS mx FROM b1),
+         |augsrc AS (SELECT vec_id,
+         |  list_append(embedding,
+         |    CAST((floor(sqrt(mx - bnsq)) + 0.5) / 1000.0 AS FLOAT)) AS embedding
+         |  FROM b1, bmx),
+         |${preparedCte("augsrc")},
+         |qaug AS (SELECT vec_id,
+         |  list_append(embedding, CAST(0.0 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id < 10),
+         |qe AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM qaug),
+         |qp2 AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM qe),
+         |nq AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM qp2)""".stripMargin
+    s"WITH $base,\n" +
+      nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
+      nswSearchCtes("", s"g$refineRounds", "vec_id < 10", "", beamWidth,
+        searchRounds, 16, qSrc = "nq") + "\n" +
+      nswFinalSelect("", searchRounds, k)
+  }
 
   /** The q248 oracle: ONE graph construction, then a full beam-search
     * CTE chain PER beam width (prefixes b2/b4/b8 — the suffixed
@@ -2582,9 +2682,9 @@ object SimilarityOps {
     * `n$hubWhere`. Final visited pool: `${y}sv$searchRounds`. */
   private def nswSearchCtes(y: String, graph: String, qWhere: String,
       hubWhere: String, beamWidth: Int, searchRounds: Int,
-      hubCount: Int): String = {
+      hubCount: Int, qSrc: String = "n"): String = {
     val init =
-      s"""${y}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM n WHERE $qWhere),
+      s"""${y}qv AS MATERIALIZED (SELECT vec_id AS qid, qd AS qqd, nsq AS qnsq FROM $qSrc WHERE $qWhere),
          |${y}hid AS (SELECT vec_id FROM n$hubWhere ORDER BY vec_id LIMIT $hubCount),
          |${y}hp AS (SELECT n.vec_id, n.qd, n.nsq FROM n JOIN ${y}hid USING (vec_id)),
          |${y}sv0 AS MATERIALIZED (SELECT ${y}qv.qid, ${y}hp.vec_id AS nid,

@@ -617,6 +617,40 @@ class VectorSpec extends SparkTestBase {
       s"wrong failure for a disjoint allow-list: ${ex.getMessage}")
   }
 
+  test("NSW MIPS: the norm-augmented beam serve recalls the exact-IP " +
+    "gold, and the IP gold differs from the L2 gold") {
+    import graft.operators.Similarity
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = SparkEntry.queries("q249_nsw_mips")(spark, Sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipGold = Similarity.exactIpKnn(queries, emb, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.intersect(ipGold).size.toDouble / ipGold.size
+    info(s"NSW-MIPS recall@5 vs exact-IP gold = $recall")
+    assert(recall >= 0.8, s"NSW-MIPS recall collapsed: $recall")
+    // MIPS is its own metric — but the synthetic fixture is
+    // near-constant norm, so IP and L2 orders coincide on it. Plant
+    // norm skew (the q227 spec's construction: double a corpus slice —
+    // direction unchanged, norm doubled) and the two golds must
+    // disagree, or the metric distinction is decoration.
+    val skewed = emb.withColumn("embedding",
+      when(col("vec_id") >= 450,
+        transform(col("embedding"), x => x * lit(2.0f)))
+        .otherwise(col("embedding")))
+    val ipSk = Similarity.exactIpKnn(queries, skewed, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2Sk = Similarity.exactL2Knn(queries, skewed, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ipSk != l2Sk, "norm skew must separate the IP and L2 orders")
+  }
+
   test("NSW stats: degree histogram, reciprocity and component count " +
     "discriminate on a planted two-component graph") {
     import graft.operators.{GraphAnn, NswGraph}
