@@ -2328,9 +2328,7 @@ object SimilarityOps {
     //      replays the augmentation in the quantized integer domain and
     //      the standard graph/search CTE owners; VectorSpec pins recall
     //      vs the exact-IP gold and that the IP order differs from L2. ----
-    Q("q249_nsw_mips",
-      nswMipsOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
-        beamWidth = 8, searchRounds = 3, k = 5)) { (s, d) =>
+    Q("q249_nsw_mips", NswMipsOracleSqlStd) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val corpusAug = mipsAugmented(emb)
       val queriesAug = mipsAugmentedZero(emb.filter(col("vec_id") < 10))
@@ -2343,6 +2341,31 @@ object SimilarityOps {
       val out = GraphAnn.nswSearchOn(queriesAug, g, corpusAug, "vec_id",
         "embedding", k = 5, beamWidth = 8, searchRounds = 3)
       g.release()
+      out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- MIPS from the PERSISTED graph artifact (the q229 analog —
+    //      q229 serves IP from the saved ADC artifact): the graph
+    //      artifact is METRIC-FREE (an edge table of integer d2 over
+    //      whatever geometry it was built in), so a loaded
+    //      augmented-space graph serves inner product identically to
+    //      the in-memory handle, across a process-restart boundary and
+    //      with zero seed/NN-descent on the load path. SAME oracle
+    //      instance as q249: load ≡ build, metric included. ----
+    Q("q250_nsw_mips_from_artifact", NswMipsOracleSqlStd) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val corpusAug = mipsAugmented(emb)
+      val queriesAug = mipsAugmentedZero(emb.filter(col("vec_id") < 10))
+      val planes = Similarity.adaptivePlanes(emb.count(), targetBucket = 64)
+      val g = GraphAnn.nswGraphResult(corpusAug, "vec_id", "embedding",
+        m = 16, planes = planes, dim = Dim, refineRounds = 1)
+      val dir = nswMipsDir(d)
+      g.save(dir)
+      g.release()
+      val loaded = NswGraph.load(s, dir)
+      val out = GraphAnn.nswSearchOn(queriesAug, loaded, corpusAug,
+        "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
+      loaded.release()
       out.rows.orderBy("qid", "rank")
     }
   )
@@ -2373,6 +2396,19 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def nswChainDir(d: String): String =
     dirFor(nswChainDirs, "graft-nswchain", d)
+
+  // data dir -> the ONE q250 MIPS-graph artifact dir
+  private val nswMipsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nswMipsDir(d: String): String =
+    dirFor(nswMipsDirs, "graft-nswmips", d)
+
+  /** The ONE MIPS-graph oracle instance shared by q249 (build-and-serve)
+    * and q250 (serve from the persisted artifact) — identical hash ⇒
+    * the artifact round-trip is metric-free. */
+  private lazy val NswMipsOracleSqlStd: String =
+    nswMipsOracleSql(m = 16, targetBucket = 64, refineRounds = 1,
+      beamWidth = 8, searchRounds = 3, k = 5)
 
   /** The ONE filtered-NSW oracle instance shared by q236 (serve from the
     * live-built graph) and q241 (serve from the persisted artifact) —
