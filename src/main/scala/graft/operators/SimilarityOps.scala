@@ -2499,13 +2499,17 @@ object SimilarityOps {
     * reduction approximate at d2 ties (an index, not a gold), which is
     * why VectorSpec pins recall against [[Similarity.exactIpKnn]]. */
   private def mipsAugmented(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = Similarity.prepared(emb, "vec_id", "embedding")
-      .select(col("vec_id"), col("nsq"))
-    val mx = p.agg(max("nsq").as("mx"))
-    emb.join(p, "vec_id").crossJoin(broadcast(mx))
+    import graft.functions.VectorFunctions.{normSq, quantize}
+    // nsq is recomputed INLINE (one codegen'd expression per row), never
+    // fetched back through a vec_id self-join — at corpus scale that
+    // join is a full shuffle the narrow form avoids; the only wide step
+    // is the 1-row max broadcast
+    val nsq = normSq(quantize(col("embedding")))
+    val mx = emb.agg(max(nsq).as("mx"))
+    emb.crossJoin(broadcast(mx))
       .select(col("vec_id"),
         concat(col("embedding"),
-          array(((floor(sqrt((col("mx") - col("nsq")).cast("double")))
+          array(((floor(sqrt((col("mx") - nsq).cast("double")))
             + lit(0.5)) / lit(1000.0)).cast("float"))).as("embedding"))
   }
 
