@@ -290,18 +290,32 @@ object ReleaseOps {
       path: String): Unit = {
     val spark = kept.sparkSession
     import spark.implicits._
+    kept.repartition(col("shard")).write.mode("overwrite")
+      .partitionBy("shard").parquet(s"$path/docs")
     // an EMPTY kept corpus is a legitimate release outcome (a delta
     // fully carried over by the shipped corpus — exactly q235's
     // fixture), but a dynamic-partition write of zero rows emits NO
     // schema-carrying files and the load would die on schema inference
-    // instead of serving an empty corpus; one bounded limit(1) probe
-    // picks the single-file plain write for that case (schema footer
-    // still written)
-    if (kept.limit(1).count() == 1L)
-      kept.repartition(col("shard")).write.mode("overwrite")
-        .partitionBy("shard").parquet(s"$path/docs")
-    else
-      kept.coalesce(1).write.mode("overwrite").parquet(s"$path/docs")
+    // instead of serving an empty corpus. Detected with one FREE
+    // filesystem listing after the write (never an extra pipeline
+    // action on the production path); the fallback appends one empty
+    // schema-carrying file at the docs root.
+    val docsPath = new org.apache.hadoop.fs.Path(s"$path/docs")
+    val fs = docsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasData = {
+      val it = fs.listFiles(docsPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.getName
+        found = f.endsWith(".parquet") || f.startsWith("part-")
+      }
+      found
+    }
+    if (!hasData)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kept.schema)
+        .coalesce(1).write.mode("append").parquet(s"$path/docs")
     card.coalesce(1).write.mode("overwrite").parquet(s"$path/card")
     val nDocs = spark.read.parquet(s"$path/docs").count()
     val nCard = spark.read.parquet(s"$path/card").count()
