@@ -163,8 +163,14 @@ final class IvfAdcIndex private (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     cents.toDF("cid", "cq")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((IvfAdcIndex.FormatVersion, idCol, vecCol, sub, m))
-      .toDF("version", "id_col", "vec_col", "sub", "m")
+    // params written LAST with the codes count AS WRITTEN (read back
+    // from the on-disk parquet — footer-metadata-only, never an encode
+    // re-run), so a crash mid-codes-write leaves prior params beside a
+    // partial parquet and [[load]]'s torn check refuses it (the
+    // NswGraph/ReleaseOps artifact stance, extended here round 14)
+    val nCodes = spark.read.parquet(s"$path/codes").count()
+    Seq((IvfAdcIndex.FormatVersion, idCol, vecCol, sub, m, nCodes))
+      .toDF("version", "id_col", "vec_col", "sub", "m", "n_codes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -308,16 +314,16 @@ object IvfAdcIndex {
     * frame past release re-reads the saved parquet. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame): IvfAdcIndex = {
-    val params = spark.read.parquet(s"$path/params").collect()
-    require(params.length == 1, s"malformed index artifact at $path")
-    val p = params.head
-    val version = p.getAs[Int]("version")
-    require(version == FormatVersion,
-      s"index artifact version $version != supported $FormatVersion")
-    val idCol = p.getAs[String]("id_col")
-    val vecCol = p.getAs[String]("vec_col")
-    val sub = p.getAs[Int]("sub")
-    val m = p.getAs[Int]("m")
+    // shape-validate / version-gate through the ONE artifact-params
+    // owner (round-13 verdict item 4); the codes count check runs
+    // below once the codes frame materializes
+    val p = ArtifactParams.read(spark, path, "index",
+      Seq("version", "id_col", "vec_col", "sub", "m"))
+    p.requireVersion(FormatVersion.toLong)
+    val idCol = p.string("id_col")
+    val vecCol = p.string("vec_col")
+    val sub = p.int("sub")
+    val m = p.int("m")
     val cbRows = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("cid"),
         r.getSeq[Long](r.fieldIndex("cv"))))
@@ -335,7 +341,13 @@ object IvfAdcIndex {
       .map(r => (r.getAs[Long]("cid"), r.getSeq[Long](r.fieldIndex("cq"))))
       .sortBy(_._1).toSeq
     val codes = spark.read.parquet(s"$path/codes").persist()
-    codes.count() // materialize: queries must never pay the read twice
+    // one bounded pass materializes the cache (queries must never pay
+    // the read twice) AND feeds the torn-write check; a pre-round-14
+    // artifact whose params never recorded n_codes loads unchecked —
+    // the column-keyed stance
+    val got = codes.count()
+    p.verifyCounts { codes.unpersist() }(
+      ArtifactParams.Count("codes", p.longOpt("n_codes"), got))
     new IvfAdcIndex(codes, () => { codes.unpersist(); () }, cb, cents,
       corpus, idCol, vecCol, sub)
   }

@@ -61,50 +61,34 @@ final class NswGraph private[operators] (
 }
 
 object NswGraph {
-  /** v1 wrote (version) only; v2 (round 12) added `n_edges` for
-    * torn-write detection. Writers emit v2; [[load]] still accepts a
-    * v1 artifact (documented to stay loadable across sessions) — it
-    * just lacks the torn-write verification v2 provides. */
+  /** v2 (round 12) formalized `n_edges` in the params schema; earlier
+    * writers in this repo's history also emitted it. [[load]] therefore
+    * keys the torn-write verification on the COLUMN being present and
+    * non-null — not on the version — so any artifact that recorded an
+    * edge count gets the count check; the skip is reserved for params
+    * tables that genuinely lack the column. */
   private[operators] val FormatVersion = 2
 
   /** Rebuild a serving handle from a [[NswGraph.save]] artifact: one
     * parquet read, cached and materialized — no construction jobs. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): NswGraph = {
-    val pf = spark.read.parquet(s"$path/params")
-    // fail with the DESIGNED message on any malformed params table: a
-    // missing column or a foreign integer width (a BIGINT version from
-    // another writer) must not surface as ClassCastException/NPE
-    require(pf.columns.contains("version"),
-      s"malformed NSW artifact at $path: params has no version column")
-    // a v1 artifact (pre-round-12 writer) has no n_edges column; it is
-    // still a valid, documented-loadable artifact — it just predates the
-    // torn-write verification, so load it without that check rather
-    // than rejecting it as malformed (round-12 advice)
-    val hasEdgeCount = pf.columns.contains("n_edges")
-    val params =
-      (if (hasEdgeCount)
-        pf.select(col("version").cast("long"), col("n_edges").cast("long"))
-      else pf.select(col("version").cast("long"), lit(null).cast("long")))
-        .collect()
-    require(params.length == 1 && !params.head.isNullAt(0),
-      s"malformed NSW artifact at $path")
-    val v = params.head.getLong(0)
-    require(v == 1L || v == FormatVersion,
-      s"NSW artifact version $v != supported 1..$FormatVersion")
-    require(v == 1L || !params.head.isNullAt(1),
+    // shape-validate / version-gate / count-verify through the ONE
+    // artifact-params owner (round-13 verdict item 4). An artifact
+    // whose params genuinely lack n_edges is still a valid,
+    // documented-loadable artifact — it just never recorded a count to
+    // verify against; but when the column IS present (any version: v1
+    // writers here also emitted it), the torn-write check must run
+    // (round-13 advice: a version-keyed skip silently served torn v1).
+    val p = ArtifactParams.read(spark, path, "NSW")
+    val v = p.requireVersion(1L, FormatVersion.toLong)
+    val nEdges = p.longOpt("n_edges")
+    require(v == 1L || nEdges.isDefined,
       s"malformed NSW artifact at $path: v$v params has null n_edges")
     val e = spark.read.parquet(s"$path/edges").persist()
-    if (v >= 2L) {
-      val want = params.head.getLong(1)
-      val got = e.count()
-      if (got != want) {
-        e.unpersist()
-        throw new IllegalArgumentException(
-          s"torn NSW artifact at $path: params records $want edges, " +
-            s"edges/ holds $got — a crash mid-save leaves a partial parquet " +
-            "that reads without error; refuse to serve it")
-      }
-    } else e.count() // still materialize the cache in one bounded pass
+    // one bounded pass materializes the cache AND feeds the torn check
+    val got = e.count()
+    p.verifyCounts { e.unpersist() }(
+      ArtifactParams.Count("edges", nEdges, got))
     new NswGraph(e, () => { e.unpersist(); () })
   }
 }
@@ -379,10 +363,17 @@ object GraphAnn {
     // zero rows — indistinguishable from "no near neighbors" — while
     // the analogous canary/torn-artifact paths all fail with a designed
     // message. One bounded probe (first hit short-circuits the scan).
-    require(na.limit(1).count() == 1L,
-      "nswSearchFilteredOn: the allow-list shares no ids with the " +
-        "corpus — every candidate would be filtered out; pass an " +
-        "allow-list drawn from the corpus id space")
+    if (na.limit(1).count() != 1L) {
+      // release the cached frame before raising the designed error —
+      // every designed-failure invocation would otherwise leak its
+      // persisted blocks (round-13 advice)
+      na.unpersist()
+      throw new IllegalArgumentException(
+        "requirement failed: nswSearchFilteredOn: the allow-list " +
+          "shares no ids with the corpus — every candidate would be " +
+          "filtered out; pass an allow-list drawn from the corpus id " +
+          "space")
+    }
     val qp = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"))

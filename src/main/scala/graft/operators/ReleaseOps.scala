@@ -331,29 +331,18 @@ object ReleaseOps {
     * table rather than a ClassCastException/NPE. */
   def loadRelease(spark: org.apache.spark.sql.SparkSession,
       path: String): ReleaseArtifact = {
-    val pf = spark.read.parquet(s"$path/params")
-    for (c <- Seq("version", "n_docs", "n_card_rows"))
-      require(pf.columns.contains(c),
-        s"malformed release artifact at $path: params has no $c column")
-    val params = pf.select(col("version").cast("long"),
-      col("n_docs").cast("long"), col("n_card_rows").cast("long")).collect()
-    require(params.length == 1 && (0 to 2).forall(!params.head.isNullAt(_)),
-      s"malformed release artifact at $path")
-    val v = params.head.getLong(0)
-    require(v == ReleaseArtifact.FormatVersion,
-      s"release artifact version $v != supported ${ReleaseArtifact.FormatVersion}")
+    // shape-validate / version-gate / count-verify through the ONE
+    // artifact-params owner (round-13 verdict item 4)
+    val p = ArtifactParams.read(spark, path, "release",
+      Seq("version", "n_docs", "n_card_rows"))
+    p.requireVersion(ReleaseArtifact.FormatVersion.toLong)
+    val (wantDocs, wantCard) = (p.long("n_docs"), p.long("n_card_rows"))
     val docs = spark.read.parquet(s"$path/docs").persist()
     val card = spark.read.parquet(s"$path/card").persist()
     val (gotDocs, gotCard) = (docs.count(), card.count())
-    val (wantDocs, wantCard) = (params.head.getLong(1), params.head.getLong(2))
-    if (gotDocs != wantDocs || gotCard != wantCard) {
-      docs.unpersist(); card.unpersist()
-      throw new IllegalArgumentException(
-        s"torn release artifact at $path: params records $wantDocs docs / " +
-          s"$wantCard card rows, disk holds $gotDocs / $gotCard — a crash " +
-          "mid-save leaves a partial parquet that reads without error; " +
-          "refuse to serve it")
-    }
+    p.verifyCounts { docs.unpersist(); card.unpersist() }(
+      ArtifactParams.Count("docs", Some(wantDocs), gotDocs),
+      ArtifactParams.Count("card rows", Some(wantCard), gotCard))
     new ReleaseArtifact(docs, card,
       () => { docs.unpersist(); card.unpersist(); () })
   }
@@ -402,14 +391,42 @@ object ReleaseOps {
       robust: Boolean): (DataFrame, DataFrame) = {
     val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
     val newDocs = if (robust) canonicalized(newDocs0) else newDocs0
-    // plan-side df cap sized from the SHIPPED corpus (the big side —
-    // exactly where a driver count() scan would hurt most); the count is
-    // canonicalization-invariant, so read the raw frame and keep the cap
-    // scan off the snapshotted blocks
+    val assets = shippedAssets(oldDocs, oldDocs0)
+    val s1 = deltaQualityStage(newDocs)
+    val a0 = newDocs.groupBy("source").agg(count(lit(1)).as("n_input"))
+    deltaTail(assets, s1, a0, carriedPre = None)
+  }
+
+  /** The static assets the delta stages probe — built ONCE from the
+    * SHIPPED corpus, exactly how a production ingest front door holds
+    * them resident across arrivals (q110's stream-static stance):
+    * the distinct window-hash set (snapshot — it feeds BOTH the bitmap
+    * build and the exact re-check join; lineage-truncated,
+    * Spark-managed), the 2^21-bit Bloom bitmap, and the df-capped eval
+    * shingle set. The df cap is sized from the RAW shipped frame (the
+    * count is canonicalization-invariant, keeping the cap scan off the
+    * snapshotted blocks). */
+  private final case class ShippedAssets(wOld: DataFrame, bloom: DataFrame,
+      evalSet: DataFrame)
+  private def shippedAssets(oldDocs: DataFrame,
+      oldDocs0: DataFrame): ShippedAssets = {
     val capF = oldDocs0.agg(
       greatest(lit(4L), expr("count(1) div 300")).as("capdf"))
+    val wOld = Graph.snapshot(
+      Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
+        .select("h").distinct())._1
+    val bloom =
+      Dedup.bloomBuild(wOld, "h", DedupOps.BloomMBits, DedupOps.BloomK)
+    val evalSet = Dedup.trainShingleSetDyn(
+      oldDocs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"),
+      "doc_id", "text", 5, capF)
+    ShippedAssets(wOld, bloom, evalSet)
+  }
 
-    // stage 1: quality funnel — the q140 rules, verbatim from prepareCorpus
+  /** Stage 1 of the delta pipeline: the q140 quality funnel, verbatim
+    * from prepareCorpus — PER-DOC, so it runs identically on the whole
+    * delta (batch path) or on each micro-batch at arrival (q253). */
+  private def deltaQualityStage(newDocs: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val base = newDocs.select(col("doc_id"), col("source"), col("text"),
       TextFunctions.fingerprint(TextFunctions.normalized(col("text")))
@@ -420,50 +437,109 @@ object ReleaseOps {
       size(array_distinct(toks)).cast("long").as("ndist"),
       aggregate(transform(toks, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x).as("lensum"))
-    val s1 = base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
+    base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
         col("ndist") * 2 >= col("ntok") &&
         col("lensum") >= col("ntok") * 3 && col("lensum") <= col("ntok") * 10)
       .select("doc_id", "source", "text", "fp", "ntok")
+  }
 
+  /** The Bloom-routed carry-over predicate: doc_ids of `docs` sharing a
+    * window hash with the shipped corpus. PER-DOC against the static
+    * assets — the bitmap routes (false positives included), only the
+    * bounded hit set meets the exact old-hash set in a shuffle join, so
+    * a false positive costs one re-check and never a wrongly dropped
+    * doc. Identical verdict whether probed over the deduped delta
+    * (batch stage 3) or per micro-batch at arrival (q253). */
+  private def carriedIds(docs: DataFrame, a: ShippedAssets): DataFrame = {
+    val wNew = Dedup.charWindowRows(docs, "doc_id", "text", 40, 10)
+      .select("doc_id", "h").distinct()
+    Dedup.bloomProbe(wNew, a.bloom,
+        "h", DedupOps.BloomMBits, DedupOps.BloomK)
+      .filter(col("bloom_hit")).select("doc_id", "h")
+      .join(a.wOld.hint("shuffle_hash"), Seq("h"))
+      .select("doc_id").distinct()
+  }
+
+  /** STREAMING delta-release ingestion (round-13 verdict item 6 — the
+    * q217 pattern applied to releases): delta docs arrive as a file
+    * stream in REAL micro-batches (maxFilesPerTrigger=1); per batch,
+    * the front door runs the two PER-DOC stages against the static
+    * shipped-corpus assets held resident across arrivals — the q140
+    * quality funnel and the q110-style stream-static Bloom-routed
+    * carry-over probe — and appends only the flagged survivors to the
+    * ingest accumulator (junk never reaches storage, the point of a
+    * front door). After the stream drains, the cross-delta stages that
+    * CANNOT be per-batch (within-delta exact dedup, near-dup keep-list)
+    * plus decontamination run ONCE over the accumulated survivors via
+    * [[deltaTail]] — the same single owner the batch path finishes
+    * through, so the final state is arrival-order-independent and
+    * hash-identical to q228 by construction, not by luck. Returns the
+    * (kept, report) pair ready for [[saveDelta]]'s writeArtifact. */
+  private[graft] def streamedDeltaState(
+      s: org.apache.spark.sql.SparkSession, oldDocs: DataFrame,
+      inSchema: org.apache.spark.sql.types.StructType,
+      glob: String): (DataFrame, DataFrame) = {
+    val assets = shippedAssets(oldDocs, oldDocs)
+    // fresh accumulator per invocation (the round-13 shared-dir advice:
+    // append-mode state must never be clobbered by a concurrent or
+    // repeated invocation); delta-sized, Spark-managed temp lifecycle
+    val accum = graft.TempDirs.create("graft-release-accum").toString
+    val stream = s.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+    val query = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val b = batch.toDF()
+          val s1b = deltaQualityStage(b)
+          val carr = carriedIds(s1b, assets).withColumn("carried", lit(true))
+          s1b.join(carr, Seq("doc_id"), "left")
+            .na.fill(false, Seq("carried"))
+            .write.mode("append").parquet(s"$accum/docs")
+          b.groupBy("source").agg(count(lit(1)).as("n_input"))
+            .write.mode("append").parquet(s"$accum/inputs")
+          ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val acc = s.read.parquet(s"$accum/docs")
+    deltaTail(assets,
+      acc.select("doc_id", "source", "text", "fp", "ntok"),
+      s.read.parquet(s"$accum/inputs")
+        .groupBy("source").agg(sum("n_input").cast("long").as("n_input")),
+      carriedPre = Some(acc.filter(col("carried")).select("doc_id")))
+  }
+
+  /** Stages 2–5 of the delta pipeline + report + kept corpus — the ONE
+    * owner both the batch path ([[deltaPipeline]]) and the streaming
+    * front door (q253) finish through. `s1` is the accumulated quality
+    * survivors, `a0` the per-source arrival counts. `carriedPre`: the
+    * batch path passes None (the carry-over probe runs over the deduped
+    * s2, the cheapest set); the streaming path passes the doc_ids it
+    * flagged per batch at arrival — the same per-doc predicate, so the
+    * anti-join result is identical by construction. */
+  private def deltaTail(assets: ShippedAssets, s1: DataFrame,
+      a0: DataFrame, carriedPre: Option[DataFrame]): (DataFrame, DataFrame) = {
     // stage 2: within-delta exact dedup
     val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val s2 = s1.join(k2, Seq("fp", "doc_id"))
 
-    // stage 3: Bloom-routed carry-over vs the shipped corpus. The old
-    // corpus's distinct window-hash set feeds BOTH the bitmap build and
-    // the exact re-check join; without a snapshot each consumer re-scans
-    // and re-hashes the full shipped corpus — the single most expensive
-    // old-side pass, paid twice. Lineage-truncated, Spark-managed (the
-    // nearDupClusters convenience-form storage contract).
-    val wOld = Graph.snapshot(
-      Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
-        .select("h").distinct())._1
-    val wNew = Dedup.charWindowRows(s2, "doc_id", "text", 40, 10)
-      .select("doc_id", "h").distinct()
-    val bloomHits = Dedup.bloomProbe(wNew,
-        Dedup.bloomBuild(wOld, "h", DedupOps.BloomMBits, DedupOps.BloomK),
-        "h", DedupOps.BloomMBits, DedupOps.BloomK)
-      .filter(col("bloom_hit")).select("doc_id", "h")
-    val carry = bloomHits.join(wOld.hint("shuffle_hash"), Seq("h"))
-      .select("doc_id").distinct()
+    // stage 3: Bloom-routed carry-over vs the shipped corpus
+    val carry = carriedPre.getOrElse(carriedIds(s2, assets))
     val s3 = s2.join(carry, Seq("doc_id"), "left_anti")
 
     // stage 4: within-delta near-dup keep-list (q74's pipeline)
     val s4 = s3.join(
       Dedup.nearDupKeepList(s3, "doc_id", "text", 3, 0.8), "doc_id")
 
-    // stage 5: decontamination front door — the q110 static asset built
-    // from the SHIPPED corpus's eval split (trainShingleSet is the
-    // df-capped shingle-set builder; the eval side is the set here)
-    val evalSet = Dedup.trainShingleSetDyn(
-      oldDocs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"),
-      "doc_id", "text", 5, capF)
-    val contam = Dedup.contaminationAgainst(s4, evalSet, "doc_id", "text", 5)
+    // stage 5: decontamination front door — per-doc vs the static eval
+    // shingle set
+    val contam = Dedup.contaminationAgainst(s4, assets.evalSet,
+        "doc_id", "text", 5)
       .select("doc_id")
     val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
 
     // per-source delta report
-    val a0 = newDocs.groupBy("source").agg(count(lit(1)).as("n_input"))
     val a1 = s1.groupBy("source").agg(count(lit(1)).as("n_quality"))
     val a2 = s2.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val a3 = s3.groupBy("source").agg(count(lit(1)).as("n_vs_old"))
@@ -787,32 +863,46 @@ object ReleaseOps {
   private lazy val ReleaseRobustOracleSqlStd: String =
     releaseSql(multilingualFixtureCtes, "mfix", robustTextSql)
 
-  // data dir -> the ONE release-artifact dir this JVM round-trips
-  // through (the SimilarityOps idxDirs rule: each q240 invocation
-  // overwrite-saves — the save IS the operator — but repeated
-  // bench/verify passes must not accumulate artifact copies). The
-  // robust gate saves a DIFFERENT pipeline's artifact, so it gets its
-  // own dir (never a half-overwritten read under suite concurrency).
-  private val relDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def relDir(d: String): String =
-    relDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-release").toString)
-  private val relRobustDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def relRobustDir(d: String): String =
-    relRobustDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-release-robust").toString)
-  private val relDeltaDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def relDeltaDir(d: String): String =
-    relDeltaDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-release-delta").toString)
-  private val relDeltaRobustDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // (data dir, query family) -> the ONE release-artifact dir this JVM
+  // round-trips through (the SimilarityOps idxDirs rule: each
+  // invocation overwrite-saves — the save IS the operator — but
+  // repeated bench/verify passes must not accumulate artifact copies).
+  // ONE dir per (data dir, consuming query family) — round-13 advice:
+  // q240/q243/q245 previously shared one dir and each overwrite-wrote
+  // it, so a deferred file-backed reader from one query could see
+  // another query's half-overwritten parquet under suite concurrency.
+  // Every artifact-consuming query now owns its dir (the robust/delta
+  // variants' stance, generalized).
+  private val relArtifactDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def namedRelDir(d: String, tag: String): String =
+    relArtifactDirs.computeIfAbsent(
+      (new java.io.File(d).getCanonicalPath, tag),
+      _ => graft.TempDirs.create(s"graft-release-$tag").toString)
+  private def relDir(d: String): String = namedRelDir(d, "raw")
+  private def relRobustDir(d: String): String = namedRelDir(d, "robust")
+  private def relDeltaDir(d: String): String = namedRelDir(d, "delta")
   private def relDeltaRobustDir(d: String): String =
-    relDeltaRobustDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
-      _ => graft.TempDirs.create("graft-release-delta-robust").toString)
+    namedRelDir(d, "delta-robust")
+
+  // data dir -> the ONE q253 delta-arrival staging dir: the delta split
+  // into three single-file parquet batches, written INSIDE the
+  // computeIfAbsent lambda (same-key callers block), so repeated
+  // bench/verify passes re-read one staging rather than re-writing
+  private val streamStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDeltaBatches(docs: DataFrame, d: String): String =
+    streamStageDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => {
+        val dir = graft.TempDirs.create("graft-release-stream").toString
+        val idx = substring(col("source"), 4, 8).cast("int")
+        Seq((10, 13), (13, 17), (17, 20)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            docs.filter(idx >= lo && idx < hi)
+              .coalesce(1).write.parquet(s"$dir/b$i")
+        }
+        dir
+      })
 
   /** The ONE incremental-release oracle instance shared by q228 (run
     * the delta pipeline) and q244 (the delta artifact round-trip). */
@@ -893,6 +983,30 @@ object ReleaseOps {
     s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
   }
 
+  /** The q244/q246/q253 delta-artifact serve tail: load the artifact,
+    * re-derive n_final/tokens_final from the LOADED docs, join the
+    * persisted report's upstream stage counts — one owner for the
+    * three delta-artifact consumers (the servedCardFromArtifact twin).
+    * Materializes (bounded: |delta sources| rows) before release. */
+  private def servedDeltaCardFromArtifact(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val art = loadRelease(s, dir)
+    val fromDocs = art.docs.groupBy("source").agg(
+      count(lit(1)).as("n_final"),
+      sum("ntok").cast("long").as("tokens_final"))
+    val out = art.card
+      .drop("n_final", "tokens_final")
+      .join(fromDocs, Seq("source"), "left")
+      .select(col("source"), col("n_input"), col("n_quality"),
+        col("n_exact"), col("n_vs_old"), col("n_neardup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+      .orderBy("source")
+    val served = out.collect()
+    art.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- the full release composition; oracle replays ALL EIGHT stages
     //      (see prepareCorpus scaladoc). Single-owner CTE text where a
@@ -950,7 +1064,7 @@ object ReleaseOps {
     //      exactly what re-running the pipeline would hand it. ----
     Q("q243_release_epoch_mix_from_artifact",
       releaseMixSql("", "documents", "text")) { (s, d) =>
-      val dir = relDir(d)
+      val dir = namedRelDir(d, "mix")
       val (kept, card) = cachedPipeline(d, "raw")(
         corpusPipeline(Tables.t(s, d, "documents"), robust = false))
       writeArtifact(kept, card, dir)
@@ -979,7 +1093,7 @@ object ReleaseOps {
     Q("q245_release_pack_from_artifact",
       releasePackSql("", "documents", "text")) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dir = relDir(d)
+      val dir = namedRelDir(d, "pack")
       val (kept, card) = cachedPipeline(d, "raw")(
         corpusPipeline(Tables.t(s, d, "documents"), robust = false))
       writeArtifact(kept, card, dir)
@@ -1047,21 +1161,7 @@ object ReleaseOps {
         deltaPipeline(docs.filter(idx < 10), docs.filter(idx >= 10),
           robust = false))
       writeArtifact(kept, card, dir)
-      val art = loadRelease(s, dir)
-      val fromDocs = art.docs.groupBy("source").agg(
-        count(lit(1)).as("n_final"),
-        sum("ntok").cast("long").as("tokens_final"))
-      val out = art.card
-        .drop("n_final", "tokens_final")
-        .join(fromDocs, Seq("source"), "left")
-        .select(col("source"), col("n_input"), col("n_quality"),
-          col("n_exact"), col("n_vs_old"), col("n_neardup"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
-        .orderBy("source")
-      val served = out.collect() // bounded: |delta sources| rows
-      art.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      servedDeltaCardFromArtifact(s, dir)
     },
 
     // ---- ROBUST incremental release (round-11 verdict item 1): the
@@ -1106,21 +1206,33 @@ object ReleaseOps {
         deltaPipeline(old, neu, robust = true)
       }
       writeArtifact(kept, card, dir)
-      val art = loadRelease(s, dir)
-      val fromDocs = art.docs.groupBy("source").agg(
-        count(lit(1)).as("n_final"),
-        sum("ntok").cast("long").as("tokens_final"))
-      val out = art.card
-        .drop("n_final", "tokens_final")
-        .join(fromDocs, Seq("source"), "left")
-        .select(col("source"), col("n_input"), col("n_quality"),
-          col("n_exact"), col("n_vs_old"), col("n_neardup"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
-        .orderBy("source")
-      val served = out.collect() // bounded: |delta sources| rows
-      art.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      servedDeltaCardFromArtifact(s, dir)
+    },
+
+    // ---- STREAMING release front door (round-13 verdict item 6 — the
+    //      q217 pattern applied to releases): the delta arrives as a
+    //      file stream in three REAL micro-batches; per batch the
+    //      front door runs the PER-DOC stages — quality funnel +
+    //      stream-static Bloom-routed carry-over vs the resident
+    //      shipped-corpus assets (q110's stance) — and accumulates only
+    //      flagged survivors; the cross-delta stages (exact dedup,
+    //      near-dup) run once over the drained accumulator through the
+    //      SAME deltaTail the batch path uses, then saveDelta persists
+    //      and the card serves from the LOADED artifact. Gated against
+    //      the SAME oracle instance as q228/q244: the hash proves the
+    //      streamed final state ≡ the batch pipeline ≡ the artifact
+    //      round-trip, arrival-order-independent (every per-batch stage
+    //      is a per-doc predicate; ReleaseStreamSpec pins two arrival
+    //      orders). ----
+    Q("q253_release_stream_delta", DeltaOracleSqlStd) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val idx = substring(col("source"), 4, 8).cast("int")
+      val stage = stagedDeltaBatches(docs, d)
+      val (kept, card) = streamedDeltaState(s, docs.filter(idx < 10),
+        docs.schema, s"$stage/b*")
+      val dir = namedRelDir(d, "stream-delta")
+      writeArtifact(kept, card, dir)
+      servedDeltaCardFromArtifact(s, dir)
     }
   )
 

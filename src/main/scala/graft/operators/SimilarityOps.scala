@@ -95,6 +95,70 @@ object SimilarityOps {
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamDir(d: String): String = dirFor(streamDirs, "graft-annstream", d)
+
+  // data dir -> the ONE SQ8 / matryoshka index-artifact dir (the idxDirs
+  // rule for the two round-14 persisted variants, q251/q252)
+  private val sq8Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sq8Dir(d: String): String = dirFor(sq8Dirs, "graft-sq8idx", d)
+  private val mryDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mryDir(d: String): String = dirFor(mryDirs, "graft-mryidx", d)
+
+  /** The ONE SQ8 oracle instance shared by q198 (inline funnel) and
+    * q251 (index artifact round-trip) — the q189/q184 single-owner
+    * rule: identical hash proves load ≡ build ≡ inline. */
+  private lazy val Sq8OracleSql: String =
+    s"""WITH $PreparedCte,
+       |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e),
+       |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
+       |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+       |c AS (SELECT vec_id,
+       |    list_transform(range(0, $Dim), j ->
+       |      CASE WHEN mxs[CAST(j + 1 AS INTEGER)] > mns[CAST(j + 1 AS INTEGER)]
+       |           THEN least(greatest(((q[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]) * 255)
+       |                  // (mxs[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]), 0), 255)
+       |           ELSE 0 END) AS code
+       |  FROM e, sa),
+       |cn AS (SELECT vec_id, code,
+       |    CAST(list_dot_product(list_transform(code, x -> CAST(x AS DOUBLE)),
+       |                          list_transform(code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS cnsq
+       |  FROM c),
+       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    a.cnsq + b.cnsq - 2 * CAST(list_dot_product(
+       |      list_transform(a.code, x -> CAST(x AS DOUBLE)),
+       |      list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS adist
+       |  FROM cn a JOIN cn b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |cand AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+       |  WHERE arank <= 100),
+       |scored AS (SELECT cc.qid, cc.nid,
+       |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+       |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+       |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The ONE matryoshka oracle instance shared by q206 and q252 (the
+    * same artifact-round-trip symmetry). */
+  private lazy val MatryoshkaOracleSql: String =
+    s"""WITH $PreparedCte,
+       |pn AS (SELECT vec_id, qd[1:16] AS pqd,
+       |         list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM n),
+       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT) AS adist
+       |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |cand AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+       |  WHERE arank <= 100),
+       |scored AS (SELECT cc.qid, cc.nid,
+       |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+       |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+       |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   // multi-probe kNN uses fewer planes: 2^6 buckets over the fixture keeps
   // inverted lists populated so every query finds candidates (recall knob)
   private val MpPlanes = 6
@@ -909,37 +973,7 @@ object SimilarityOps {
     //      training, the div/clamp encode, the code-distance ranking with
     //      its tie-break, the candidate cut AND the rerank — all integer.
     //      Recall-vs-exact is spec-gated (VectorSpec), as for q139/q179. ----
-    Q("q198_sq8_knn",
-      s"""WITH $PreparedCte,
-         |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e),
-         |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
-         |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
-         |c AS (SELECT vec_id,
-         |    list_transform(range(0, $Dim), j ->
-         |      CASE WHEN mxs[CAST(j + 1 AS INTEGER)] > mns[CAST(j + 1 AS INTEGER)]
-         |           THEN least(greatest(((q[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]) * 255)
-         |                  // (mxs[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]), 0), 255)
-         |           ELSE 0 END) AS code
-         |  FROM e, sa),
-         |cn AS (SELECT vec_id, code,
-         |    CAST(list_dot_product(list_transform(code, x -> CAST(x AS DOUBLE)),
-         |                          list_transform(code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS cnsq
-         |  FROM c),
-         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    a.cnsq + b.cnsq - 2 * CAST(list_dot_product(
-         |      list_transform(a.code, x -> CAST(x AS DOUBLE)),
-         |      list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS adist
-         |  FROM cn a JOIN cn b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 10),
-         |cand AS (SELECT qid, nid FROM (
-         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
-         |  WHERE arank <= 100),
-         |scored AS (SELECT cc.qid, cc.nid,
-         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
-         |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
-         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    Q("q198_sq8_knn", Sq8OracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.sq8Knn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 100, dim = Dim)
@@ -1052,27 +1086,58 @@ object SimilarityOps {
     //      and at scale the prefix-only index is resident in 1/4 the
     //      memory. Oracle replays the slice, prefix-L2 ranking with its
     //      tie-break, the cut and the rerank. ----
-    Q("q206_matryoshka_rerank",
-      s"""WITH $PreparedCte,
-         |pn AS (SELECT vec_id, qd[1:16] AS pqd,
-         |         list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM n),
-         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT) AS adist
-         |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 10),
-         |cand AS (SELECT qid, nid FROM (
-         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
-         |  WHERE arank <= 100),
-         |scored AS (SELECT cc.qid, cc.nid,
-         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
-         |  FROM cand cc JOIN n na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
-         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    Q("q206_matryoshka_rerank", MatryoshkaOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.matryoshkaKnn(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, candidates = 100, prefixDim = 16)
         .orderBy("qid", "rank")
+    },
+
+    // ---- SQ8 index PERSISTENCE (round-13 verdict item 3 — the q189
+    //      write_index/read_index split for the scalar-quantized
+    //      variant): build the bounds + code table, save (codes parquet
+    //      + dim-row bounds + params LAST with the on-disk count), load
+    //      into a FRESH handle through the shared ArtifactParams
+    //      validation, and serve the query batch from the LOADED
+    //      handle. Gated against the SAME oracle instance as q198, so
+    //      the hash proves load ≡ build ≡ inline — a deployment that
+    //      picked SQ8 for its 8× memory cut now survives restart. ----
+    Q("q251_sq8_save_load", Sq8OracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val dir = sq8Dir(d)
+      idx.save(dir)
+      idx.release()
+      val loaded = Sq8Index.load(s, dir, emb)
+      val out = loaded.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      // materialize (bounded: k·|queries| rows) before release — the
+      // artifact dir is overwritten by the NEXT invocation (q187 rule)
+      val served = out.collect()
+      loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- MATRYOSHKA index persistence (the same split for prefix
+    //      serving): the persisted table is the prefix slice — 1/4 the
+    //      resident bytes — params-written-last with the on-disk count;
+    //      the loaded handle serves with the exact full-dim rerank
+    //      against the corpus binding. Same oracle instance as q206. ----
+    Q("q252_matryoshka_save_load", MatryoshkaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+        prefixDim = 16)
+      val dir = mryDir(d)
+      idx.save(dir)
+      idx.release()
+      val loaded = MatryoshkaIndex.load(s, dir, emb)
+      val out = loaded.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     // ---- index INTROSPECTION: per-cell occupancy of the resident

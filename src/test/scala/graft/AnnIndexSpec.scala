@@ -454,4 +454,98 @@ class AnnIndexSpec extends SparkTestBase {
     assert(nBatches.get() >= 3, s"expected ≥3 micro-batches, got ${nBatches.get()}")
     assert(served.toSet === expected)
   }
+
+  test("SQ8 index: save→load round-trip serves row-for-row what the " +
+    "inline funnel computes; torn and future-version artifacts refused") {
+    import graft.operators.Sq8Index
+    import spark.implicits._
+    val built = Sq8Index.build(emb, "vec_id", "embedding", dim = 64)
+    val inline = rows(Similarity.sq8Knn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 100, dim = 64))
+    assert(rows(built.query(queries, k = 5, candidates = 100)) === inline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8")
+    dir.toFile.deleteOnExit()
+    built.save(dir.toString)
+    built.release()
+    val loaded = Sq8Index.load(spark, dir.toString, emb)
+    assert(rows(loaded.query(queries, k = 5, candidates = 100)) === inline)
+    loaded.release()
+    // torn: params records more codes than codes/ holds
+    val pf = spark.read.parquet(s"$dir/params").collect().head
+    Seq((pf.getAs[Int]("version"), pf.getAs[String]("id_col"),
+        pf.getAs[String]("vec_col"), pf.getAs[Int]("dim"), 999999L))
+      .toDF("version", "id_col", "vec_col", "dim", "n_codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      Sq8Index.load(spark, dir.toString, emb)
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+    // future version: refused with the version message
+    Seq((99, "vec_id", "embedding", 64, 600L))
+      .toDF("version", "id_col", "vec_col", "dim", "n_codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exV = intercept[IllegalArgumentException] {
+      Sq8Index.load(spark, dir.toString, emb)
+    }
+    assert(exV.getMessage.contains("version"),
+      s"wrong failure for a v99 artifact: ${exV.getMessage}")
+  }
+
+  test("matryoshka index: save→load round-trip serves row-for-row what " +
+    "the inline funnel computes; torn artifact refused") {
+    import graft.operators.MatryoshkaIndex
+    import spark.implicits._
+    val built = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      prefixDim = 16)
+    val inline = rows(Similarity.matryoshkaKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 100, prefixDim = 16))
+    assert(rows(built.query(queries, k = 5, candidates = 100)) === inline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mry")
+    dir.toFile.deleteOnExit()
+    built.save(dir.toString)
+    built.release()
+    val loaded = MatryoshkaIndex.load(spark, dir.toString, emb)
+    assert(rows(loaded.query(queries, k = 5, candidates = 100)) === inline)
+    loaded.release()
+    Seq((1, "vec_id", "embedding", 16, 999999L))
+      .toDF("version", "id_col", "vec_col", "prefix_dim", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      MatryoshkaIndex.load(spark, dir.toString, emb)
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+  }
+
+  test("IVF-ADC load now torn-checks the codes count (column-keyed): a " +
+    "params/codes mismatch is refused, a pre-count artifact still loads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-adctorn")
+    dir.toFile.deleteOnExit()
+    idx.save(dir.toString)
+    val pf = spark.read.parquet(s"$dir/params").collect().head
+    // tamper the recorded count
+    Seq((pf.getAs[Int]("version"), pf.getAs[String]("id_col"),
+        pf.getAs[String]("vec_col"), pf.getAs[Int]("sub"),
+        pf.getAs[Int]("m"), 999999L))
+      .toDF("version", "id_col", "vec_col", "sub", "m", "n_codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      IvfAdcIndex.load(spark, dir.toString, emb)
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+    // a pre-round-14 artifact (params without n_codes) loads unchecked —
+    // the column-keyed stance
+    Seq((pf.getAs[Int]("version"), pf.getAs[String]("id_col"),
+        pf.getAs[String]("vec_col"), pf.getAs[Int]("sub"),
+        pf.getAs[Int]("m")))
+      .toDF("version", "id_col", "vec_col", "sub", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val legacy = IvfAdcIndex.load(spark, dir.toString, emb)
+    assert(rows(legacy.query(queries, k = 5, candidates = 50, nprobe = 2))
+      .nonEmpty)
+    legacy.release()
+  }
 }

@@ -31,8 +31,16 @@ class BenchRecordSpec extends AnyFunSuite {
         val n = p.getFileName.toString
         n.startsWith("BENCH_r") && n.endsWith("_full.json")
       }.toSeq
-    // round number is zero-padded (BENCH_r08...) so lexicographic = numeric
-    rs.sortBy(_.getFileName.toString).lastOption
+    // sort by the NUMERIC round (round-13 advice: lexicographic order
+    // breaks at round 100 — "r100" sorts before "r99" — and would
+    // silently validate against a stale record)
+    val round = "BENCH_r(\\d+)_full\\.json".r
+    rs.sortBy { p =>
+      p.getFileName.toString match {
+        case round(n) => n.toInt
+        case _        => -1
+      }
+    }.lastOption
   }
 
   private def recordKeys(p: java.nio.file.Path): Set[String] = {

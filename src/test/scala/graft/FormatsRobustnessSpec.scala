@@ -77,6 +77,18 @@ class FormatsRobustnessSpec extends SparkTestBase {
     assert(exTorn.getMessage.contains("torn"),
       s"wrong failure for a torn artifact: ${exTorn.getMessage}")
 
+    // torn v1 WITH a recorded n_edges (round-13 advice: historical v1
+    // writers here also emitted the count) — the check keys on the
+    // column, not the version, so this must be refused too
+    edges.write.mode("overwrite").parquet(s"$dir/tornv1/edges")
+    Seq((1, 99L)).toDF("version", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tornv1/params")
+    val exTorn1 = intercept[IllegalArgumentException] {
+      NswGraph.load(spark, s"$dir/tornv1")
+    }
+    assert(exTorn1.getMessage.contains("torn"),
+      s"wrong failure for a torn v1-with-count artifact: ${exTorn1.getMessage}")
+
     // unknown future version: refused with the version message, not a
     // cast error or a silent serve
     edges.write.mode("overwrite").parquet(s"$dir/v9/edges")

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.ReleaseOps
+import org.apache.spark.sql.functions._
+
+/** Gates for the q253 streaming delta-release front door: the drained
+  * final state must be ARRIVAL-ORDER-INDEPENDENT and identical to the
+  * batch [[ReleaseOps.prepareDelta]] report — the claim rests on every
+  * per-batch stage being a per-doc predicate against static shipped
+  * assets, and this spec is where that claim meets two genuinely
+  * different arrival schedules (different batch boundaries AND reversed
+  * order), not just the q253 gate's one staging. */
+class ReleaseStreamSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.t(spark, Sf, "documents")
+  private lazy val idx = substring(col("source"), 4, 8).cast("int")
+  private lazy val oldDocs = docs.filter(idx < 10)
+  private lazy val newDocs = docs.filter(idx >= 10)
+
+  private def stage(splits: Seq[(Int, Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-relstream")
+    dir.toFile.deleteOnExit()
+    splits.zipWithIndex.foreach { case ((lo, hi), i) =>
+      docs.filter(idx >= lo && idx < hi)
+        .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    dir.toString
+  }
+
+  private def report(glob: String): Seq[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+    val (_, card) = ReleaseOps.streamedDeltaState(spark, oldDocs,
+      docs.schema, glob)
+    card.orderBy("source").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+  }
+
+  test("streamed final state ≡ batch prepareDelta under two different " +
+    "arrival schedules") {
+    val batch = ReleaseOps.prepareDelta(oldDocs, newDocs)
+      .orderBy("source").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(batch.nonEmpty)
+    // schedule A: three uneven batches in source order
+    val a = report(s"${stage(Seq((10, 13), (13, 17), (17, 20)))}/b*")
+    assert(a === batch, "schedule A diverged from the batch pipeline")
+    // schedule B: four batches, REVERSED source order — if any per-batch
+    // stage secretly depended on cross-batch state, the within-delta
+    // exact-dedup keeper (min doc_id per fingerprint) or the carry-over
+    // set would differ here
+    val b = report(s"${stage(Seq((18, 20), (15, 18), (12, 15), (10, 12)))}/b*")
+    assert(b === batch, "schedule B diverged from the batch pipeline")
+  }
+}

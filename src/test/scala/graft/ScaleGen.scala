@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * exactly while totals grow 10× — the right shape for a wall-time
   * scaling probe:
   *
-  *  - documents: replica r Caesar-rotates letters via `translate`
-  *    (bijective on [a-z]/[A-Z], digits kept) — token/char lengths and
-  *    the within-replica frequency profile are preserved verbatim, but
-  *    replicas share (essentially) no shingles, words, or char windows,
-  *    so MinHash/substring-dedup/BPE all see 10× the types at the same
-  *    per-type density. doc_id offset per replica.
+  *  - documents: replica r applies an AFFINE letter cipher via
+  *    `translate` (bijective on [a-z]/[A-Z], digits kept; distinct per
+  *    replica up to 312 copies — round 14, for the sf10 probe) —
+  *    token/char lengths and the within-replica frequency profile are
+  *    preserved verbatim, but replicas share (essentially) no shingles,
+  *    words, or char windows, so MinHash/substring-dedup/BPE all see N×
+  *    the types at the same per-type density. doc_id offset per replica.
   *  - embeddings: replica r applies a SIGNED DIMENSION PERMUTATION
   *    (new[i] = ±old[(i+5r) mod 64]) — an isometry, so every
   *    within-replica cosine/distance (k-means geometry, near-dup pairs)
@@ -38,8 +39,22 @@ object ScaleGen {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  private def rot(s: String, r: Int): String =
-    s.substring(r % s.length) + s.substring(0, r % s.length)
+  // the 12 units of Z/26 — multipliers coprime to 26, so the affine map
+  // i -> (a*i + b) mod 26 is a bijection on letter positions
+  private val Units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replica r's letter permutation as a translate() target alphabet:
+    * an AFFINE cipher i -> (a·i + b) mod 26 with (a, b) distinct per
+    * replica for r < 312 (12 units × 26 shifts) — a plain Caesar
+    * rotation has period 26, so at 100 replicas four replicas would
+    * share a mapping and their documents would be cross-replica EXACT
+    * twins, quadrupling dup density instead of preserving it. r = 0 is
+    * the identity (a=1, b=0). */
+  private def affine(s: String, r: Int): String = {
+    val a = Units(r % Units.length)
+    val b = (r / Units.length) % s.length
+    (0 until s.length).map(i => s((a * i + b) % s.length)).mkString
+  }
 
   /** Union of `copies` transformed replicas of `df`. */
   private def replicate(df: DataFrame, copies: Int)(
@@ -81,17 +96,22 @@ object ScaleGen {
       (df, r) =>
         df.withColumn("doc_id", col("doc_id") + lit(r * Off))
           .withColumn("text", translate(col("text"),
-            Lower + Upper, rot(Lower, r) + rot(Upper, r)))
+            Lower + Upper, affine(Lower, r) + affine(Upper, r)))
     })
 
     write("embeddings", replicate(Tables.t(spark, src, "embeddings"), copies) {
       (df, r) =>
         val dim = 64
-        // signed permutation: new[i] = sign(i,r) * old[(i + 5r) mod dim];
-        // sign flips where bit-parity of (i*(r+3)) is odd — deterministic,
-        // half the dims flip, replica 0 is the identity (shift 0, no flips)
+        // signed permutation: new[i] = sign(i,r) * old[((i + 5r) mod dim)
+        // XOR (r div dim)]; the XOR layer keeps the 100-replica family
+        // collision-free — the 5r rotation alone has period 64 (gcd(5,64)
+        // = 1), so replicas r and r+64 would share a permutation; XOR by
+        // a constant is a bijection on 0..63 and never equals a pure
+        // rotation, so all (rotation, xor) pairs are distinct. Sign flips
+        // where bit-parity of (i*(r+3)) is odd — deterministic, half the
+        // dims flip, replica 0 is the identity (shift 0, xor 0, no flips)
         val perm = (0 until dim).map { i =>
-          val jj = (i + 5 * r) % dim
+          val jj = ((i + 5 * r) % dim) ^ (r / dim)
           val sign = if (r == 0 || Integer.bitCount(i * (r + 3)) % 2 == 0) 1f else -1f
           (jj, sign)
         }

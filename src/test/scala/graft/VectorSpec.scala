@@ -607,11 +607,16 @@ class VectorSpec extends SparkTestBase {
     val g = GraphAnn.nswGraphResult(emb, "vec_id", "embedding",
       m = 16, planes = 3, dim = 64, refineRounds = 0)
     val disjoint = emb.select((col("vec_id") + 1000000L).as("vec_id"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val ex = intercept[IllegalArgumentException] {
       GraphAnn.nswSearchFilteredOn(emb.filter(col("vec_id") < 3), g, emb,
         disjoint, "vec_id", "embedding", k = 5, beamWidth = 8,
         searchRounds = 2)
     }
+    // the designed failure must not leak its persisted corpus frame
+    // (round-13 advice): cached-RDD census back to the pre-call level
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "designed failure leaked a persisted frame")
     g.release()
     assert(ex.getMessage.contains("allow-list"),
       s"wrong failure for a disjoint allow-list: ${ex.getMessage}")
