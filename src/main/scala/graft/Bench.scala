@@ -31,6 +31,17 @@ object Bench {
       // order (every run would pay Janino compilation again, ~+30% total),
       // defeating the warmup pass. Static conf - must be set here.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // the 250-query suite holds many memoized fixture caches resident
+      // (index handles, release pipeline snapshots, BPE merge lists);
+      // under the default storageFraction=0.5 half the unified region is
+      // PROTECTED for those blocks, so the shuffle-heavy timed queries
+      // (the q195/q214 substring-run family crept +70-87% r10->r13 with
+      // unchanged code; isolated fresh-JVM probe r14: 2.4-2.8 s vs 3.5-3.8
+      // in-suite) spill instead. Lower the protected share: execution can
+      // evict fixture blocks to disk (MEMORY_AND_DISK persist), which is
+      // the right trade — a fixture re-read is one sequential scan, a
+      // shuffle spill is paid per timed pass.
+      .config("spark.memory.storageFraction", "0.3")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())

@@ -58,6 +58,28 @@ final class Sq8Index private[operators] (
 
   def release(): Unit = releaseStorage()
 
+  /** Extend the index with `delta` rows encoded under the FROZEN
+    * trained bounds — the [[IvfAdcIndex.append]] pattern for the SQ8
+    * family (FAISS's train-on-sample/add-everything split): no
+    * retraining, ONE narrow encode map over the delta, snapshot-backed
+    * INDEPENDENT storage (release source and result in either order;
+    * the chain serializes flat at any append depth). Bounds drift (a
+    * delta outside the trained [min,max]) clamps to 0/255 — visible as
+    * code-distance recall loss, never wrong results: the exact rerank
+    * is bounds-independent. */
+  def append(delta: DataFrame): Sq8Index = {
+    val p = Similarity.prepared(delta, idCol, vecCol)
+    val deltaCodes = p.select(col(idCol).as("nid"),
+        Sq8Index.codeCol(mns, mxs).as("code"))
+      .withColumn("cnsq", normSq(col("code")))
+    val (flat, snap) = Graph.snapshot(codes.union(deltaCodes))
+    flat.count() // materialize while the base blocks are still hot
+    val union = corpus.select(col(idCol), col(vecCol))
+      .union(delta.select(col(idCol), col(vecCol)))
+    new Sq8Index(flat, () => Graph.release(snap), mns, mxs, union,
+      idCol, vecCol)
+  }
+
   /** Persist: codes parquet + dim-row bounds table + params LAST with
     * the codes count AS WRITTEN (footer-metadata read, never an encode
     * re-run) — the writeArtifact torn-write stance. */
@@ -174,6 +196,23 @@ final class MatryoshkaIndex private[operators] (
   }
 
   def release(): Unit = releaseStorage()
+
+  /** Extend with `delta` rows — slicing has NO trained state, so the
+    * appended index is INDISTINGUISHABLE from a full rebuild (q255
+    * gates appended ≡ inline against the q206 oracle); one narrow
+    * slice map over the delta, snapshot-backed independent storage. */
+  def append(delta: DataFrame): MatryoshkaIndex = {
+    val deltaPre = Similarity.prepared(delta, idCol, vecCol)
+      .select(col(idCol).as("nid"),
+        slice(col("q"), 1, prefixDim).as("pq"))
+      .withColumn("pnsq", normSq(col("pq")))
+    val (flat, snap) = Graph.snapshot(prefixes.union(deltaPre))
+    flat.count()
+    val union = corpus.select(col(idCol), col(vecCol))
+      .union(delta.select(col(idCol), col(vecCol)))
+    new MatryoshkaIndex(flat, () => Graph.release(snap), prefixDim,
+      union, idCol, vecCol)
+  }
 
   def save(path: String): Unit = {
     import spark.implicits._

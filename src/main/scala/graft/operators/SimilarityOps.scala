@@ -105,12 +105,15 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mryDir(d: String): String = dirFor(mryDirs, "graft-mryidx", d)
 
-  /** The ONE SQ8 oracle instance shared by q198 (inline funnel) and
-    * q251 (index artifact round-trip) — the q189/q184 single-owner
-    * rule: identical hash proves load ≡ build ≡ inline. */
-  private lazy val Sq8OracleSql: String =
+  /** The SQ8 oracle body, parameterized over the bounds-training input
+    * (the q187 `ivfAdcOracle` pattern): `trainFilter` restricts the
+    * per-dimension [min,max] training scan — empty for
+    * train-on-everything (q198/q251), a vec_id bound for the append
+    * gate (q254: bounds FROZEN from the base, encode sees the union).
+    * One owner for every downstream character. */
+  private def sq8Oracle(trainFilter: String = ""): String =
     s"""WITH $PreparedCte,
-       |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e),
+       |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e$trainFilter),
        |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
        |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
        |c AS (SELECT vec_id,
@@ -140,8 +143,14 @@ object SimilarityOps {
        |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** The ONE matryoshka oracle instance shared by q206 and q252 (the
-    * same artifact-round-trip symmetry). */
+  /** The ONE SQ8 oracle instance shared by q198 (inline funnel) and
+    * q251 (index artifact round-trip) — the q189/q184 single-owner
+    * rule: identical hash proves load ≡ build ≡ inline. */
+  private lazy val Sq8OracleSql: String = sq8Oracle()
+
+  /** The ONE matryoshka oracle instance shared by q206, q252 (artifact
+    * round-trip) and q255 (append): slicing has NO trained state, so an
+    * appended index must serve EXACTLY what a full build serves. */
   private lazy val MatryoshkaOracleSql: String =
     s"""WITH $PreparedCte,
        |pn AS (SELECT vec_id, qd[1:16] AS pqd,
@@ -1137,6 +1146,49 @@ object SimilarityOps {
         .orderBy("qid", "rank")
       val served = out.collect()
       loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SQ8 incremental APPEND (the q187 stance for the SQ8 family):
+    //      bounds train on the BASE corpus only, the delta is encoded
+    //      under the FROZEN bounds (FAISS's train-on-sample /
+    //      add-everything split — no retraining, no base re-encode),
+    //      and the appended handle serves base ∪ delta. The oracle
+    //      restricts ONLY the bounds-training scan (the shared
+    //      sq8Oracle body); encode/candidates/rerank see the union —
+    //      exactly the semantic contract under test. ----
+    Q("q254_sq8_append",
+      sq8Oracle(trainFilter = s" WHERE vec_id < $AppendBase")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = Sq8Index.build(emb.filter(col("vec_id") < AppendBase),
+        "vec_id", "embedding", dim = Dim)
+      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+      base.release()
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- MATRYOSHKA incremental append: slicing has NO trained state,
+    //      so an appended index must serve EXACTLY what a full build
+    //      serves — gated against the SAME oracle instance as q206/q252
+    //      (the strongest possible append contract: appended ≡ inline,
+    //      not merely appended ≡ train-on-base). ----
+    Q("q255_matryoshka_append", MatryoshkaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = MatryoshkaIndex.build(
+        emb.filter(col("vec_id") < AppendBase), "vec_id", "embedding",
+        prefixDim = 16)
+      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+      base.release()
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 

@@ -518,6 +518,34 @@ class AnnIndexSpec extends SparkTestBase {
       s"wrong failure for a torn artifact: ${exTorn.getMessage}")
   }
 
+  test("SQ8/matryoshka append: appended handle serves base ∪ delta with " +
+    "independent storage (source releasable first); matryoshka appended " +
+    "≡ full build exactly") {
+    import graft.operators.{MatryoshkaIndex, Sq8Index}
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    // SQ8: bounds frozen from the base — the appended handle must rank
+    // with base-trained codes but serve ids from the union
+    val sBase = Sq8Index.build(base, "vec_id", "embedding", dim = 64)
+    val sApp = sBase.append(delta)
+    sBase.release() // independence: appended must keep serving
+    val sRows = rows(sApp.query(queries, k = 5, candidates = 100))
+    sApp.release()
+    assert(sRows.nonEmpty)
+    assert(sRows.exists(_._2 >= 400L),
+      "appended SQ8 serve never surfaces a delta id — the delta was lost")
+    // matryoshka: no trained state, so appended ≡ full build row-for-row
+    val mBase = MatryoshkaIndex.build(base, "vec_id", "embedding",
+      prefixDim = 16)
+    val mApp = mBase.append(delta)
+    mBase.release()
+    val mFull = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      prefixDim = 16)
+    assert(rows(mApp.query(queries, k = 5, candidates = 100)) ===
+      rows(mFull.query(queries, k = 5, candidates = 100)))
+    mApp.release(); mFull.release()
+  }
+
   test("IVF-ADC load now torn-checks the codes count (column-keyed): a " +
     "params/codes mismatch is refused, a pre-count artifact still loads") {
     import spark.implicits._
