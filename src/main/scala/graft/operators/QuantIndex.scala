@@ -36,15 +36,34 @@ final class Sq8Index private[operators] (
     * (query side encoded narrowly and broadcast — the corpus never
     * builds a hash table), exact rerank on the original dims for the
     * ≤ candidates survivors. Identical math to [[Similarity.sq8Knn]]. */
-  def query(queries: DataFrame, k: Int, candidates: Int): DataFrame = {
+  def query(queries: DataFrame, k: Int, candidates: Int): DataFrame =
+    queryImpl(queries, None, k, candidates)
+
+  /** Metadata-filtered serve (the q220 stance for the SQ8 family): the
+    * allow-list semi-joins the materialized codes BEFORE the candidate
+    * cut, so the whole candidate budget is spent on admissible vectors
+    * — a post-filter over k results would starve under selective
+    * predicates. `allowed`'s FIRST column is the id. */
+  def queryFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+      candidates: Int): DataFrame =
+    queryImpl(queries, Some(allowed), k, candidates)
+
+  private def queryImpl(queries: DataFrame, allowed: Option[DataFrame],
+      k: Int, candidates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val admissible = allowed match {
+      case Some(a) =>
+        codes.join(a.select(col(a.columns.head).as("nid")),
+          Seq("nid"), "left_semi")
+      case None => codes
+    }
     val qcodes = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"), Sq8Index.codeCol(mns, mxs).as("qcode"))
       .withColumn("qcnsq", normSq(col("qcode")))
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    val cand = codes.join(broadcast(qcodes), col("qid") =!= col("nid"))
+    val cand = admissible.join(broadcast(qcodes), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("qq"), col("qnsq"),
         (col("qcnsq") + col("cnsq")
           - lit(2L) * dot(col("qcode"), col("code")))
@@ -54,6 +73,26 @@ final class Sq8Index private[operators] (
       .select("qid", "nid", "qq", "qnsq")
     Similarity.pqRerank(cand,
       Similarity.prepared(corpus, idCol, vecCol), idCol, k)
+  }
+
+  /** Remove ids — the FAISS `remove_ids` step for the SQ8 family
+    * (retractions, GDPR deletions): ONE anti-join drops the code rows,
+    * the corpus binding drops the same ids for the rerank stage. No
+    * retraining — bounds describe a distribution, not a membership
+    * set, so the trained [min,max] stays exactly as valid for the
+    * survivors (the [[IvfAdcIndex.delete]] argument). Snapshot-backed
+    * independent storage; deleted vectors can never resurface —
+    * candidates come from the filtered codes, the rerank joins the
+    * filtered corpus BY id. */
+  def delete(ids: DataFrame, idsCol: String): Sq8Index = {
+    val del = ids.select(col(idsCol).as("nid"))
+    val (flat, snap) = Graph.snapshot(
+      codes.join(del, Seq("nid"), "left_anti"))
+    flat.count() // materialize before the caller releases the source
+    val rest = corpus.join(ids.select(col(idsCol).as(idCol)),
+      Seq(idCol), "left_anti")
+    new Sq8Index(flat, () => Graph.release(snap), mns, mxs, rest,
+      idCol, vecCol)
   }
 
   def release(): Unit = releaseStorage()
@@ -175,15 +214,32 @@ final class MatryoshkaIndex private[operators] (
 
   private val spark = prefixes.sparkSession
 
-  def query(queries: DataFrame, k: Int, candidates: Int): DataFrame = {
+  def query(queries: DataFrame, k: Int, candidates: Int): DataFrame =
+    queryImpl(queries, None, k, candidates)
+
+  /** Metadata-filtered serve — the allow-list semi-joins the prefix
+    * table BEFORE the candidate cut (the q220 stance); `allowed`'s
+    * FIRST column is the id. */
+  def queryFiltered(queries: DataFrame, allowed: DataFrame, k: Int,
+      candidates: Int): DataFrame =
+    queryImpl(queries, Some(allowed), k, candidates)
+
+  private def queryImpl(queries: DataFrame, allowed: Option[DataFrame],
+      k: Int, candidates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val admissible = allowed match {
+      case Some(a) =>
+        prefixes.join(a.select(col(a.columns.head).as("nid")),
+          Seq("nid"), "left_semi")
+      case None => prefixes
+    }
     val qp = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"), slice(col("q"), 1, prefixDim).as("qpq"))
       .withColumn("qpnsq", normSq(col("qpq")))
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    val cand = prefixes.join(broadcast(qp), col("qid") =!= col("nid"))
+    val cand = admissible.join(broadcast(qp), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("qq"), col("qnsq"),
         (col("qpnsq") + col("pnsq")
           - lit(2L) * dot(col("qpq"), col("pq")))
@@ -193,6 +249,20 @@ final class MatryoshkaIndex private[operators] (
       .select("qid", "nid", "qq", "qnsq")
     Similarity.pqRerank(cand,
       Similarity.prepared(corpus, idCol, vecCol), idCol, k)
+  }
+
+  /** Remove ids — one anti-join each on the prefix table and the
+    * rerank corpus binding; nothing trained, so nothing to revalidate.
+    * Snapshot-backed independent storage. */
+  def delete(ids: DataFrame, idsCol: String): MatryoshkaIndex = {
+    val del = ids.select(col(idsCol).as("nid"))
+    val (flat, snap) = Graph.snapshot(
+      prefixes.join(del, Seq("nid"), "left_anti"))
+    flat.count()
+    val rest = corpus.join(ids.select(col(idsCol).as(idCol)),
+      Seq(idCol), "left_anti")
+    new MatryoshkaIndex(flat, () => Graph.release(snap), prefixDim,
+      rest, idCol, vecCol)
   }
 
   def release(): Unit = releaseStorage()

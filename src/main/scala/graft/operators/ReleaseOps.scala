@@ -476,10 +476,15 @@ object ReleaseOps {
     * hash-identical to q228 by construction, not by luck. Returns the
     * (kept, report) pair ready for [[saveDelta]]'s writeArtifact. */
   private[graft] def streamedDeltaState(
-      s: org.apache.spark.sql.SparkSession, oldDocs: DataFrame,
+      s: org.apache.spark.sql.SparkSession, oldDocs0: DataFrame,
       inSchema: org.apache.spark.sql.types.StructType,
-      glob: String): (DataFrame, DataFrame) = {
-    val assets = shippedAssets(oldDocs, oldDocs)
+      glob: String, robust: Boolean = false): (DataFrame, DataFrame) = {
+    // robust variant (q260, the q235 composition): the shipped assets
+    // are built over the CANONICAL token stream and every arriving
+    // batch canonicalizes before its front-door stages — arrival
+    // counts (n_input) still come from the raw batch
+    val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
+    val assets = shippedAssets(oldDocs, oldDocs0)
     // fresh accumulator per invocation (the round-13 shared-dir advice:
     // append-mode state must never be clobbered by a concurrent or
     // repeated invocation); delta-sized, Spark-managed temp lifecycle
@@ -490,13 +495,14 @@ object ReleaseOps {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) =>
-          val b = batch.toDF()
+          val b0 = batch.toDF()
+          val b = if (robust) canonicalized(b0) else b0
           val s1b = deltaQualityStage(b)
           val carr = carriedIds(s1b, assets).withColumn("carried", lit(true))
           s1b.join(carr, Seq("doc_id"), "left")
             .na.fill(false, Seq("carried"))
             .write.mode("append").parquet(s"$accum/docs")
-          b.groupBy("source").agg(count(lit(1)).as("n_input"))
+          b0.groupBy("source").agg(count(lit(1)).as("n_input"))
             .write.mode("append").parquet(s"$accum/inputs")
           ()
       }
@@ -904,6 +910,25 @@ object ReleaseOps {
         dir
       })
 
+  // data dir -> the ONE q260 staging dir: the q235 twin fixture's delta
+  // (clean-ASCII re-crawl of shipped multilingual content) split into
+  // three single-file arrival batches by source index
+  private val streamRobustStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedRobustDeltaBatches(neu: DataFrame, d: String): String =
+    streamRobustStageDirs.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath,
+      _ => {
+        val dir = graft.TempDirs.create("graft-release-stream-rb").toString
+        val idx = substring(col("source"), 4, 8).cast("int")
+        Seq((0, 4), (4, 7), (7, 10)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            neu.filter(idx >= lo && idx < hi)
+              .coalesce(1).write.parquet(s"$dir/b$i")
+        }
+        dir
+      })
+
   /** The ONE incremental-release oracle instance shared by q228 (run
     * the delta pipeline) and q244 (the delta artifact round-trip). */
   private lazy val DeltaOracleSqlStd: String =
@@ -1231,6 +1256,26 @@ object ReleaseOps {
       val (kept, card) = streamedDeltaState(s, docs.filter(idx < 10),
         docs.schema, s"$stage/b*")
       val dir = namedRelDir(d, "stream-delta")
+      writeArtifact(kept, card, dir)
+      servedDeltaCardFromArtifact(s, dir)
+    },
+
+    // ---- ROBUST streaming release front door (the q253 × q235 cell,
+    //      and the EMPTY-release STREAMING case): the delta is the
+    //      clean-ASCII re-crawl of the shipped multilingual corpus, so
+    //      with canonical window hashes EVERY arriving doc Bloom-hits
+    //      the shipped corpus at its micro-batch and is flagged carried
+    //      — the drained accumulator's kept corpus is EMPTY, the
+    //      artifact write must still emit a schema-carrying parquet,
+    //      and the served card coalesces every docs-derived column to
+    //      0. Gated against the SAME oracle instance as q235/q246. ----
+    Q("q260_release_stream_delta_robust", DeltaRobustOracleSqlStd) {
+      (s, d) =>
+      val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
+      val stage = stagedRobustDeltaBatches(neu, d)
+      val (kept, card) = streamedDeltaState(s, old, neu.schema,
+        s"$stage/b*", robust = true)
+      val dir = namedRelDir(d, "stream-delta-robust")
       writeArtifact(kept, card, dir)
       servedDeltaCardFromArtifact(s, dir)
     }

@@ -111,7 +111,8 @@ object SimilarityOps {
     * train-on-everything (q198/q251), a vec_id bound for the append
     * gate (q254: bounds FROZEN from the base, encode sees the union).
     * One owner for every downstream character. */
-  private def sq8Oracle(trainFilter: String = ""): String =
+  private def sq8Oracle(trainFilter: String = "",
+      adFilter: String = ""): String =
     s"""WITH $PreparedCte,
        |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e$trainFilter),
        |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
@@ -132,7 +133,7 @@ object SimilarityOps {
        |      list_transform(a.code, x -> CAST(x AS DOUBLE)),
        |      list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS adist
        |  FROM cn a JOIN cn b ON b.vec_id <> a.vec_id
-       |  WHERE a.vec_id < 10),
+       |  WHERE a.vec_id < 10$adFilter),
        |cand AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
        |  WHERE arank <= 100),
@@ -151,14 +152,14 @@ object SimilarityOps {
   /** The ONE matryoshka oracle instance shared by q206, q252 (artifact
     * round-trip) and q255 (append): slicing has NO trained state, so an
     * appended index must serve EXACTLY what a full build serves. */
-  private lazy val MatryoshkaOracleSql: String =
+  private def mryOracle(adFilter: String = ""): String =
     s"""WITH $PreparedCte,
        |pn AS (SELECT vec_id, qd[1:16] AS pqd,
        |         list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM n),
        |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
        |    CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT) AS adist
        |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
-       |  WHERE a.vec_id < 10),
+       |  WHERE a.vec_id < 10$adFilter),
        |cand AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
        |  WHERE arank <= 100),
@@ -168,6 +169,10 @@ object SimilarityOps {
        |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The ONE matryoshka oracle instance shared by q206, q252 and q255
+    * — see [[mryOracle]] for the filtered/delete parameterization. */
+  private lazy val MatryoshkaOracleSql: String = mryOracle()
   // multi-probe kNN uses fewer planes: 2^6 buckets over the fixture keeps
   // inverted lists populated so every query finds candidates (recall knob)
   private val MpPlanes = 6
@@ -1186,6 +1191,80 @@ object SimilarityOps {
       base.release()
       val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SQ8 delete (the q219 stance: FAISS remove_ids for the SQ8
+    //      family): one anti-join drops the code rows, the corpus
+    //      binding drops the same ids for the rerank — no retraining
+    //      (bounds describe a distribution, not a membership set). The
+    //      oracle keeps bounds trained on EVERYTHING and filters only
+    //      the corpus side of the candidate join — exactly the
+    //      train-on-everything-serve-remaining contract. ----
+    Q("q256_sq8_delete",
+      sq8Oracle(adFilter = " AND b.vec_id % 10 <> 3")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+        "vec_id")
+      idx.release()
+      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      pruned.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SQ8 metadata-FILTERED serving (the q220 stance): the
+    //      allow-list semi-joins the materialized codes BEFORE the
+    //      candidate cut, so the whole candidate budget is spent on
+    //      admissible vectors. ----
+    Q("q257_sq8_filtered_search",
+      sq8Oracle(adFilter = " AND b.vec_id IN" +
+        " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") < 5).select("vec_id"),
+          k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- matryoshka delete + filtered serving (the same two cells for
+    //      the prefix family — nothing trained, so delete needs no
+    //      validity argument at all). ----
+    Q("q258_matryoshka_delete",
+      mryOracle(adFilter = " AND b.vec_id % 10 <> 3")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+        prefixDim = 16)
+      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+        "vec_id")
+      idx.release()
+      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      pruned.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    Q("q259_matryoshka_filtered_search",
+      mryOracle(adFilter = " AND b.vec_id IN" +
+        " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+        prefixDim = 16)
+      val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") < 5).select("vec_id"),
+          k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
       idx.release()

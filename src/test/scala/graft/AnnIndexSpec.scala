@@ -546,6 +546,38 @@ class AnnIndexSpec extends SparkTestBase {
     mApp.release(); mFull.release()
   }
 
+  test("SQ8/matryoshka delete and filtered serving: deleted ids never " +
+    "resurface, filtered results stay inside the allow-list") {
+    import graft.operators.{MatryoshkaIndex, Sq8Index}
+    val del = emb.filter(col("vec_id") % 10 === 3)
+    val allow = emb.filter(col("label") < 5).select("vec_id")
+    val allowIds = allow.collect().map(_.getLong(0)).toSet
+    val sIdx = Sq8Index.build(emb, "vec_id", "embedding", dim = 64)
+    val sPruned = sIdx.delete(del, "vec_id")
+    sIdx.release() // independent storage: pruned must keep serving
+    val sDel = rows(sPruned.query(queries, k = 5, candidates = 100))
+    sPruned.release()
+    assert(sDel.nonEmpty && !sDel.exists(_._2 % 10 == 3),
+      "a deleted id resurfaced from the SQ8 index")
+    val sIdx2 = Sq8Index.build(emb, "vec_id", "embedding", dim = 64)
+    val sFil = rows(sIdx2.queryFiltered(queries, allow, k = 5,
+      candidates = 100))
+    sIdx2.release()
+    assert(sFil.nonEmpty && sFil.forall(r => allowIds.contains(r._2)),
+      "SQ8 filtered serve leaked an id outside the allow-list")
+    val mIdx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      prefixDim = 16)
+    val mDel = rows(mIdx.delete(del, "vec_id")
+      .query(queries, k = 5, candidates = 100))
+    assert(mDel.nonEmpty && !mDel.exists(_._2 % 10 == 3),
+      "a deleted id resurfaced from the matryoshka index")
+    val mFil = rows(mIdx.queryFiltered(queries, allow, k = 5,
+      candidates = 100))
+    mIdx.release()
+    assert(mFil.nonEmpty && mFil.forall(r => allowIds.contains(r._2)),
+      "matryoshka filtered serve leaked an id outside the allow-list")
+  }
+
   test("IVF-ADC load now torn-checks the codes count (column-keyed): a " +
     "params/codes mismatch is refused, a pre-count artifact still loads") {
     import spark.implicits._

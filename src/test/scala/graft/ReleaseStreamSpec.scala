@@ -52,4 +52,29 @@ class ReleaseStreamSpec extends SparkTestBase {
     val b = report(s"${stage(Seq((18, 20), (15, 18), (12, 15), (10, 12)))}/b*")
     assert(b === batch, "schedule B diverged from the batch pipeline")
   }
+
+  test("robust streaming front door: every arrival Bloom-hits the " +
+    "shipped corpus at its own micro-batch and the final state is the " +
+    "empty release, matching batch prepareDelta(robust)") {
+    import graft.operators.ReleaseOps
+    val (old, neu) = ReleaseOps.shippedTwinFixture(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-relstream-rb")
+    dir.toFile.deleteOnExit()
+    val sidx = substring(col("source"), 4, 8).cast("int")
+    Seq((0, 5), (5, 10)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      neu.filter(sidx >= lo && sidx < hi)
+        .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val (kept, card) = ReleaseOps.streamedDeltaState(spark, old,
+      neu.schema, s"$dir/b*", robust = true)
+    val batch = ReleaseOps.prepareDelta(old, neu, robust = true)
+      .orderBy("source").collect().toSeq
+    assert(card.orderBy("source").collect().toSeq === batch)
+    assert(kept.count() === 0L,
+      "robust carry-over must drop every re-crawled doc")
+    // the carry-over stage (not quality) did the dropping: per source,
+    // quality survivors exist but none survive the vs-old stage
+    val r = card.agg(sum("n_quality"), sum("n_vs_old")).head
+    assert(r.getLong(0) > 0L && r.getLong(1) === 0L)
+  }
 }
