@@ -105,6 +105,17 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mryDir(d: String): String = dirFor(mryDirs, "graft-mryidx", d)
 
+  // per-query arrival staging for the q261/q262 stream-serve gates (own
+  // dir per consuming query — the round-13 shared-dir advice)
+  private val sq8StreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sq8StreamDir(d: String): String =
+    dirFor(sq8StreamDirs, "graft-sq8stream", d)
+  private val mryStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mryStreamDir(d: String): String =
+    dirFor(mryStreamDirs, "graft-mrystream", d)
+
   /** The SQ8 oracle body, parameterized over the bounds-training input
     * (the q187 `ivfAdcOracle` pattern): `trainFilter` restricts the
     * per-dimension [min,max] training scan — empty for
@@ -1254,6 +1265,50 @@ object SimilarityOps {
       val served = out.collect()
       pruned.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SQ8 / matryoshka STREAMING serve (the q193 cell for both new
+    //      families): query vectors arrive as a REAL file stream in
+    //      three micro-batches, each served from the ONE resident
+    //      handle — gated against the SAME oracle instances as
+    //      q198/q206, so the hash proves stream-served ≡ batch-served
+    //      and the handle amortizes across arrivals exactly as in
+    //      production. ----
+    Q("q261_sq8_stream_serve", Sq8OracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val dir = sq8StreamDir(d)
+      Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
+      }
+      val schema = idx.query(emb.limit(0), k = 5, candidates = 100).schema
+      val out = fileStreamDrain(s, emb.schema, s"$dir/b*", schema,
+          Seq("qid", "rank")) { batch =>
+        idx.query(batch, k = 5, candidates = 100).collect()
+      }
+      idx.release()
+      out
+    },
+
+    Q("q262_matryoshka_stream_serve", MatryoshkaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+        prefixDim = 16)
+      val dir = mryStreamDir(d)
+      Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
+      }
+      val schema = idx.query(emb.limit(0), k = 5, candidates = 100).schema
+      val out = fileStreamDrain(s, emb.schema, s"$dir/b*", schema,
+          Seq("qid", "rank")) { batch =>
+        idx.query(batch, k = 5, candidates = 100).collect()
+      }
+      idx.release()
+      out
     },
 
     Q("q259_matryoshka_filtered_search",
