@@ -502,17 +502,28 @@ object ReleaseOps {
           s1b.join(carr, Seq("doc_id"), "left")
             .na.fill(false, Seq("carried"))
             .write.mode("append").parquet(s"$accum/docs")
-          b0.groupBy("source").agg(count(lit(1)).as("n_input"))
+          // arrival LOG (doc_id, source), not per-batch counts: the
+          // finalize dedupes by doc_id, so a redelivered batch
+          // (at-least-once file delivery) can never double-count
+          // n_input — see the dropDuplicates below
+          b0.select("doc_id", "source")
             .write.mode("append").parquet(s"$accum/inputs")
           ()
       }
       .start()
     try query.processAllAvailable() finally query.stop()
-    val acc = s.read.parquet(s"$accum/docs")
+    // IDEMPOTENT ingest: a file stream with at-least-once delivery can
+    // replay a batch, landing the same doc twice in the accumulator —
+    // without this dedup a replayed doc would survive the exact-dedup
+    // stage twice (both rows carry the keeper's (fp, doc_id)) and
+    // double-count n_input. One doc_id-keyed dedup on each
+    // delta-sized frame makes redelivery a no-op (ReleaseStreamSpec
+    // pins a duplicated-arrival schedule against the batch report).
+    val acc = s.read.parquet(s"$accum/docs").dropDuplicates("doc_id")
     deltaTail(assets,
       acc.select("doc_id", "source", "text", "fp", "ntok"),
-      s.read.parquet(s"$accum/inputs")
-        .groupBy("source").agg(sum("n_input").cast("long").as("n_input")),
+      s.read.parquet(s"$accum/inputs").dropDuplicates("doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_input")),
       carriedPre = Some(acc.filter(col("carried")).select("doc_id")))
   }
 

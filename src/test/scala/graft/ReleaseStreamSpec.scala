@@ -53,6 +53,28 @@ class ReleaseStreamSpec extends SparkTestBase {
     assert(b === batch, "schedule B diverged from the batch pipeline")
   }
 
+  test("idempotent ingest: a REPLAYED batch (at-least-once delivery) " +
+    "changes nothing — duplicated arrival files yield the batch state") {
+    import graft.operators.ReleaseOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-relstream-dup")
+    dir.toFile.deleteOnExit()
+    // stage schedule A's three batches, then REPLAY the middle one as a
+    // fourth arrival file (same rows, new path — exactly what a
+    // redelivered micro-batch looks like to a file stream)
+    Seq((10, 13), (13, 17), (17, 20), (13, 17)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        docs.filter(idx >= lo && idx < hi)
+          .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val (_, card) = ReleaseOps.streamedDeltaState(spark, oldDocs,
+      docs.schema, s"$dir/b*")
+    val streamed = card.orderBy("source").collect().toSeq
+    val batch = ReleaseOps.prepareDelta(oldDocs, newDocs)
+      .orderBy("source").collect().toSeq
+    assert(streamed === batch,
+      "a replayed batch leaked duplicate docs or double-counted n_input")
+  }
+
   test("robust streaming front door: every arrival Bloom-hits the " +
     "shipped corpus at its own micro-batch and the final state is the " +
     "empty release, matching batch prepareDelta(robust)") {
