@@ -758,6 +758,53 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(source#".r.findFirstIn(p45).isDefined, p45)
   }
 
+  test("q251/q257: the LOADED SQ8 handle serves from the persisted code " +
+    "table — corpus side never re-encoded; the filtered variant's " +
+    "allow-list semi-join sits BELOW the candidate cut") {
+    import graft.operators.Sq8Index
+    val emb = Tables.t(spark, Sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-sq8")
+    dir.toFile.deleteOnExit()
+    val built = Sq8Index.build(emb, "vec_id", "embedding", dim = 64)
+    built.save(dir.toString)
+    built.release()
+    val loaded = Sq8Index.load(spark, dir.toString, emb)
+    val served = loaded.query(emb.filter(col("vec_id") < 10), k = 5,
+      candidates = 100)
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    // the q198 funnel shape survives the artifact round-trip: bounded
+    // encoded queries broadcast over the corpus code stream
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    // the corpus side between the join and the query-side broadcast is
+    // the persisted table — the literal-bound div/clamp encode lanes
+    // (`least(greatest(`) must NOT reappear there (they'd mean the load
+    // path re-encodes the corpus per query)
+    val corpusSide = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .split("BroadcastExchange").head
+    assert(!corpusSide.contains("least(greatest("), p)
+    assert(corpusSide.contains("InMemoryTableScan"), p)
+    // map-side candidate cut, bounded-candidate rerank build side
+    assert("WindowGroupLimit \\[qid#\\d+L\\], \\[adist#\\d+L[\\s\\S]{0,120}100, Partial"
+      .r.findFirstIn(p).isDefined, p)
+    // filtered serving: the allow-list admission join must run BEFORE
+    // the WindowGroupLimit cut — budget spent on admissible vectors
+    val filtered = loaded.queryFiltered(emb.filter(col("vec_id") < 10),
+      emb.filter(col("label") < 5).select("vec_id"), k = 5,
+      candidates = 100)
+    filtered.collect()
+    val pf = filtered.queryExecution.executedPlan.toString
+    val semiAt = "Join [A-Za-z]*,? ?LeftSemi|LeftSemi".r
+      .findFirstMatchIn(pf).map(_.start)
+    val cutAt = "WindowGroupLimit".r.findFirstMatchIn(pf).map(_.start)
+    assert(semiAt.isDefined && cutAt.isDefined, pf)
+    // plan text prints top-down: the cut appears ABOVE (before) the
+    // semi-join that feeds it
+    assert(cutAt.get < semiAt.get,
+      s"allow-list semi-join is not below the candidate cut:\n$pf")
+    loaded.release()
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
