@@ -122,27 +122,32 @@ object SimilarityOps {
     * train-on-everything (q198/q251), a vec_id bound for the append
     * gate (q254: bounds FROZEN from the base, encode sees the union).
     * One owner for every downstream character. */
+  // single-owner SQ8 SQL expressions — the encode lanes, code norm and
+  // code distance are shared by every SQ8 oracle (q198 family, q254
+  // append, q263 MIPS) so the stage text can never drift
+  private def sq8CodeExpr(dim: Int): String =
+    s"list_transform(range(0, $dim), j -> " +
+      "CASE WHEN mxs[CAST(j + 1 AS INTEGER)] > mns[CAST(j + 1 AS INTEGER)] " +
+      "THEN least(greatest(((q[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]) * 255) " +
+      "// (mxs[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]), 0), 255) " +
+      "ELSE 0 END)"
+  private val Sq8CnsqExpr =
+    "CAST(list_dot_product(list_transform(code, x -> CAST(x AS DOUBLE)), " +
+      "list_transform(code, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+  private val Sq8AdistExpr =
+    "a.cnsq + b.cnsq - 2 * CAST(list_dot_product(" +
+      "list_transform(a.code, x -> CAST(x AS DOUBLE)), " +
+      "list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+
   private def sq8Oracle(trainFilter: String = "",
       adFilter: String = ""): String =
     s"""WITH $PreparedCte,
        |dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e$trainFilter),
        |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
        |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
-       |c AS (SELECT vec_id,
-       |    list_transform(range(0, $Dim), j ->
-       |      CASE WHEN mxs[CAST(j + 1 AS INTEGER)] > mns[CAST(j + 1 AS INTEGER)]
-       |           THEN least(greatest(((q[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]) * 255)
-       |                  // (mxs[CAST(j + 1 AS INTEGER)] - mns[CAST(j + 1 AS INTEGER)]), 0), 255)
-       |           ELSE 0 END) AS code
-       |  FROM e, sa),
-       |cn AS (SELECT vec_id, code,
-       |    CAST(list_dot_product(list_transform(code, x -> CAST(x AS DOUBLE)),
-       |                          list_transform(code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS cnsq
-       |  FROM c),
-       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-       |    a.cnsq + b.cnsq - 2 * CAST(list_dot_product(
-       |      list_transform(a.code, x -> CAST(x AS DOUBLE)),
-       |      list_transform(b.code, x -> CAST(x AS DOUBLE))) AS BIGINT) AS adist
+       |c AS (SELECT vec_id, ${sq8CodeExpr(Dim)} AS code FROM e, sa),
+       |cn AS (SELECT vec_id, code, $Sq8CnsqExpr AS cnsq FROM c),
+       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $Sq8AdistExpr AS adist
        |  FROM cn a JOIN cn b ON b.vec_id <> a.vec_id
        |  WHERE a.vec_id < 10$adFilter),
        |cand AS (SELECT qid, nid FROM (
@@ -1309,6 +1314,29 @@ object SimilarityOps {
       }
       idx.release()
       out
+    },
+
+    // ---- SQ8 MIPS via the norm-augmentation reduction (the q249
+    //      stance for the scalar-quantized family — metric generality
+    //      with ZERO new operators): corpus += sqrt(maxNorm² − ‖x‖²),
+    //      queries += 0, and the UNCHANGED SQ8 L2 funnel serves
+    //      largest-dot neighbors. Bounds train on the augmented corpus;
+    //      the oracle replays the shared augmentation CTEs + the shared
+    //      SQ8 stage text with the query/corpus seam split. With q251
+    //      (load ≡ build) this gives artifact-served MIPS by
+    //      composition — the augmentation is an input transform, not
+    //      index state. ----
+    Q("q263_sq8_mips", Sq8MipsOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = Sq8Index.build(mipsAugmented(emb), "vec_id", "embedding",
+        dim = Dim + 1)
+      val out = idx.query(
+          mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
+          k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     Q("q259_matryoshka_filtered_search",
@@ -2777,11 +2805,13 @@ object SimilarityOps {
     * qSrc seam), final cut. The LSH bucket hashing stays over the
     * first 64 components on both sides — the augmented component
     * carries no direction. */
-  private def nswMipsOracleSql(m: Int, targetBucket: Int,
-      refineRounds: Int, beamWidth: Int, searchRounds: Int,
-      k: Int): String = {
-    val base =
-      s"""b0 AS (SELECT vec_id, embedding,
+  /** The MIPS→L2 augmentation as DuckDB CTEs — ONE owner shared by the
+    * NSW (q249/q250) and SQ8 (q263) MIPS oracles: quantized norms, the
+    * 1-row max, the floor(sqrt) augmented corpus (`augsrc` → the
+    * standard prepared e/p/n chain over 65 dims) and the zero-augmented
+    * query chain (`qaug`/`qe` int codes → `nq` (qd, nsq)). */
+  private lazy val MipsAugCtesSql: String =
+    s"""b0 AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS bq
          |  FROM embeddings),
          |b1 AS (SELECT vec_id, embedding,
@@ -2802,6 +2832,38 @@ object SimilarityOps {
          |  FROM qaug),
          |qp2 AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM qe),
          |nq AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM qp2)""".stripMargin
+
+  /** The q263 oracle: the SAME augmentation CTEs as the NSW MIPS gates
+    * ([[MipsAugCtesSql]] — single owner), then the standard SQ8 chain
+    * with the query/corpus seam split: bounds train on the AUGMENTED
+    * corpus (65 dims), corpus codes from `e`, query codes from the
+    * zero-augmented `qe` under the SAME bounds, code-distance
+    * candidates, exact augmented-L2 rerank (query norms from `nq`). */
+  private lazy val Sq8MipsOracleSql: String =
+    s"WITH $MipsAugCtesSql,\n" +
+      s"""dx AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM e),
+         |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM dx GROUP BY i),
+         |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+         |c AS (SELECT vec_id, ${sq8CodeExpr(Dim + 1)} AS code FROM e, sa),
+         |cq AS (SELECT vec_id, ${sq8CodeExpr(Dim + 1)} AS code FROM qe, sa),
+         |cn AS (SELECT vec_id, code, $Sq8CnsqExpr AS cnsq FROM c),
+         |cqn AS (SELECT vec_id, code, $Sq8CnsqExpr AS cnsq FROM cq),
+         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $Sq8AdistExpr AS adist
+         |  FROM cqn a JOIN cn b ON b.vec_id <> a.vec_id),
+         |cand AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+         |  WHERE arank <= 100),
+         |scored AS (SELECT cc.qid, cc.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+         |  FROM cand cc JOIN nq na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private def nswMipsOracleSql(m: Int, targetBucket: Int,
+      refineRounds: Int, beamWidth: Int, searchRounds: Int,
+      k: Int): String = {
+    val base = MipsAugCtesSql
     s"WITH $base,\n" +
       nswGraphCtes("", "TRUE", m, targetBucket, refineRounds) + ",\n" +
       nswSearchCtes("", s"g$refineRounds", "vec_id < 10", "", beamWidth,
