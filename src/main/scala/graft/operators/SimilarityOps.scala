@@ -168,12 +168,19 @@ object SimilarityOps {
   /** The ONE matryoshka oracle instance shared by q206, q252 (artifact
     * round-trip) and q255 (append): slicing has NO trained state, so an
     * appended index must serve EXACTLY what a full build serves. */
+  // single-owner matryoshka SQL pieces (the sq8CodeExpr discipline):
+  // the prefix slice + prefix norm, shared by the L2 oracle (q206
+  // family) and the MIPS oracle (q264) on both sides of its seam
+  private def mryPrefixCte(name: String, src: String): String =
+    s"$name AS (SELECT vec_id, qd[1:16] AS pqd, " +
+      s"list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM $src)"
+  private val MryAdistExpr =
+    "CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT)"
+
   private def mryOracle(adFilter: String = ""): String =
     s"""WITH $PreparedCte,
-       |pn AS (SELECT vec_id, qd[1:16] AS pqd,
-       |         list_dot_product(qd[1:16], qd[1:16]) AS pnsq FROM n),
-       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-       |    CAST(a.pnsq + b.pnsq - 2 * list_dot_product(a.pqd, b.pqd) AS BIGINT) AS adist
+       |${mryPrefixCte("pn", "n")},
+       |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $MryAdistExpr AS adist
        |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
        |  WHERE a.vec_id < 10$adFilter),
        |cand AS (SELECT qid, nid FROM (
@@ -185,6 +192,28 @@ object SimilarityOps {
        |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The q264 oracle: the shared augmentation CTEs + the shared prefix
+    * stage text with the query/corpus seam split. The augmented
+    * component sits at position 65 — OUTSIDE the 16-dim prefix — so
+    * candidates rank by the original direction and only the exact
+    * rerank sees the augmentation (which is exactly what makes the
+    * reduction compose with prefix serving at all). */
+  private lazy val MryMipsOracleSql: String =
+    s"WITH $MipsAugCtesSql,\n" +
+      s"""${mryPrefixCte("pn", "n")},
+         |${mryPrefixCte("qpn", "nq")},
+         |ad AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $MryAdistExpr AS adist
+         |  FROM qpn a JOIN pn b ON b.vec_id <> a.vec_id),
+         |cand AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arank FROM ad) t
+         |  WHERE arank <= 200),
+         |scored AS (SELECT cc.qid, cc.nid,
+         |    CAST(na.nsq + nb.nsq - 2 * list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+         |  FROM cand cc JOIN nq na ON na.vec_id = cc.qid JOIN n nb ON nb.vec_id = cc.nid)
+         |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank FROM scored) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** The ONE matryoshka oracle instance shared by q206, q252 and q255
     * — see [[mryOracle]] for the filtered/delete parameterization. */
@@ -1333,6 +1362,28 @@ object SimilarityOps {
       val out = idx.query(
           mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
           k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- matryoshka MIPS (the q263 composition for the prefix
+    //      family): the augmented component lands OUTSIDE the prefix,
+    //      so candidates rank by the original direction and the exact
+    //      augmented rerank decides by dot product. ----
+    Q("q264_matryoshka_mips", MryMipsOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = MatryoshkaIndex.build(mipsAugmented(emb), "vec_id",
+        "embedding", prefixDim = 16)
+      // candidates = 200 (vs the L2 family's 100): prefix-L2 routes by
+      // the original direction, a weaker proxy for the DOT order than
+      // for the L2 order, so MIPS buys recall with a wider stage-1 cut
+      // (measured 0.72 → ≥0.9 recall@5 on the fixture) — still a
+      // bounded per-query budget, never corpus-sized
+      val out = idx.query(
+          mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
+          k = 5, candidates = 200)
         .orderBy("qid", "rank")
       val served = out.collect()
       idx.release()

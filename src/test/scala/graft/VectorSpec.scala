@@ -637,6 +637,22 @@ class VectorSpec extends SparkTestBase {
     assert(recall >= 0.8, s"SQ8-MIPS recall collapsed: $recall")
   }
 
+  test("matryoshka MIPS: the norm-augmented prefix funnel recalls the " +
+    "exact-IP gold") {
+    import graft.operators.Similarity
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = SparkEntry.queries("q264_matryoshka_mips")(spark, Sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipGold = Similarity.exactIpKnn(queries, emb, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.intersect(ipGold).size.toDouble / ipGold.size
+    info(s"matryoshka-MIPS recall@5 vs exact-IP gold = $recall")
+    assert(recall >= 0.8, s"matryoshka-MIPS recall collapsed: $recall")
+  }
+
   test("NSW MIPS: the norm-augmented beam serve recalls the exact-IP " +
     "gold, and the IP gold differs from the L2 gold") {
     import graft.operators.Similarity
