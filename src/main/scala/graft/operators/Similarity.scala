@@ -213,6 +213,203 @@ object Similarity {
     nearDupKeepList(emb, idCol, vecCol, minCosine,
       adaptivePlanes(emb.count(), targetBucket), dim)
 
+  /** SemDeDup-style semantic dedup keep-list, trained-centroid-routed
+    * (the public SemDeDup recipe — Abbas et al. 2023, arXiv:2303.09540):
+    * route every vector to its Lloyd-trained k-means cell (the IVF
+    * coarse quantizer — DATA-ADAPTIVE routing, where
+    * [[nearDupKeepList]]'s random hyperplanes are data-oblivious),
+    * generate candidate pairs ONLY within a cell, exact-verify cosine ≥
+    * `minCosine` on candidates, and for each verified pair drop the
+    * vector CLOSER TO ITS CENTROID (tie → the larger id) — the paper's
+    * keep-the-outlier rule: the redundant mass sits near the cluster
+    * center, the extreme points carry the information a training set
+    * wants. A vector is dropped iff it loses at least one verified
+    * pair; the rule is per-pair local (no transitive closure), so the
+    * keep set is deterministic, arrival-order-free and
+    * engine-reproducible.
+    *
+    * Scale shape: the ONLY pairwise work is the within-cell equi-join —
+    * Σ|cell|² candidates, held in the designed band when k scales with
+    * the corpus ([[semanticDedupResultAdaptive]] sizes k by
+    * [[adaptiveNlist]] for ~targetCell vectors/cell, the IVF sizing
+    * rule); the k centroids broadcast (k·dim driver-side by
+    * definition), assignment shuffles ONE packed row per vector
+    * (assignTo's argmin carries the keep-rule statistic dist_sq for
+    * free), the verify filter runs codegen'd on the join output, and
+    * the drop-set shuffle carries only surviving ids. */
+  def semanticDedupResult(emb: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double, k: Int,
+                          rounds: Int = 2): KeepList = {
+    val p = prepared(emb, idCol, vecCol)
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    // (id, cid, dist_sq): the trained-cell route + the keep-rule
+    // statistic from one packed argmin pass
+    val cell = assignTo(p, idCol, cent, k).join(p, Seq(idCol))
+    val lhs = cell.select(col(idCol).as("id_a"), col("cid"),
+      col("q").as("qa"), col("nsq").as("na"), col("dist_sq").as("da"))
+    val rhs = cell.select(col(idCol).as("id_b"), col("cid").as("cid_b"),
+      col("q").as("qb"), col("nsq").as("nb"), col("dist_sq").as("db"))
+    val losers = lhs.join(rhs,
+        col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+      .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb"))
+        >= minCosine)
+      .select(when(col("da") < col("db"), col("id_a"))
+        .when(col("db") < col("da"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    // snapshot only the small drop set (the nearDupKeepListResult
+    // policy), so the keep frame is ONE anti-join against materialized
+    // ids — consumers never re-run the train + pair pipeline
+    val (dropped, droppedRdd) = Graph.snapshot(losers)
+    dropped.count()
+    KeepList(emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
+      droppedRdd)
+  }
+
+  /** [[semanticDedupResult]]'s keep frame without the release handle —
+    * mirror of [[nearDupKeepList]]. */
+  def semanticDedupKeepList(emb: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, k: Int,
+                            rounds: Int = 2): DataFrame =
+    semanticDedupResult(emb, idCol, vecCol, minCosine, k, rounds).keep
+
+  /** [[semanticDedupResult]] with the cell count OCCUPANCY-SCALED from
+    * the corpus size ([[adaptiveNlist]]) — the q83/q192 adaptive stance:
+    * at any corpus the expected cell holds ~targetCell vectors, so the
+    * within-cell pair fan-out stays Σ|cell|² ≈ n·targetCell instead of
+    * degrading toward n² when a fixed k meets 1000× the data. One
+    * count() job to size the quantizer — parquet answers it from
+    * footers. */
+  def semanticDedupResultAdaptive(emb: DataFrame, idCol: String,
+                                  vecCol: String, minCosine: Double,
+                                  targetCell: Int = 64,
+                                  rounds: Int = 2): KeepList =
+    semanticDedupResult(emb, idCol, vecCol, minCosine,
+      adaptiveNlist(emb.count(), targetCell), rounds)
+
+  /** Incremental (cross-snapshot) semantic dedup: dedup a DELTA of new
+    * vectors against a SHIPPED base corpus and against itself, under a
+    * quantizer FROZEN on the base — the Sq8Index.append stance: nightly
+    * deltas never retrain the router, so routing is stable across
+    * snapshots and re-delivered content routes identically. Rules, both
+    * cell-local and exact-cosine-verified:
+    *  (a) a delta vector with ANY ≥ `minCosine` neighbor among the BASE
+    *      members of its cell drops — the shipped corpus always wins
+    *      (the q228 carry-over semantics for the vector modality);
+    *  (b) delta pairs within a cell decide by the SemDeDup
+    *      keep-the-outlier rule ([[semanticDedupResult]]); rules (a)
+    *      and (b) apply INDEPENDENTLY (a vector dropped by (a) still
+    *      participates in (b) pairs), so the outcome is a pure function
+    *      of the two snapshots — no ordering between the rules, no
+    *      arrival order.
+    * Returns the DELTA keep list. Scale shape: centroids train on the
+    * base once and broadcast; each assignment shuffles one packed-argmin
+    * row per vector; the (a) join is delta × same-cell base members and
+    * the (b) join delta × delta within a cell — both bounded by cell
+    * occupancy (size the router with [[adaptiveNlist]] on the BASE),
+    * never corpus². */
+  def semanticDedupDeltaResult(base: DataFrame, delta: DataFrame,
+                               idCol: String, vecCol: String,
+                               minCosine: Double, k: Int,
+                               rounds: Int = 2): KeepList = {
+    val cent = kmeansTrain(base, idCol, vecCol, k, rounds)
+    val cb = semanticCells(base, idCol, vecCol, cent, k)
+    val cd = semanticCells(delta, idCol, vecCol, cent, k)
+    val dropA = semanticDropVsBase(cd, cb, idCol, minCosine)
+    semanticDeltaTail(cd, dropA, idCol, minCosine)
+  }
+
+  /** (id, cid, dist_sq, q, nsq) under an EXPLICIT (frozen) centroid
+    * frame — the per-row routing stage shared by the batch delta path
+    * and the streaming front door (each micro-batch routes its
+    * arrivals through this, identical math, so arrival boundaries are
+    * invisible to the outcome). */
+  private[graft] def semanticCells(src: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame, k: Int): DataFrame = {
+    val p = prepared(src, idCol, vecCol)
+    assignTo(p, idCol, cent, k).join(p, Seq(idCol))
+  }
+
+  /** Rule (a) — the per-arrival predicate: delta ids with ANY
+    * ≥ `minCosine` BASE neighbor in their cell. One owner for the
+    * batch path and the per-micro-batch front door. */
+  private[graft] def semanticDropVsBase(deltaCells: DataFrame,
+      baseCells: DataFrame, idCol: String, minCosine: Double): DataFrame = {
+    val dl = deltaCells.select(col(idCol).as("id_d"), col("cid"),
+      col("q").as("qd0"), col("nsq").as("nd"))
+    val bl = baseCells.select(col(idCol).as("id_b"),
+      col("cid").as("cid_b"), col("q").as("qb"), col("nsq").as("nb"))
+    dl.join(bl, col("cid") === col("cid_b"))
+      .filter(cosine(dot(col("qd0"), col("qb")), col("nd"), col("nb"))
+        >= minCosine)
+      .select(col("id_d").as(idCol)).distinct()
+  }
+
+  /** Rule (b) + the drop union + the keep anti-join — the ONE owner
+    * both the batch path and the streaming drain finish through (the
+    * release pipeline's deltaTail stance): `deltaCells` is the full
+    * routed delta (accumulated across micro-batches on the streaming
+    * side, already id-deduped), `dropA` the rule-(a) verdicts gathered
+    * per arrival. Because rule (b) runs once over the WHOLE delta and
+    * rule (a) is a per-row predicate against static base state, the
+    * result is arrival-order-independent by construction. */
+  private[graft] def semanticDeltaTail(deltaCells: DataFrame,
+      dropA: DataFrame, idCol: String, minCosine: Double): KeepList = {
+    val dl = deltaCells.select(col(idCol).as("id_d"), col("cid"),
+      col("q").as("qd0"), col("nsq").as("nd"), col("dist_sq").as("dd"))
+    val rl = deltaCells.select(col(idCol).as("id_e"),
+      col("cid").as("cid_e"), col("q").as("qe"), col("nsq").as("ne"),
+      col("dist_sq").as("de"))
+    val dropIntra = dl.join(rl,
+        col("cid") === col("cid_e") && col("id_d") < col("id_e"))
+      .filter(cosine(dot(col("qd0"), col("qe")), col("nd"), col("ne"))
+        >= minCosine)
+      .select(when(col("dd") < col("de"), col("id_d"))
+        .when(col("de") < col("dd"), col("id_e"))
+        .otherwise(greatest(col("id_d"), col("id_e"))).as(idCol))
+    val losers = dropA.unionByName(dropIntra).distinct()
+    val (dropped, droppedRdd) = Graph.snapshot(losers)
+    dropped.count()
+    KeepList(
+      deltaCells.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
+      droppedRdd)
+  }
+
+  /** Semantic (embedding-space) contamination report: for every EVAL
+    * vector, the count of ≥ `minCosine` TRAIN neighbors within its
+    * trained cell plus the boolean verdict — the vector-modality
+    * analog of the text pipeline's cross-split shingle decontamination
+    * (Dedup.crossSplitContamination): an eval example a trained model
+    * has semantically seen is leakage even when no n-gram matches.
+    * Router trains on TRAIN only (the split under audit must not shape
+    * the cells). One row per eval vector, zeros included — a report
+    * that silently omits clean rows can't distinguish "clean" from
+    * "unrouted". Same cell-occupancy-bounded join shape as
+    * [[semanticDedupDeltaResult]] rule (a). */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double, k: Int,
+                            rounds: Int = 2): DataFrame = {
+    val cent = kmeansTrain(train, idCol, vecCol, k, rounds)
+    val pt = prepared(train, idCol, vecCol)
+    val pe = prepared(eval, idCol, vecCol)
+    val ct = assignTo(pt, idCol, cent, k).join(pt, Seq(idCol))
+    val ce = assignTo(pe, idCol, cent, k).join(pe, Seq(idCol))
+    val el = ce.select(col(idCol).as("id_e"), col("cid"),
+      col("q").as("qe"), col("nsq").as("ne"))
+    val tl = ct.select(col(idCol).as("id_t"), col("cid").as("cid_t"),
+      col("q").as("qt"), col("nsq").as("nt"))
+    val hits = el.join(tl, col("cid") === col("cid_t"))
+      .filter(cosine(dot(col("qe"), col("qt")), col("ne"), col("nt"))
+        >= minCosine)
+      .groupBy(col("id_e")).agg(count(lit(1)).as("n_contaminating"))
+    ce.select(col(idCol).as("id_e"))
+      .join(hits, Seq("id_e"), "left")
+      .select(col("id_e").as(idCol),
+        coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"))
+      .withColumn("contaminated", col("n_contaminating") > 0)
+  }
+
   /** Exhaustive-verification variant of [[nearDupKeepList]]: exact cosine
     * over ALL pairs (n² nested loop — small-N only). */
   def nearDupKeepListExact(emb: DataFrame, idCol: String, vecCol: String,

@@ -105,6 +105,37 @@ object SimilarityOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mryDir(d: String): String = dirFor(mryDirs, "graft-mryidx", d)
 
+  // data dir -> the ONE q265/q266 MIPS-artifact dir each (own dir per
+  // consuming query — the round-13 shared-dir advice: q251/q252 also
+  // overwrite-save inside their bodies, and a shared path could serve a
+  // half-overwritten artifact to a concurrently running suite)
+  private val sq8MipsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sq8MipsDir(d: String): String =
+    dirFor(sq8MipsDirs, "graft-sq8mips", d)
+  private val mryMipsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mryMipsDir(d: String): String =
+    dirFor(mryMipsDirs, "graft-mrymips", d)
+
+  // data dir -> the ONE q271 delta-arrival staging dir: the delta split
+  // into three single-file arrival batches by vec_id mod 3 (interleaved
+  // ranges — the schedule must not matter, and a modulo split is
+  // SF-independent)
+  private val semStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semStreamDir(d: String,
+      delta: org.apache.spark.sql.DataFrame): String =
+    semStreamDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => {
+        val dir = graft.TempDirs.create("graft-semstream").toString
+        (0 to 2).foreach { i =>
+          delta.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.parquet(s"$dir/b$i")
+        }
+        dir
+      })
+
   // per-query arrival staging for the q261/q262 stream-serve gates (own
   // dir per consuming query — the round-13 shared-dir advice)
   private val sq8StreamDirs =
@@ -601,6 +632,36 @@ object SimilarityOps {
        |${ivfAdcTail()}
        |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin
 
+  /** The ONE incremental-semantic-dedup oracle instance shared by q269
+    * (batch) and q271 (streaming front door) — identical hash proves
+    * streamed ≡ batch, the q228/q253 twin discipline: Lloyd trains on
+    * the base-restricted scan (the q187 trainWhere parameterization),
+    * the shared argmin owner assigns everything, rule (a) = any
+    * ≥ 0.45 base neighbor in the cell, rule (b) = the SemDeDup
+    * keep-the-outlier pair rule within the delta. */
+  private lazy val SemanticDeltaOracleSql: String =
+    s"""WITH $PreparedCte,
+       |${lloydCte(8, 2, s"\n  WHERE n.vec_id < $AppendBase")},
+       |${argminCte(8)},
+       |ag AS (${argminSelect(8)}),
+       |crb AS (SELECT ag.vec_id, ag.cid, n.qd, n.nsq
+       |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id < $AppendBase),
+       |crd AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
+       |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id >= $AppendBase),
+       |dvb AS (SELECT DISTINCT d.vec_id FROM crd d JOIN crb b ON b.cid = d.cid
+       |  WHERE list_dot_product(d.qd, b.qd) / sqrt(d.nsq * b.nsq) >= 0.45),
+       |pvd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    a.dist_sq AS da, b.dist_sq AS db
+       |  FROM crd a JOIN crd b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
+       |losers AS (SELECT vec_id FROM dvb UNION
+       |  SELECT CASE WHEN da < db THEN ia WHEN db < da THEN ib
+       |    ELSE GREATEST(ia, ib) END FROM pvd)
+       |SELECT e2.vec_id FROM embeddings e2
+       |LEFT JOIN losers l ON l.vec_id = e2.vec_id
+       |WHERE e2.vec_id >= $AppendBase AND l.vec_id IS NULL
+       |ORDER BY e2.vec_id""".stripMargin
+
   /** The q187 split point: quantizers train on vec_id < [[AppendBase]],
     * the index serves every vector — one value owned here, used by the
     * gated body AND the oracle restrictions. Every fixture SF has ≥ 500
@@ -870,6 +931,185 @@ object SimilarityOps {
       // the pl CTE in the oracle — same integer formula, any SF
       Similarity.nearDupKeepListAdaptive(Tables.t(s, d, "embeddings"),
           "vec_id", "embedding", 0.45, Dim)
+        .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup-style SEMANTIC dedup, trained-centroid-routed (the
+    //      public SemDeDup recipe — Abbas et al. 2023, arXiv:2303.09540):
+    //      Lloyd-trained k-means cells as the candidate router
+    //      (DATA-ADAPTIVE, where q83's random hyperplanes are
+    //      data-oblivious), exact-cosine verify WITHIN a cell only, and
+    //      the paper's keep-the-outlier drop rule — of each verified
+    //      pair the member CLOSER to its centroid drops (tie → larger
+    //      id); redundant mass sits near the cluster center, extreme
+    //      points carry the information. Per-pair local (no transitive
+    //      closure), so the keep set is deterministic and
+    //      engine-reproducible. The oracle replays the 2-round Lloyd
+    //      training (the SHARED lloydCte owner), the packed argmin WITH
+    //      its dist_sq payload (the shared argminCte/argminSelect
+    //      owners — the keep-rule statistic is the argmin's own
+    //      distance), the within-cell pair join, the float cosine on
+    //      exact integer inputs (the q83 determinism argument) and the
+    //      drop rule. ----
+    Q("q267_semantic_dedup",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
+         |  FROM ag JOIN n USING (vec_id)),
+         |pv AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    a.dist_sq AS da, b.dist_sq AS db
+         |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
+         |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
+         |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)
+         |SELECT e2.vec_id FROM embeddings e2
+         |LEFT JOIN losers l ON l.vec_id = e2.vec_id
+         |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedupKeepList(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.45, k = 8)
+        .orderBy("vec_id")
+    },
+
+    // ---- the OCCUPANCY-SCALED semantic dedup (the q192 adaptive stance
+    //      applied to the SemDeDup router): the cell count comes from
+    //      adaptiveNlist(count) on the Spark side and the nl CTE on the
+    //      oracle side — the same integer formula — so the within-cell
+    //      pair fan-out stays Σ|cell|² ≈ n·targetCell at ANY scale
+    //      factor instead of degrading toward n² when a fixed k meets
+    //      1000× the data. This is the 100 TB shape: the fixed-k gate
+    //      above pins the drop rule, this one pins that the ROUTER
+    //      scales. ----
+    Q("q268_semantic_dedup_adaptive",
+      s"""WITH ${nlCte()},
+         |$PreparedCte,
+         |${lloydCteDyn(2)},
+         |${asgCteDyn()},
+         |ag AS (SELECT vec_id, CAST(key % (SELECT k FROM nl) AS BIGINT) AS cid,
+         |  CAST(key // (SELECT k FROM nl) AS BIGINT) AS dist_sq FROM m),
+         |cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
+         |  FROM ag JOIN n USING (vec_id)),
+         |pv AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    a.dist_sq AS da, b.dist_sq AS db
+         |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
+         |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
+         |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)
+         |SELECT e2.vec_id FROM embeddings e2
+         |LEFT JOIN losers l ON l.vec_id = e2.vec_id
+         |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin) { (s, d) =>
+      val kl = Similarity.semanticDedupResultAdaptive(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.45)
+      kl.keep.orderBy("vec_id")
+    },
+
+    // ---- INCREMENTAL semantic dedup (the q228 cross-snapshot stance
+    //      for the SemDeDup router): the delta dedups against the
+    //      SHIPPED base (base always wins — rule (a)) and against
+    //      itself (keep-the-outlier — rule (b)) under a quantizer
+    //      FROZEN on the base, the Sq8 append stance: deltas never
+    //      retrain the router, so routing is snapshot-stable. The two
+    //      rules apply independently — the outcome is a pure function
+    //      of the two snapshots, no rule ordering, no arrival order.
+    //      The oracle trains Lloyd on the base-restricted scan (the
+    //      SHARED trainWhere parameterization q187 introduced), assigns
+    //      EVERYTHING with the shared argmin owner, and replays both
+    //      rules. ----
+    Q("q269_semantic_dedup_delta", SemanticDeltaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val kl = Similarity.semanticDedupDeltaResult(
+        emb.filter(col("vec_id") < AppendBase),
+        emb.filter(col("vec_id") >= AppendBase),
+        "vec_id", "embedding", minCosine = 0.45, k = 8)
+      kl.keep.orderBy("vec_id")
+    },
+
+    // ---- STREAMING semantic-dedup front door (the q253 stance for the
+    //      vector modality): delta vectors arrive as a REAL file stream
+    //      (3 staged single-file batches, maxFilesPerTrigger=1); the
+    //      router is FROZEN on the shipped base — trained once, before
+    //      any arrival — so every micro-batch routes its arrivals
+    //      identically; rule (a) evaluates PER ARRIVAL against the
+    //      static base cells (a per-row predicate — arrival boundaries
+    //      are invisible), routed rows + verdicts append to a
+    //      delta-sized parquet accumulator; the cross-delta rule (b)
+    //      runs ONCE over the drained, id-deduped accumulator through
+    //      the SAME semanticDeltaTail owner the batch path finishes
+    //      through. Idempotent under at-least-once redelivery (the
+    //      drain dedupes by vec_id). Gated against the SAME oracle
+    //      instance as q269: streamed ≡ batch. ----
+    Q("q271_semantic_dedup_stream", SemanticDeltaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < AppendBase)
+      val delta = emb.filter(col("vec_id") >= AppendBase)
+      val stage = semStreamDir(d, delta)
+      val cent = Similarity.kmeansTrain(base, "vec_id", "embedding",
+        k = 8, rounds = 2)
+      val cb = Similarity.semanticCells(base, "vec_id", "embedding",
+        cent, k = 8).persist()
+      cb.count() // resident before the first arrival (the q110 stance)
+      // fresh accumulator per invocation (the round-13 shared-dir advice)
+      val accum = graft.TempDirs.create("graft-semaccum").toString
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/b*")
+      val query = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val cdB = Similarity.semanticCells(batch.toDF(), "vec_id",
+              "embedding", cent, k = 8)
+            val flagged = Similarity
+              .semanticDropVsBase(cdB, cb, "vec_id", 0.45)
+              .withColumn("drop_a", lit(true))
+            cdB.join(flagged, Seq("vec_id"), "left")
+              .na.fill(false, Seq("drop_a"))
+              .write.mode("append").parquet(s"$accum/cells")
+            ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val acc = s.read.parquet(s"$accum/cells").dropDuplicates("vec_id")
+      val kl = Similarity.semanticDeltaTail(acc,
+        acc.filter(col("drop_a")).select("vec_id"), "vec_id", 0.45)
+      val out = kl.keep.orderBy("vec_id")
+      val served = out.collect()
+      kl.release()
+      cb.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SEMANTIC decontamination report (the vector-modality q105:
+    //      an eval example the trained model has semantically seen is
+    //      leakage even when no n-gram matches — the SemDeDup-era
+    //      eval-hygiene check): per EVAL vector, the count of ≥ 0.45
+    //      TRAIN neighbors within its trained cell + the verdict, zeros
+    //      included (a report that omits clean rows can't distinguish
+    //      "clean" from "unrouted"). Router trains on TRAIN only — the
+    //      split under audit must not shape the cells. ----
+    Q("q270_semantic_contamination",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2, s"\n  WHERE n.vec_id < $AppendBase")},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |crt AS (SELECT ag.vec_id, ag.cid, n.qd, n.nsq
+         |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id < $AppendBase),
+         |cre AS (SELECT ag.vec_id, ag.cid, n.qd, n.nsq
+         |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id >= $AppendBase),
+         |h AS (SELECT e.vec_id, count(*) AS n_contaminating
+         |  FROM cre e JOIN crt t ON t.cid = e.cid
+         |  WHERE list_dot_product(e.qd, t.qd) / sqrt(e.nsq * t.nsq) >= 0.45
+         |  GROUP BY e.vec_id)
+         |SELECT e2.vec_id, COALESCE(h.n_contaminating, 0) AS n_contaminating,
+         |  COALESCE(h.n_contaminating, 0) > 0 AS contaminated
+         |FROM cre e2 LEFT JOIN h ON h.vec_id = e2.vec_id
+         |ORDER BY e2.vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") < AppendBase),
+          emb.filter(col("vec_id") >= AppendBase),
+          "vec_id", "embedding", minCosine = 0.45, k = 8)
         .orderBy("vec_id")
     },
 
@@ -1387,6 +1627,62 @@ object SimilarityOps {
         .orderBy("qid", "rank")
       val served = out.collect()
       idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- SQ8 MIPS from the PERSISTED artifact (the q250 analog for
+    //      the scalar-quantized family — what the q263 scaladoc
+    //      promised "by composition", now gated): the SQ8 artifact is
+    //      METRIC-FREE (bounds + codes over whatever geometry they were
+    //      trained in), so a loaded augmented-space index serves inner
+    //      product identically to the in-memory handle, across a
+    //      process-restart boundary and with zero training or encode
+    //      jobs on the load path. SAME oracle instance as q263:
+    //      identical hash ⇒ load ≡ build, metric included. ----
+    Q("q265_sq8_mips_from_artifact", Sq8MipsOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val corpusAug = mipsAugmented(emb)
+      val idx = Sq8Index.build(corpusAug, "vec_id", "embedding",
+        dim = Dim + 1)
+      val dir = sq8MipsDir(d)
+      idx.save(dir)
+      idx.release()
+      // the corpus binding on load is the SAME augmented frame the
+      // saved index encoded (the IvfAdcIndex.load contract) — the
+      // augmentation is an input transform, not index state, so the
+      // restart story only has to re-derive a narrow map
+      val loaded = Sq8Index.load(s, dir, corpusAug)
+      val out = loaded.query(
+          mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
+          k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      loaded.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- matryoshka MIPS from the PERSISTED artifact (the q265
+    //      composition for the prefix family): the persisted prefix
+    //      slice is the FIRST 16 of the 65 augmented components — the
+    //      augmented coordinate lands outside it — so the artifact is
+    //      byte-identical to the L2 family's and only the rerank's
+    //      corpus binding carries the metric. SAME oracle instance as
+    //      q264, MIPS-widened candidates (200). ----
+    Q("q266_matryoshka_mips_from_artifact", MryMipsOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val corpusAug = mipsAugmented(emb)
+      val idx = MatryoshkaIndex.build(corpusAug, "vec_id", "embedding",
+        prefixDim = 16)
+      val dir = mryMipsDir(d)
+      idx.save(dir)
+      idx.release()
+      val loaded = MatryoshkaIndex.load(s, dir, corpusAug)
+      val out = loaded.query(
+          mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
+          k = 5, candidates = 200)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      loaded.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 

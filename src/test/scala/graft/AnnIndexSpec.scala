@@ -608,4 +608,23 @@ class AnnIndexSpec extends SparkTestBase {
       .nonEmpty)
     legacy.release()
   }
+
+  test("SQ8/matryoshka MIPS from the persisted artifact serves row-for-row " +
+    "what the in-memory augmented build serves (load is metric-free)") {
+    // the q265/q266 contract checked in-repo: the artifact carries no
+    // metric state (bounds + codes / the prefix slice over whatever
+    // geometry they were built in), so the gated artifact route must
+    // reproduce the gated in-memory route EXACTLY — any drift means the
+    // round-trip touched the geometry
+    def served(q: String) =
+      SparkEntry.queries(q)(spark, Sf)
+        .select("qid", "nid", "d2", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+    assert(served("q265_sq8_mips_from_artifact") === served("q263_sq8_mips"),
+      "SQ8 MIPS artifact round-trip diverges from the in-memory build")
+    assert(served("q266_matryoshka_mips_from_artifact") ===
+      served("q264_matryoshka_mips"),
+      "matryoshka MIPS artifact round-trip diverges from the in-memory build")
+  }
 }

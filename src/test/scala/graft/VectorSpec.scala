@@ -873,4 +873,176 @@ class VectorSpec extends SparkTestBase {
     assert(loud.getBoolean(0),
       s"planted 1.5x scale drift NOT flagged (chi2=${loud.getLong(1)} ppm)")
   }
+
+  test("semantic dedup (SemDeDup): drop set equals the brute-force " +
+    "within-cell keep-the-outlier rule, composed from public blocks") {
+    // cross-check the COMPOSITION, not a replay: expected drops come from
+    // kmeansAssignTrained (cells + the dist_sq keep statistic) and the
+    // exact allPairsCosine — independent public building blocks — with
+    // the drop rule applied driver-side on the small verified-pair set
+    val minCos = 0.45
+    val asg = Similarity.kmeansAssignTrained(emb, "vec_id", "embedding",
+        k = 8, rounds = 2)
+      .select(col("vec_id"), col("cid"), col("dist_sq")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
+      .filter(col("cos") >= minCos).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrops = pairs.flatMap { case (a, b) =>
+      val (ca, da) = asg(a); val (cb, db) = asg(b)
+      if (ca != cb) None // cross-cell pairs are invisible to the router
+      else if (da < db) Some(a)
+      else if (db < da) Some(b)
+      else Some(math.max(a, b))
+    }.toSet
+    assert(expectedDrops.nonEmpty,
+      "fixture has no within-cell eps-pairs at 0.45 — the gate is vacuous")
+    val kept = Similarity.semanticDedupKeepList(emb, "vec_id", "embedding",
+        minCosine = minCos, k = 8)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- expectedDrops,
+      s"keep list diverges from the brute-force rule: " +
+        s"extra=${(kept -- (all -- expectedDrops)).take(5)} " +
+        s"missing=${((all -- expectedDrops) -- kept).take(5)}")
+    // keep-the-outlier direction: at least one verified pair must have
+    // its FARTHER-from-centroid member kept (the rule's whole point —
+    // a min-id rule would get this backwards about half the time)
+    val outlierKept = pairs.exists { case (a, b) =>
+      val (ca, da) = asg(a); val (cb, db) = asg(b)
+      ca == cb && da != db &&
+        kept.contains(if (da > db) a else b) &&
+        !kept.contains(if (da > db) b else a)
+    }
+    assert(outlierKept, "no pair kept its farther-from-centroid member")
+  }
+
+  test("semantic dedup adaptive == fixed k when adaptiveNlist lands on 8 " +
+    "(500-vector fixture), and the router is occupancy-scaled") {
+    assert(Similarity.adaptiveNlist(emb.count(), 64) === 8,
+      "fixture grew past 512 vectors — pick a new equivalence point")
+    val fixed = Similarity.semanticDedupKeepList(emb, "vec_id", "embedding",
+        minCosine = 0.45, k = 8)
+      .collect().map(_.getLong(0)).toSet
+    val kl = Similarity.semanticDedupResultAdaptive(emb, "vec_id",
+      "embedding", minCosine = 0.45)
+    val adaptive = kl.keep.collect().map(_.getLong(0)).toSet
+    kl.release()
+    assert(adaptive === fixed,
+      "adaptive keep list diverges from fixed-k at the same cell count")
+    // the sizing rule itself scales: 100x the corpus -> 128x the cells
+    assert(Similarity.adaptiveNlist(50000, 64) === 1024)
+  }
+
+  test("delta semantic dedup: a re-crawled base clone always drops " +
+    "(shipped corpus wins), and a planted clone never changes the " +
+    "natural delta's verdicts") {
+    val base = emb.filter(col("vec_id") < 400)
+    val natural = emb.filter(col("vec_id") >= 400)
+    // an exact clone of base vector 0, re-identified as a new arrival —
+    // the re-crawl case: rule (a) must drop it (cos = 1.0, same cell as
+    // its source by construction)
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(1000L))
+    val kNat = Similarity.semanticDedupDeltaResult(base, natural,
+      "vec_id", "embedding", minCosine = 0.45, k = 8)
+    val keptNat = kNat.keep.collect().map(_.getLong(0)).toSet
+    kNat.release()
+    val kAug = Similarity.semanticDedupDeltaResult(base,
+      natural.unionByName(clone), "vec_id", "embedding",
+      minCosine = 0.45, k = 8)
+    val keptAug = kAug.keep.collect().map(_.getLong(0)).toSet
+    kAug.release()
+    assert(!keptAug.contains(1000L), "base clone survived the delta dedup")
+    // independence: any natural vector the clone could pair with is
+    // eps-close to BASE vector 0 in the same cell, so rule (a) already
+    // decided it — the clone adds no new information about the naturals
+    assert(keptAug === keptNat,
+      "planted clone changed natural delta verdicts: " +
+        s"diff=${(keptAug diff keptNat) ++ (keptNat diff keptAug)}")
+    // non-vacuous: the natural delta must both keep and drop something
+    val naturalIds = natural.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptNat.nonEmpty && keptNat.size < naturalIds.size,
+      s"vacuous fixture: kept ${keptNat.size} of ${naturalIds.size}")
+  }
+
+  test("streaming semantic dedup: reversed arrival order and a replayed " +
+    "micro-batch both drain to the batch result (idempotent ingest)") {
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val batchKl = Similarity.semanticDedupDeltaResult(base, delta,
+      "vec_id", "embedding", minCosine = 0.45, k = 8)
+    val want = batchKl.keep.collect().map(_.getLong(0)).toSet
+    batchKl.release()
+    val cent = Similarity.kmeansTrain(base, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    val cb = Similarity.semanticCells(base, "vec_id", "embedding",
+      cent, k = 8).persist()
+    cb.count()
+    def drain(schedule: Seq[org.apache.spark.sql.DataFrame]): Set[Long] = {
+      val stage =
+        java.nio.file.Files.createTempDirectory("graft-semstream-t")
+      stage.toFile.deleteOnExit()
+      schedule.zipWithIndex.foreach { case (b, i) =>
+        b.coalesce(1).write.parquet(s"$stage/b$i")
+      }
+      val accum =
+        java.nio.file.Files.createTempDirectory("graft-semaccum-t")
+      accum.toFile.deleteOnExit()
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/b*")
+      val query = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val cdB = Similarity.semanticCells(batch.toDF(), "vec_id",
+              "embedding", cent, k = 8)
+            val flagged = Similarity
+              .semanticDropVsBase(cdB, cb, "vec_id", 0.45)
+              .withColumn("drop_a", lit(true))
+            cdB.join(flagged, Seq("vec_id"), "left")
+              .na.fill(false, Seq("drop_a"))
+              .write.mode("append").parquet(s"$accum/cells")
+            ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val acc = spark.read.parquet(s"$accum/cells")
+        .dropDuplicates("vec_id")
+      val kl = Similarity.semanticDeltaTail(acc,
+        acc.filter(col("drop_a")).select("vec_id"), "vec_id", 0.45)
+      val got = kl.keep.collect().map(_.getLong(0)).toSet
+      kl.release()
+      got
+    }
+    val lo = delta.filter(col("vec_id") < 430)
+    val mid = delta.filter(col("vec_id") >= 430 && col("vec_id") < 460)
+    val hi = delta.filter(col("vec_id") >= 460)
+    assert(drain(Seq(hi, mid, lo)) === want,
+      "reversed arrival schedule diverged from the batch result")
+    assert(drain(Seq(lo, mid, lo, hi)) === want,
+      "a replayed micro-batch changed the drained result")
+    cb.unpersist()
+  }
+
+  test("semantic contamination: planted train clone flagged, report " +
+    "covers every eval row with zeros included") {
+    val train = emb.filter(col("vec_id") < 400)
+    val evalNat = emb.filter(col("vec_id") >= 400)
+    val clone = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(2000L))
+    val rep = Similarity.semanticContamination(train,
+        evalNat.unionByName(clone), "vec_id", "embedding",
+        minCosine = 0.45, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(rep.size === evalNat.count().toInt + 1,
+      "report does not cover every eval row")
+    val (nClone, vClone) = rep(2000L)
+    assert(vClone && nClone >= 1L,
+      s"planted train clone not flagged (n=$nClone)")
+    assert(rep.exists { case (_, (n, v)) => !v && n === 0L },
+      "no clean eval rows at all — threshold degenerate on this fixture")
+  }
 }
