@@ -240,30 +240,62 @@ object Similarity {
   def semanticDedupResult(emb: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, k: Int,
                           rounds: Int = 2): KeepList = {
-    val p = prepared(emb, idCol, vecCol)
     val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
-    // (id, cid, dist_sq): the trained-cell route + the keep-rule
-    // statistic from one packed argmin pass
-    val cell = assignTo(p, idCol, cent, k).join(p, Seq(idCol))
-    val lhs = cell.select(col(idCol).as("id_a"), col("cid"),
-      col("q").as("qa"), col("nsq").as("na"), col("dist_sq").as("da"))
-    val rhs = cell.select(col(idCol).as("id_b"), col("cid").as("cid_b"),
-      col("q").as("qb"), col("nsq").as("nb"), col("dist_sq").as("db"))
-    val losers = lhs.join(rhs,
-        col("cid") === col("cid_b") && col("id_a") < col("id_b"))
-      .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb"))
-        >= minCosine)
-      .select(when(col("da") < col("db"), col("id_a"))
-        .when(col("db") < col("da"), col("id_b"))
-        .otherwise(greatest(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
-    // snapshot only the small drop set (the nearDupKeepListResult
-    // policy), so the keep frame is ONE anti-join against materialized
-    // ids — consumers never re-run the train + pair pipeline
-    val (dropped, droppedRdd) = Graph.snapshot(losers)
-    dropped.count()
-    KeepList(emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti"),
-      droppedRdd)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+    // the full-corpus case is the delta tail with an empty rule-(a)
+    // set — ONE owner for the pair rule everywhere
+    semanticDeltaTail(cells, cells.select(col(idCol)).limit(0), idCol,
+      minCosine)
+  }
+
+  /** [[semanticDedupResult]] with the router trained on a DETERMINISTIC
+    * md5 SAMPLE of the corpus (keep `trainKeep` of `trainBuckets`
+    * id-hash buckets — the engine's q85 split machinery, so the sample
+    * is reproducible in any engine and under any partitioning): the
+    * FAISS stance for large-corpus quantizer training — cluster
+    * structure is a distribution property, so a bounded sample trains
+    * centroids as well as the corpus does, and the two Lloyd E/M passes
+    * drop from n·k to (n/buckets)·k work. Assignment and the pair rule
+    * still see EVERY vector — sampling changes where the centroids
+    * land, never which vectors compete. */
+  def semanticDedupSampledResult(emb: DataFrame, idCol: String,
+                                 vecCol: String, minCosine: Double,
+                                 k: Int, rounds: Int = 2,
+                                 trainBuckets: Int = 4,
+                                 trainKeep: Int = 1): KeepList = {
+    require(trainKeep > 0 && trainKeep <= trainBuckets,
+      s"trainKeep=$trainKeep out of range for trainBuckets=$trainBuckets")
+    val sample = emb.filter(
+      Sampling.hashBucket(col(idCol), trainBuckets) < trainKeep)
+    val cent = kmeansTrain(sample, idCol, vecCol, k, rounds)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+    semanticDeltaTail(cells, cells.select(col(idCol)).limit(0), idCol,
+      minCosine)
+  }
+
+  /** Per-cell introspection of the semantic-dedup router (the q207
+    * invlists-stats stance for this family): for every OCCUPIED cell,
+    * its member count, verified ε-pair count and distinct drop count —
+    * the numbers a pipeline owner watches to see whether cell skew is
+    * defeating the Σ|cell|² candidate budget and a re-train (or a k
+    * bump) is due. One ≤ k-group aggregation over the routed corpus
+    * plus the pair join the dedup itself would run. */
+  def semanticDedupStats(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, k: Int,
+                         rounds: Int = 2): DataFrame = {
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+    val members = cells.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    val prs = semanticPairs(cells, idCol, minCosine)
+    val pairAgg = prs.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("loser")).as("n_dropped"))
+    members.join(pairAgg, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cid")
   }
 
   /** [[semanticDedupResult]]'s keep frame without the release handle —
@@ -345,6 +377,26 @@ object Similarity {
       .select(col("id_d").as(idCol)).distinct()
   }
 
+  /** Rule (b)'s verified within-cell pairs with the keep-rule loser
+    * attributed to the pair's (shared) cell — the ONE pair-rule owner:
+    * the delta tail projects `loser`, the stats report aggregates per
+    * cell. (id_d, id_e, cid, loser), id_d < id_e. */
+  private[graft] def semanticPairs(cells: DataFrame, idCol: String,
+      minCosine: Double): DataFrame = {
+    val dl = cells.select(col(idCol).as("id_d"), col("cid"),
+      col("q").as("qd0"), col("nsq").as("nd"), col("dist_sq").as("dd"))
+    val rl = cells.select(col(idCol).as("id_e"),
+      col("cid").as("cid_e"), col("q").as("qe"), col("nsq").as("ne"),
+      col("dist_sq").as("de"))
+    dl.join(rl, col("cid") === col("cid_e") && col("id_d") < col("id_e"))
+      .filter(cosine(dot(col("qd0"), col("qe")), col("nd"), col("ne"))
+        >= minCosine)
+      .select(col("cid"), col("id_d"), col("id_e"),
+        when(col("dd") < col("de"), col("id_d"))
+          .when(col("de") < col("dd"), col("id_e"))
+          .otherwise(greatest(col("id_d"), col("id_e"))).as("loser"))
+  }
+
   /** Rule (b) + the drop union + the keep anti-join — the ONE owner
     * both the batch path and the streaming drain finish through (the
     * release pipeline's deltaTail stance): `deltaCells` is the full
@@ -355,18 +407,8 @@ object Similarity {
     * result is arrival-order-independent by construction. */
   private[graft] def semanticDeltaTail(deltaCells: DataFrame,
       dropA: DataFrame, idCol: String, minCosine: Double): KeepList = {
-    val dl = deltaCells.select(col(idCol).as("id_d"), col("cid"),
-      col("q").as("qd0"), col("nsq").as("nd"), col("dist_sq").as("dd"))
-    val rl = deltaCells.select(col(idCol).as("id_e"),
-      col("cid").as("cid_e"), col("q").as("qe"), col("nsq").as("ne"),
-      col("dist_sq").as("de"))
-    val dropIntra = dl.join(rl,
-        col("cid") === col("cid_e") && col("id_d") < col("id_e"))
-      .filter(cosine(dot(col("qd0"), col("qe")), col("nd"), col("ne"))
-        >= minCosine)
-      .select(when(col("dd") < col("de"), col("id_d"))
-        .when(col("de") < col("dd"), col("id_e"))
-        .otherwise(greatest(col("id_d"), col("id_e"))).as(idCol))
+    val dropIntra = semanticPairs(deltaCells, idCol, minCosine)
+      .select(col("loser").as(idCol))
     val losers = dropA.unionByName(dropIntra).distinct()
     val (dropped, droppedRdd) = Graph.snapshot(losers)
     dropped.count()

@@ -451,11 +451,16 @@ object SimilarityOps {
     * centroid (the LEFT JOIN coalesce). Emits a final CTE `c`, the trained
     * centroid frame, so downstream fragments ([[argminCte]] etc.) compose
     * unchanged. */
-  private def lloydCte(k: Int, rounds: Int, trainWhere: String = ""): String = {
+  private def lloydCte(k: Int, rounds: Int, trainWhere: String = "",
+      seedSql: Option[String] = None): String = {
     val shift = shiftFor(k)
-    val seed =
+    // seedSql overrides the kc0 seed (the q272 sampled-training case:
+    // the k smallest ids OF THE SAMPLE, densely re-labeled — the
+    // Similarity.seedCentroids contract); the default is the
+    // 0-contiguous-fixture identity text every existing oracle pins
+    val seed = seedSql.getOrElse(
       s"""kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
-         |       FROM n WHERE vec_id < $k)""".stripMargin
+         |       FROM n WHERE vec_id < $k)""".stripMargin)
     val rds = (1 to rounds).map { r =>
       s"""ka$r AS (
          |  SELECT n.vec_id, CAST(min(
@@ -631,6 +636,29 @@ object SimilarityOps {
        |${pqCtes()},
        |${ivfAdcTail()}
        |SELECT qid, nid, d2, rank FROM appr ORDER BY qid, rank""".stripMargin
+
+  /** Rule-(b) CTE chain over `ag` (vec_id, cid, dist_sq) + `n` — the
+    * routing join `cr`, the verified within-cell pairs `pv` (cell
+    * attributed, for the q273 stats aggregation) and the keep-rule
+    * `losers`. ONE owner for every full-corpus semantic-dedup oracle
+    * (q267 fixed-k, q268 adaptive, q272 sampled-training) and the q273
+    * stats — the sq8CodeExpr single-owner discipline. */
+  private val SemanticRuleCtes: String =
+    s"""cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
+       |  FROM ag JOIN n USING (vec_id)),
+       |pv AS (SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
+       |    a.dist_sq AS da, b.dist_sq AS db
+       |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
+       |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
+       |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)""".stripMargin
+
+  /** The keep-list projection every full-corpus semantic-dedup oracle
+    * ends with. */
+  private val SemanticKeepSelect: String =
+    """SELECT e2.vec_id FROM embeddings e2
+      |LEFT JOIN losers l ON l.vec_id = e2.vec_id
+      |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin
 
   /** The ONE incremental-semantic-dedup oracle instance shared by q269
     * (batch) and q271 (streaming front door) — identical hash proves
@@ -956,17 +984,8 @@ object SimilarityOps {
          |${lloydCte(8, 2)},
          |${argminCte(8)},
          |ag AS (${argminSelect(8)}),
-         |cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
-         |  FROM ag JOIN n USING (vec_id)),
-         |pv AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |    a.dist_sq AS da, b.dist_sq AS db
-         |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
-         |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
-         |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)
-         |SELECT e2.vec_id FROM embeddings e2
-         |LEFT JOIN losers l ON l.vec_id = e2.vec_id
-         |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin) { (s, d) =>
+         |$SemanticRuleCtes
+         |$SemanticKeepSelect""".stripMargin) { (s, d) =>
       Similarity.semanticDedupKeepList(Tables.t(s, d, "embeddings"),
           "vec_id", "embedding", minCosine = 0.45, k = 8)
         .orderBy("vec_id")
@@ -988,21 +1007,74 @@ object SimilarityOps {
          |${asgCteDyn()},
          |ag AS (SELECT vec_id, CAST(key % (SELECT k FROM nl) AS BIGINT) AS cid,
          |  CAST(key // (SELECT k FROM nl) AS BIGINT) AS dist_sq FROM m),
-         |cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
-         |  FROM ag JOIN n USING (vec_id)),
-         |pv AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |    a.dist_sq AS da, b.dist_sq AS db
-         |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
-         |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
-         |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)
-         |SELECT e2.vec_id FROM embeddings e2
-         |LEFT JOIN losers l ON l.vec_id = e2.vec_id
-         |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin) { (s, d) =>
+         |$SemanticRuleCtes
+         |$SemanticKeepSelect""".stripMargin) { (s, d) =>
       val kl = Similarity.semanticDedupResultAdaptive(
         Tables.t(s, d, "embeddings"), "vec_id", "embedding",
         minCosine = 0.45)
       kl.keep.orderBy("vec_id")
+    },
+
+    // ---- SAMPLED-TRAINING semantic dedup (the FAISS stance for
+    //      large-corpus quantizer training, applied to the SemDeDup
+    //      router): Lloyd trains on a DETERMINISTIC md5 id-hash sample
+    //      (1 of 4 buckets — the q85 split machinery, reproducible in
+    //      any engine and under any partitioning), assignment and the
+    //      pair rule still see EVERY vector. At scale this caps the
+    //      training passes at (n/buckets)·k while the one irreducible
+    //      n·k pass left is the final assign — a zero-shuffle narrow
+    //      map over broadcast centroids. The oracle seeds kc0 from the
+    //      k smallest SAMPLED ids (densely re-labeled — the
+    //      seedCentroids contract) and restricts the E-step scans with
+    //      the same md5 condition; downstream it is the SHARED rule
+    //      CTEs, character for character. ----
+    Q("q272_semantic_dedup_sampled", {
+      val cond = "CAST(('0x' || substr(md5(CAST(n.vec_id AS VARCHAR))," +
+        " 1, 8)) AS BIGINT) % 4 < 1"
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2, s"\n  WHERE $cond",
+            seedSql = Some(
+              s"""kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                 |    qd AS cqd, nsq AS cnsq
+                 |  FROM (SELECT n.vec_id, n.qd, n.nsq FROM n WHERE $cond
+                 |        ORDER BY n.vec_id LIMIT 8))""".stripMargin))},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |$SemanticRuleCtes
+         |$SemanticKeepSelect""".stripMargin
+    }) { (s, d) =>
+      val kl = Similarity.semanticDedupSampledResult(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.45, k = 8)
+      kl.keep.orderBy("vec_id")
+    },
+
+    // ---- semantic-dedup ROUTER introspection (the q207 invlists-stats
+    //      stance for this family): per occupied cell, member count,
+    //      verified ε-pair count and distinct drop count — what a
+    //      pipeline owner watches to see whether cell skew is defeating
+    //      the Σ|cell|² candidate budget and a retrain (or a k bump) is
+    //      due. The oracle aggregates the SHARED rule CTEs, so the gate
+    //      pins that the REPORTED structure is exactly the structure
+    //      the dedup acts on. ----
+    Q("q273_semantic_dedup_stats",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |$SemanticRuleCtes,
+         |lv AS (SELECT cid, CASE WHEN da < db THEN ia WHEN db < da THEN ib
+         |    ELSE GREATEST(ia, ib) END AS loser FROM pv),
+         |mb AS (SELECT cid, count(*) AS n_members FROM ag GROUP BY cid),
+         |pa AS (SELECT cid, count(*) AS n_pairs FROM pv GROUP BY cid),
+         |dr AS (SELECT cid, count(DISTINCT loser) AS n_dropped FROM lv GROUP BY cid)
+         |SELECT mb.cid, mb.n_members,
+         |  COALESCE(pa.n_pairs, 0) AS n_pairs,
+         |  COALESCE(dr.n_dropped, 0) AS n_dropped
+         |FROM mb LEFT JOIN pa USING (cid) LEFT JOIN dr USING (cid)
+         |ORDER BY mb.cid""".stripMargin) { (s, d) =>
+      Similarity.semanticDedupStats(Tables.t(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.45, k = 8)
     },
 
     // ---- INCREMENTAL semantic dedup (the q228 cross-snapshot stance

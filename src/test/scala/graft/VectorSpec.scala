@@ -967,6 +967,60 @@ class VectorSpec extends SparkTestBase {
       s"vacuous fixture: kept ${keptNat.size} of ${naturalIds.size}")
   }
 
+  test("sampled-training semantic dedup: the drop rule is exact under " +
+    "the sampled router's own cells, and sampling only moves centroids") {
+    // expected drops re-derived from public blocks GIVEN the sampled
+    // router's cells — proves sampling changes where centroids land,
+    // never how the rule decides
+    val minCos = 0.45
+    val sample = emb.filter(
+      graft.operators.Sampling.hashBucket(col("vec_id"), 4) < 1)
+    assert(sample.count() > 8, "md5 sample too small to seed 8 centroids")
+    val cent = Similarity.kmeansTrain(sample, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    val asg = Similarity.semanticCells(emb, "vec_id", "embedding",
+        cent, k = 8)
+      .select(col("vec_id"), col("cid"), col("dist_sq")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
+      .filter(col("cos") >= minCos).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrops = pairs.flatMap { case (a, b) =>
+      val (ca, da) = asg(a); val (cb, db) = asg(b)
+      if (ca != cb) None
+      else if (da < db) Some(a)
+      else if (db < da) Some(b)
+      else Some(math.max(a, b))
+    }.toSet
+    val kl = Similarity.semanticDedupSampledResult(emb, "vec_id",
+      "embedding", minCosine = minCos, k = 8)
+    val kept = kl.keep.collect().map(_.getLong(0)).toSet
+    kl.release()
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- expectedDrops,
+      "sampled-router keep list diverges from the rule over its own cells")
+    assert(expectedDrops.nonEmpty, "sampled router found no dups — vacuous")
+  }
+
+  test("semantic dedup stats: totals reconcile with the dedup itself " +
+    "(members partition the corpus, drops sum to the keep-list gap)") {
+    val stats = Similarity.semanticDedupStats(emb, "vec_id", "embedding",
+        minCosine = 0.45, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val n = emb.count()
+    assert(stats.map(_._2).sum === n,
+      "per-cell members do not partition the corpus")
+    val kept = Similarity.semanticDedupKeepList(emb, "vec_id",
+      "embedding", minCosine = 0.45, k = 8).count()
+    // losers live in exactly one cell (both pair members share it), so
+    // per-cell distinct drops sum to the global drop count
+    assert(stats.map(_._4).sum === n - kept,
+      s"drop totals diverge: stats=${stats.map(_._4).sum} global=${n - kept}")
+    assert(stats.forall { case (_, m, p, dr) => dr <= p && dr < m || (dr == 0) },
+      "a cell reports more drops than pairs or members")
+  }
+
   test("streaming semantic dedup: reversed arrival order and a replayed " +
     "micro-batch both drain to the batch result (idempotent ingest)") {
     val base = emb.filter(col("vec_id") < 400)
