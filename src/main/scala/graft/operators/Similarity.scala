@@ -343,8 +343,19 @@ object Similarity {
   def semanticDedupDeltaResult(base: DataFrame, delta: DataFrame,
                                idCol: String, vecCol: String,
                                minCosine: Double, k: Int,
-                               rounds: Int = 2): KeepList = {
-    val cent = kmeansTrain(base, idCol, vecCol, k, rounds)
+                               rounds: Int = 2): KeepList =
+    semanticDedupDeltaWithRouter(base, delta, idCol, vecCol, minCosine,
+      kmeansTrain(base, idCol, vecCol, k, rounds), k)
+
+  /** [[semanticDedupDeltaResult]] against an EXPLICIT router (the
+    * centroid frame) — the entry point the persisted-router path
+    * ([[SemanticRouter.load]], q274) shares with the train-inline path,
+    * so a loaded router serves through every rule character the trained
+    * one does. */
+  def semanticDedupDeltaWithRouter(base: DataFrame, delta: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   minCosine: Double, cent: DataFrame,
+                                   k: Int): KeepList = {
     val cb = semanticCells(base, idCol, vecCol, cent, k)
     val cd = semanticCells(delta, idCol, vecCol, cent, k)
     val dropA = semanticDropVsBase(cd, cb, idCol, minCosine)

@@ -136,6 +136,13 @@ object SimilarityOps {
         dir
       })
 
+  // data dir -> the ONE q274 router-artifact dir (own dir — the
+  // round-13 shared-dir advice)
+  private val semRouterDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semRouterDir(d: String): String =
+    dirFor(semRouterDirs, "graft-semrouter", d)
+
   // per-query arrival staging for the q261/q262 stream-serve gates (own
   // dir per consuming query — the round-13 shared-dir advice)
   private val sq8StreamDirs =
@@ -1149,6 +1156,32 @@ object SimilarityOps {
       val served = out.collect()
       kl.release()
       cb.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- delta dedup from the PERSISTED router (the restart story for
+    //      the semantic family's one piece of trained state): train on
+    //      the shipped base → save the O(k·dim) centroid artifact
+    //      (params-written-last, shared ArtifactParams owner) → load
+    //      into a fresh frame → run the delta dedup through the SAME
+    //      with-router owner the inline path uses. SAME oracle instance
+    //      as q269/q271: load ≡ train — centroid components are exact
+    //      integers, so the parquet round-trip is lossless and routing
+    //      is bit-identical across the process boundary. ----
+    Q("q274_semantic_delta_from_router", SemanticDeltaOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") < AppendBase)
+      val delta = emb.filter(col("vec_id") >= AppendBase)
+      val cent = Similarity.kmeansTrain(base, "vec_id", "embedding",
+        k = 8, rounds = 2)
+      val dir = semRouterDir(d)
+      SemanticRouter.save(cent, k = 8, dir)
+      val (loaded, k) = SemanticRouter.load(s, dir)
+      val kl = Similarity.semanticDedupDeltaWithRouter(base, delta,
+        "vec_id", "embedding", minCosine = 0.45, loaded, k)
+      val out = kl.keep.orderBy("vec_id")
+      val served = out.collect()
+      kl.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 

@@ -609,6 +609,52 @@ class AnnIndexSpec extends SparkTestBase {
     legacy.release()
   }
 
+  test("semantic router artifact: lossless round-trip (loaded delta dedup " +
+    "== trained delta dedup), torn and future-version artifacts refused") {
+    import graft.operators.SemanticRouter
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val cent = Similarity.kmeansTrain(base, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semrouter")
+    dir.toFile.deleteOnExit()
+    SemanticRouter.save(cent, k = 8, dir.toString)
+    val (loaded, k) = SemanticRouter.load(spark, dir.toString)
+    assert(k === 8)
+    // exact-integer centroids round-trip losslessly: identical rows
+    assert(loaded.orderBy("cid").collect().toSeq ===
+      cent.orderBy("cid").collect().toSeq,
+      "centroid frame changed across the parquet round-trip")
+    val fromTrained = Similarity.semanticDedupDeltaWithRouter(base, delta,
+      "vec_id", "embedding", 0.45, cent, 8)
+    val wantKeep = fromTrained.keep.collect().map(_.getLong(0)).toSet
+    fromTrained.release()
+    val fromLoaded = Similarity.semanticDedupDeltaWithRouter(base, delta,
+      "vec_id", "embedding", 0.45, loaded, k)
+    val gotKeep = fromLoaded.keep.collect().map(_.getLong(0)).toSet
+    fromLoaded.release()
+    assert(gotKeep === wantKeep,
+      "loaded router routes differently from the trained one")
+    // torn: params records more centroids than the table holds
+    Seq((SemanticRouter.FormatVersion, 8, 999L))
+      .toDF("version", "k", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      SemanticRouter.load(spark, dir.toString)
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+    // future version: refused with the version message
+    Seq((99, 8, 8L)).toDF("version", "k", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exV = intercept[IllegalArgumentException] {
+      SemanticRouter.load(spark, dir.toString)
+    }
+    assert(exV.getMessage.contains("version"),
+      s"wrong failure for a v99 artifact: ${exV.getMessage}")
+  }
+
   test("SQ8/matryoshka MIPS from the persisted artifact serves row-for-row " +
     "what the in-memory augmented build serves (load is metric-free)") {
     // the q265/q266 contract checked in-repo: the artifact carries no

@@ -805,6 +805,29 @@ class PlanSpec extends SparkTestBase {
     loaded.release()
   }
 
+  test("semantic dedup: the pair stage rides the cid equi-join (never a " +
+    "cartesian); the only nested-loop broadcast is the k-row centroid " +
+    "table on the build side") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, Sf, "embeddings")
+    val cent = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    val cells = Similarity.semanticCells(emb, "vec_id", "embedding",
+      cent, k = 8)
+    val p = planOf(Similarity.semanticPairs(cells, "vec_id", 0.45)
+      .select("loser")).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair candidates come from the trained-cell equi-join — the
+    // Σ|cell|² budget; an unkeyed join here is the n² scale-killer
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[cid#"
+      .r.findFirstIn(p).isDefined, p)
+    // every nested-loop broadcast is the centroid-assign cross (k rows
+    // by definition, BuildRight); the corpus never builds a nested loop
+    assert("BroadcastNestedLoopJoin (?!BuildRight, Cross)"
+      .r.findFirstIn(p).isEmpty, p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
