@@ -78,12 +78,33 @@ object ReleaseOps {
     * (ContextCleaner reclaims the blocks on GC — the nearDupClusters
     * convenience-form storage contract); a production release
     * materializes its canonical corpus exactly once too. */
+  /** q275's semantic-stage cosine threshold, ONE owner for the Spark
+    * stage (`.toDouble`) and the oracle text. The family's serving
+    * default (0.45) verifies zero pairs among this fixture's RELEASE
+    * SURVIVORS — the quality/dedup stages have already removed the
+    * tightest twins — so the release stage uses the measured knee where
+    * the stage both drops (13 docs at sf0.01) and visibly moves
+    * n_final: a gate over a provably-no-op stage pins nothing. */
+  private val SemanticStageThr = "0.32"
+
   private def canonicalized(docs: DataFrame): DataFrame =
     Graph.snapshot(docs.withColumn("text", concat_ws(" ",
       TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
 
   def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame =
     corpusPipeline(docs, robust)._2
+
+  /** [[prepareCorpus]] with the SEMANTIC dedup stage spliced between
+    * near-dup and decontamination (q275): the SemDeDup rule-(b) losers
+    * over the stage-3 survivors' embeddings
+    * ([[Similarity.semanticDropList]] — the q267 owners, router trained
+    * on the survivors so the stage is a pure function of the release
+    * input), anti-joined so docs WITHOUT an embedding survive. The card
+    * gains the n_semantic stage column. The production shape: n-gram
+    * near-dup can't see same-content-different-tokens redundancy, so a
+    * release running both is the FineWeb/SemDeDup-era pipeline. */
+  def prepareCorpusSemantic(docs: DataFrame, emb: DataFrame): DataFrame =
+    corpusPipeline(docs, robust = false, semanticEmb = Some(emb))._2
 
   /** The full pipeline, exposing BOTH outputs a release produces: the
     * KEPT corpus (one row per final doc: doc_id, source, text, ntok,
@@ -93,7 +114,8 @@ object ReleaseOps {
     * text join, the shard column) costs q215 nothing — it is never
     * executed there. [[saveRelease]] consumes both. */
   private def corpusPipeline(docs: DataFrame,
-      robust: Boolean): (DataFrame, DataFrame) = {
+      robust: Boolean,
+      semanticEmb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val pre = if (robust) canonicalized(docs) else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
@@ -126,20 +148,33 @@ object ReleaseOps {
     val s3 = s2.join(
       Dedup.nearDupKeepList(s2, "doc_id", "text", 3, 0.8), "doc_id")
 
+    // stage 3s (q275 only): SemDeDup rule-(b) losers over the
+    // SURVIVORS' embeddings, anti-joined — docs without an embedding
+    // survive, and with None the frame is the stage-3 output untouched
+    val s3x = semanticEmb.fold(s3) { emb0 =>
+      val se = emb0.select(col("vec_id"), col("embedding"))
+        .join(s3.select(col("doc_id").as("vec_id")), "vec_id")
+      s3.join(
+        Similarity.semanticDropList(se, "vec_id", "embedding",
+            minCosine = SemanticStageThr.toDouble, k = 8)
+          .withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+
     // stage 4: decontamination — release = the train split, minus train
     // docs sharing any df-capped 5-gram shingle with the held-out eval
     // split (q105's machinery, pointed at the docs a release must DROP)
     val capped5 = Dedup.dfCapRowsDyn(
-        Dedup.shingleRows(s3, "doc_id", "text", 5), capF)
+        Dedup.shingleRows(s3x, "doc_id", "text", 5), capF)
       .select("doc_id", "s")
-    val spl = s3.select(col("doc_id"),
+    val spl = s3x.select(col("doc_id"),
       Sampling.splitLabel(col("doc_id"), 1).as("split"))
     val evs = capped5.join(spl, "doc_id")
       .filter(col("split") === "eval").select("s").distinct()
     val contam = capped5.join(spl, "doc_id")
       .filter(col("split") === "train")
       .join(evs, "s").select("doc_id").distinct()
-    val s4 = s3.join(spl, "doc_id").filter(col("split") === "train")
+    val s4 = s3x.join(spl, "doc_id").filter(col("split") === "train")
       .join(contam, Seq("doc_id"), "left_anti").drop("split")
 
     // stage 5: domain cap (q208's occupancy-scaled per-source winnow)
@@ -194,6 +229,8 @@ object ReleaseOps {
     val a1 = s1.groupBy("source").agg(count(lit(1)).as("n_quality"))
     val a2 = s2.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val a3 = s3.groupBy("source").agg(count(lit(1)).as("n_neardup"))
+    val a3s = semanticEmb.map(_ =>
+      s3x.groupBy("source").agg(count(lit(1)).as("n_semantic")))
     val a4 = s4.groupBy("source").agg(count(lit(1)).as("n_decontam"))
     val a5 = s5.groupBy("source").agg(count(lit(1)).as("n_domcap"),
       sum("ntok").cast("long").as("tokens_domcap"))
@@ -209,20 +246,24 @@ object ReleaseOps {
         max("b").cast("long").as("budget"))
       .crossJoin(s6.select(Sampling.hashBucket(col("doc_id"), 16)
         .as("shard")).distinct().agg(count(lit(1)).as("n_shards")))
-    val card = a0.join(a1, Seq("source"), "left")
+    val preCard = a0.join(a1, Seq("source"), "left")
       .join(a2, Seq("source"), "left")
       .join(a3, Seq("source"), "left")
+    val card = a3s.fold(preCard)(x => preCard.join(x, Seq("source"), "left"))
       .join(a4, Seq("source"), "left")
       .join(a5, Seq("source"), "left")
       .join(wf.select("source", "allocated", "capped"), Seq("source"), "left")
       .join(a6, Seq("source"), "left")
       .join(a7, Seq("source"), "left")
       .crossJoin(broadcast(globals))
-      .select(col("source"),
+      .select(Seq(col("source"),
         col("n_input"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup")) ++
+        a3s.map(_ =>
+          coalesce(col("n_semantic"), lit(0L)).as("n_semantic")).toSeq ++
+        Seq(
         coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
         coalesce(col("n_domcap"), lit(0L)).as("n_domcap"),
         coalesce(col("tokens_domcap"), lit(0L)).as("tokens_domcap"),
@@ -235,7 +276,7 @@ object ReleaseOps {
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
         coalesce(col("budget"), lit(0L)).as("budget"),
         coalesce(col("water_cap"), lit(0L)).as("water_cap"),
-        col("n_shards"))
+        col("n_shards")): _*)
     // the kept corpus: the mixing frame plus the q147 md5 shard and the
     // doc text (joined back from the pipeline input — s6 is deliberately
     // narrow so the water-fill window never shuffles text bytes)
@@ -595,8 +636,9 @@ object ReleaseOps {
     * q240/q242 reuse the full card select; q243 swaps in the epoch-mix
     * select over the SAME CTE body ([[releaseBodySql]] owns it). */
   private def releaseSql(preCtes: String, inputRel: String,
-      textExpr: String): String =
-    releaseBodySql(preCtes, inputRel, textExpr) + "\n" + CardSelectSql
+      textExpr: String, semantic: Boolean = false): String =
+    releaseBodySql(preCtes, inputRel, textExpr, semantic) + "\n" +
+      cardSelectSql(semantic)
 
   /** The q243 oracle: the SAME eight-stage CTE body, final select = the
     * q137 epoch expansion over the kept corpus (mx2) — one row per
@@ -629,8 +671,29 @@ object ReleaseOps {
         |  count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS pack_tokens
         |FROM pc GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** The eight-stage CTE body. `semantic = true` (q275) splices ONE
+    * extra stage between near-dup and decontamination: the SemDeDup
+    * rule-(b) losers over the stage-3 survivors' embeddings
+    * ([[SimilarityOps.semanticLosersSubquerySql]] — the q267 owners,
+    * embedded as an inner WITH whose bindings shadow this body's
+    * `e`/`n`/`p`), anti-joined so docs WITHOUT an embedding survive.
+    * Default false leaves the text byte-identical to the pre-semantic
+    * owner (every existing release gate re-verifies unchanged). */
   private def releaseBodySql(preCtes: String, inputRel: String,
-      textExpr: String): String =
+      textExpr: String, semantic: Boolean = false): String = {
+    val r3 = if (semantic) "s3x" else "s3"
+    val semCtes = if (!semantic) "" else
+      s"""sememb AS (SELECT e0.vec_id, e0.embedding FROM embeddings e0
+         |  JOIN s3 ON s3.doc_id = e0.vec_id),
+         |semlos AS MATERIALIZED (
+         |${SimilarityOps.semanticLosersSubquerySql("sememb", SemanticStageThr)}),
+         |s3x AS MATERIALIZED (SELECT s3.* FROM s3
+         |  WHERE s3.doc_id NOT IN (SELECT vec_id FROM semlos)),
+         |""".stripMargin
+    val semAudit = if (!semantic) "" else
+      s"""a3s AS (SELECT source, count(*) AS n_semantic
+         |  FROM s3x GROUP BY source),
+         |""".stripMargin
       s"""WITH ${preCtes}din AS (
          |  SELECT doc_id, source, n_chars, $textExpr AS text FROM $inputRel),
          |f AS (
@@ -683,10 +746,10 @@ object ReleaseOps {
          |       GROUP BY l2.v, l2.l),
          |s3 AS MATERIALIZED (SELECT s2.* FROM s2
          |  JOIN (SELECT v AS doc_id FROM l3 WHERE l = v) kl USING (doc_id)),
-         |spl AS MATERIALIZED (SELECT doc_id,
+         |${semCtes}spl AS MATERIALIZED (SELECT doc_id,
          |  CASE WHEN $md5Bucket % 10 < 9 THEN 'train' ELSE 'eval' END AS split
-         |  FROM s3),
-         |${DedupOps.shingleCteN(5, "s3", "sh5")},
+         |  FROM $r3),
+         |${DedupOps.shingleCteN(5, r3, "sh5")},
          |cap5 AS (SELECT GREATEST(4, count(*) // 300) AS c FROM din),
          |shc AS MATERIALIZED (SELECT doc_id, s FROM (
          |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh5) t
@@ -695,9 +758,9 @@ object ReleaseOps {
          |  WHERE spl.split = 'eval'),
          |contam AS (SELECT DISTINCT shc.doc_id FROM shc JOIN spl USING (doc_id)
          |  JOIN evs ON evs.s = shc.s WHERE spl.split = 'train'),
-         |s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN spl USING (doc_id)
+         |s4 AS MATERIALIZED (SELECT $r3.* FROM $r3 JOIN spl USING (doc_id)
          |  WHERE spl.split = 'train'
-         |    AND s3.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |    AND $r3.doc_id NOT IN (SELECT doc_id FROM contam)),
          |r5 AS (SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY n_chars DESC, doc_id) AS rk,
          |  count(*) OVER (PARTITION BY source) AS nsrc FROM s4),
@@ -735,7 +798,7 @@ object ReleaseOps {
          |a1 AS (SELECT source, count(*) AS n_quality FROM s1 GROUP BY source),
          |a2 AS (SELECT source, count(*) AS n_exact FROM s2 GROUP BY source),
          |a3 AS (SELECT source, count(*) AS n_neardup FROM s3 GROUP BY source),
-         |a4 AS (SELECT source, count(*) AS n_decontam FROM s4 GROUP BY source),
+         |${semAudit}a4 AS (SELECT source, count(*) AS n_decontam FROM s4 GROUP BY source),
          |a5 AS (SELECT source, count(*) AS n_domcap,
          |  CAST(sum(ntok) AS BIGINT) AS tokens_domcap FROM s5 GROUP BY source),
          |a6 AS (SELECT source, count(*) AS n_final,
@@ -747,15 +810,22 @@ object ReleaseOps {
          |gsh AS (SELECT count(DISTINCT $md5Bucket % 16) AS n_shards FROM s6),
          |gw AS (SELECT CAST(max(cap) AS BIGINT) AS water_cap,
          |  CAST(max(b) AS BIGINT) AS budget FROM wf2)""".stripMargin
+  }
 
-  /** The release-card final select over [[releaseBodySql]]'s CTEs. */
-  private val CardSelectSql: String =
+  /** The release-card final select over [[releaseBodySql]]'s CTEs;
+    * `semantic` adds the n_semantic stage column (q275) between
+    * near-dup and decontamination — the card audits every stage the
+    * variant ran, and ONLY those. */
+  private def cardSelectSql(semantic: Boolean = false): String = {
+    val semCol = if (!semantic) "" else
+      "  CAST(coalesce(a3s.n_semantic, 0) AS BIGINT) AS n_semantic,\n|"
+    val semJoin = if (!semantic) "" else " LEFT JOIN a3s USING (source)"
       s"""SELECT a0.source,
          |  CAST(a0.n_input AS BIGINT) AS n_input,
          |  CAST(coalesce(a1.n_quality, 0) AS BIGINT) AS n_quality,
          |  CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact,
          |  CAST(coalesce(a3.n_neardup, 0) AS BIGINT) AS n_neardup,
-         |  CAST(coalesce(a4.n_decontam, 0) AS BIGINT) AS n_decontam,
+         |${semCol}  CAST(coalesce(a4.n_decontam, 0) AS BIGINT) AS n_decontam,
          |  CAST(coalesce(a5.n_domcap, 0) AS BIGINT) AS n_domcap,
          |  CAST(coalesce(a5.tokens_domcap, 0) AS BIGINT) AS tokens_domcap,
          |  CAST(coalesce(wf2.allocated, 0) AS BIGINT) AS allocated,
@@ -770,11 +840,12 @@ object ReleaseOps {
          |  CAST(gsh.n_shards AS BIGINT) AS n_shards
          |FROM a0
          |LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
-         |LEFT JOIN a3 USING (source) LEFT JOIN a4 USING (source)
+         |LEFT JOIN a3 USING (source)$semJoin LEFT JOIN a4 USING (source)
          |LEFT JOIN a5 USING (source) LEFT JOIN wf2 USING (source)
          |LEFT JOIN a6 USING (source) LEFT JOIN a7 USING (source)
          |CROSS JOIN gw CROSS JOIN gsh
          |ORDER BY a0.source""".stripMargin
+  }
 
   /** The planted multilingual fixture (q218's idea, re-shaped so the RAW
     * pipeline's quality funnel still ADMITS the twin): each doc gets a
@@ -1050,6 +1121,23 @@ object ReleaseOps {
     //      bandsSql (q74), MixWeightCaseSql (q137). ----
     Q("q215_corpus_release", ReleaseOracleSqlStd) { (s, d) =>
       prepareCorpus(Tables.t(s, d, "documents")).orderBy("source")
+    },
+
+    // ---- the release pipeline with a SEMANTIC dedup stage (the
+    //      FineWeb/SemDeDup-era production shape: n-gram near-dup
+    //      can't see same-content-different-tokens redundancy, so a
+    //      release runs BOTH): stage 3s = the q267 rule-(b) losers
+    //      over the stage-3 survivors' embeddings — router trained on
+    //      the survivors, so the stage is a pure function of the
+    //      release input — anti-joined (docs without an embedding
+    //      survive). The card gains n_semantic; every other stage and
+    //      column is the q215 owner's text, character for character
+    //      (the oracle splices semanticLosersSubquerySql as an inner
+    //      WITH whose bindings shadow the body's e/n/p CTEs). ----
+    Q("q275_release_semantic",
+      releaseSql("", "documents", "text", semantic = true)) { (s, d) =>
+      prepareCorpusSemantic(Tables.t(s, d, "documents"),
+        Tables.t(s, d, "embeddings")).orderBy("source")
     },
 
     // ---- release artifact PERSISTENCE (round-12 verdict item 1): save

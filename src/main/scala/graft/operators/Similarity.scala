@@ -305,6 +305,23 @@ object Similarity {
                             rounds: Int = 2): DataFrame =
     semanticDedupResult(emb, idCol, vecCol, minCosine, k, rounds).keep
 
+  /** Rule (b)'s distinct LOSER ids over a corpus — the projection a
+    * composing pipeline stage consumes when it wants to DROP semantic
+    * duplicates from its own survivor set rather than take over this
+    * family's keep frame (the release pipeline's semantic stage: docs
+    * without an embedding must survive, so the stage anti-joins the
+    * losers instead of inner-joining a keep-list). Same training, same
+    * routing, same [[semanticPairs]] owner as [[semanticDedupResult]] —
+    * only the final projection differs. */
+  def semanticDropList(emb: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, k: Int,
+                       rounds: Int = 2): DataFrame = {
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+    semanticPairs(cells, idCol, minCosine)
+      .select(col("loser").as(idCol)).distinct()
+  }
+
   /** [[semanticDedupResult]] with the cell count OCCUPANCY-SCALED from
     * the corpus size ([[adaptiveNlist]]) — the q83/q192 adaptive stance:
     * at any corpus the expected cell holds ~targetCell vectors, so the

@@ -288,13 +288,21 @@ object SimilarityOps {
     * doubles, so list_dot_product sums are exact in any order. `src` lets
     * the q190 drift oracle read a transformed source CTE instead of the
     * raw table; every other gate keeps the default. */
-  private def preparedCte(src: String = "embeddings"): String =
-    s"""e AS (
+  /** `eName` renames ONLY the first (quantize) CTE: when this chain is
+    * embedded as an inner WITH inside the release oracle (q275), the
+    * outer body's `e` is MATERIALIZED and DuckDB 1.0 cannot shadow a
+    * materialized outer CTE (verified: plain outer CTEs shadow fine) —
+    * `p`/`n` collide only with non-materialized outer names, which
+    * shadow correctly. Default text is byte-identical to the
+    * pre-parameter owner. */
+  private def preparedCte(src: String = "embeddings",
+      eName: String = "e"): String =
+    s"""$eName AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM $src),
        |p AS (
-       |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM e),
+       |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM $eName),
        |n AS (
        |  SELECT vec_id, qd, list_dot_product(qd, qd) AS nsq FROM p)""".stripMargin
   private val PreparedCte = preparedCte()
@@ -650,15 +658,16 @@ object SimilarityOps {
     * `losers`. ONE owner for every full-corpus semantic-dedup oracle
     * (q267 fixed-k, q268 adaptive, q272 sampled-training) and the q273
     * stats — the sq8CodeExpr single-owner discipline. */
-  private val SemanticRuleCtes: String =
+  private def semanticRuleCtes(thr: String = "0.45"): String =
     s"""cr AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
        |  FROM ag JOIN n USING (vec_id)),
        |pv AS (SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
        |    a.dist_sq AS da, b.dist_sq AS db
        |  FROM cr a JOIN cr b ON b.cid = a.cid AND a.vec_id < b.vec_id
-       |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= 0.45),
+       |  WHERE list_dot_product(a.qd, b.qd) / sqrt(a.nsq * b.nsq) >= $thr),
        |losers AS (SELECT DISTINCT CASE WHEN da < db THEN ia
        |    WHEN db < da THEN ib ELSE GREATEST(ia, ib) END AS vec_id FROM pv)""".stripMargin
+  private val SemanticRuleCtes: String = semanticRuleCtes()
 
   /** The keep-list projection every full-corpus semantic-dedup oracle
     * ends with. */
@@ -666,6 +675,31 @@ object SimilarityOps {
     """SELECT e2.vec_id FROM embeddings e2
       |LEFT JOIN losers l ON l.vec_id = e2.vec_id
       |WHERE l.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin
+
+  /** The COMPLETE full-corpus semantic-dedup route over an arbitrary
+    * (vec_id, embedding) relation `src`, as a self-contained scalar
+    * subquery body ending in the rule-(b) LOSER projection — the oracle
+    * twin of [[Similarity.semanticDropList]], for a COMPOSING pipeline
+    * (the release oracle embeds this as `(WITH ... SELECT vec_id FROM
+    * losers)` inside its own WITH scope; the inner `p`/`n` bindings
+    * shadow the release body's plain CTEs, and the quantize CTE is
+    * renamed `semq` because the body's `e` is MATERIALIZED — see
+    * [[preparedCte]]). The seed is the q272 dense-relabel text over
+    * the RESTRICTED `n` (k smallest ids of `src`, relabeled 0..k-1 in
+    * id order — the seedCentroids contract; the default `vec_id < k`
+    * seed only holds on the contiguous full-corpus fixture). */
+  private[operators] def semanticLosersSubquerySql(src: String,
+      thr: String = "0.45"): String =
+    s"""WITH ${preparedCte(src, eName = "semq")},
+       |${lloydCte(8, 2, seedSql = Some(
+          s"""kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             |    qd AS cqd, nsq AS cnsq
+             |  FROM (SELECT n.vec_id, n.qd, n.nsq FROM n
+             |        ORDER BY n.vec_id LIMIT 8))""".stripMargin))},
+       |${argminCte(8)},
+       |ag AS (${argminSelect(8)}),
+       |${semanticRuleCtes(thr)}
+       |SELECT vec_id FROM losers""".stripMargin
 
   /** The ONE incremental-semantic-dedup oracle instance shared by q269
     * (batch) and q271 (streaming front door) — identical hash proves
