@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: the generator /
@@ -1106,6 +1107,68 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR-style importance selection (Xie et al. 2023,
+    //      arXiv:2302.03169 — public): score every RAW doc by how much
+    //      more likely its hashed-unigram profile is under a TARGET
+    //      distribution than under the raw one, and keep the
+    //      above-mean half. TWO distributions where q200 has one — the
+    //      data-SELECTION recipe (pull docs toward a target domain),
+    //      not the fluency filter. Target here = the lang='en' subset
+    //      (the q197 label column); features = token occurrences
+    //      md5-hashed into 256 buckets (the DSIR hashing trick — the
+    //      bucket table is CONSTANT-sized at any corpus, so both
+    //      distributions broadcast and the corpus is never
+    //      self-joined). All math cross-engine exact:
+    //      the smoothed ratio ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) is
+    //      integer-log2'd at 1/16-BIT resolution: fixed-point mantissa
+    //      in the OVERFLOW-SAFE association
+    //      mm = ((ct+1)·2^20 // (cr+1)) — ≤ 2^20 always, target ⊆ raw —
+    //      then ·((Nr+B)·2^10 // (Nt+B)) // 2^10, LEAST-capped at 2^40
+    //      (fits 2^63 under the later ·2^19; both engines evaluate the
+    //      SAME association, so truncation points agree); then
+    //      lr16 = 16·(bitlen(mm)−21) + the fractional rung of the
+    //      normalized mantissa y0 = mm·2^19 // 2^(bitlen−1) against 16
+    //      PRECOMPUTED thresholds floor(2^19·2^(i/16)) (the q200
+    //      bit_length identity, refined — 1 bit of resolution loses
+    //      the shared-vocabulary frequency signal entirely; the rung
+    //      CASE text is built from ONE Scala constant list for both
+    //      engines). Per-doc weight = token-summed lr16,
+    //      per-token-averaged in integer millis; selected = weight ≥
+    //      the corpus integer mean (the q200 shuffle-free stance — no
+    //      global median rank). ----
+    Q("q276_dsir_select",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(toks) AS w FROM t WHERE len(toks) >= 1),
+        |tb AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM tok),
+        |ctt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        |crr AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        |nn AS (SELECT (SELECT count(*) FROM tb WHERE lang = 'en') AS nt,
+        |              (SELECT count(*) FROM tb) AS nr),
+        |lrm AS (SELECT crr.b, LEAST(
+        |    ((((coalesce(ctt.ct, 0) + 1) * 1048576) // (crr.cr + 1))
+        |      * (((nn.nr + 256) * 1024) // (nn.nt + 256))) // 1024,
+        |    1099511627776) AS mm
+        |  FROM crr LEFT JOIN ctt USING (b), nn),
+        |ln0 AS (SELECT b, mm,
+        |  CASE WHEN mm > 0 THEN length(bin(mm)) - 1 ELSE 0 END AS e0 FROM lrm),
+        |ln1 AS (SELECT b, mm, e0,
+        |  (mm * 524288) // (CAST(1 AS BIGINT) << e0) AS y0 FROM ln0),
+        |lr AS (SELECT b, CASE WHEN mm <= 0 THEN CAST(-336 AS BIGINT)
+        |    ELSE CAST(16 * (e0 - 20) + $dsirFracCaseSql AS BIGINT)
+        |  END AS lr FROM ln1),
+        |x AS (SELECT tb.doc_id, tb.lang, count(*) AS n_tok,
+        |    CAST(sum(lr.lr) AS BIGINT) AS lw_sum
+        |  FROM tb JOIN lr USING (b) GROUP BY tb.doc_id, tb.lang),
+        |x2 AS (SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok, lw_sum,
+        |    CAST((lw_sum * 1000) // n_tok AS BIGINT) AS lw_milli FROM x),
+        |m AS (SELECT CAST(sum(lw_milli) // count(*) AS BIGINT) AS mu FROM x2)
+        |SELECT doc_id, lang, n_tok, lw_sum, lw_milli, lw_milli >= mu AS selected
+        |FROM x2, m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dsirSelect(Tables.t(s, d, "documents"), col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     // ---- document-length drift between the train/eval split — q210's
     //      χ² monitor applied to a TEXT feature (the generic
     //      scalarDriftChi2 core, thresholds from the train side): the
@@ -1355,6 +1418,69 @@ object TextOps {
       } finally { feats.unpersist(); () }
     }
   )
+
+  /** floor(2^19 · 2^(i/16)) for i = 0..15 — the 1/16-bit log2 rungs the
+    * DSIR scorer reads the normalized mantissa against (q276). ONE
+    * constant list feeding BOTH the Spark expression and the DuckDB
+    * oracle text via [[dsirFracCaseSql]] — portable CASE syntax, so the
+    * rung table cannot drift between engines. */
+  private lazy val DsirLog16Thresholds: Seq[Long] = Seq(
+    524288L, 547500L, 571740L, 597053L, 623487L, 651091L, 679917L,
+    710019L, 741455L, 774282L, 808562L, 844360L, 881743L, 920781L,
+    961548L, 1004119L)
+
+  /** The fractional-rung CASE over a column named `y0` ∈ [2^19, 2^20). */
+  private def dsirFracCaseSql: String =
+    (15 to 1 by -1)
+      .map(i => s"WHEN y0 >= ${DsirLog16Thresholds(i)} THEN $i")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** DSIR-style importance selection (q276; Xie et al. 2023,
+    * arXiv:2302.03169): hashed-unigram importance weights of every doc
+    * under a TARGET token distribution vs the RAW one, above-mean kept.
+    * `isTarget` is a row predicate over `docs`' columns (the gate uses
+    * lang = 'en'). All math integer-exact — see the q276 comment for
+    * the overflow-safe association of the smoothed log2 ratio.
+    *
+    * Scale shape: the only corpus-sized work is one token explode
+    * feeding two aggregations (the 256-bucket histograms collapse
+    * map-side) and the per-doc weight agg; both distribution tables
+    * and the 1-row totals BROADCAST (constant-sized at any corpus), so
+    * the corpus is never self-joined and no join key is
+    * corpus-cardinality. */
+  def dsirSelect(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = tokens(col("text"))
+    val tb = docs.filter(size(toks) >= 1)
+      .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      .withColumn("b", Sampling.hashBucket(col("w"), 256)).drop("w")
+    val ct = tb.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nn = tb.agg(count(lit(1)).as("nr"),
+      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("nt"))
+    val lr = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("b"), expr(
+        "least((((coalesce(ct, 0) + 1) * 1048576) div (cr + 1))" +
+          " * (((nr + 256) * 1024) div (nt + 256)) div 1024," +
+          " 1099511627776)").as("mm"))
+      .withColumn("e0", expr(
+        "CASE WHEN mm > 0 THEN length(conv(mm, 10, 2)) - 1 ELSE 0 END"))
+      .withColumn("y0", expr(
+        "(mm * 524288) div shiftleft(CAST(1 AS BIGINT), e0)"))
+      .select(col("b"), expr(
+        s"""CASE WHEN mm <= 0 THEN CAST(-336 AS BIGINT)
+           |  ELSE CAST(16 * (e0 - 20) + $dsirFracCaseSql AS BIGINT) END"""
+          .stripMargin).as("lr"))
+    val x = tb.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr")).cast("long").as("lw_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_sum"),
+        expr("(lw_sum * 1000) div n_tok").as("lw_milli"))
+    val mu = x.agg(expr("sum(lw_milli) div count(*)").as("mu"))
+    x.crossJoin(broadcast(mu))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_sum"),
+        col("lw_milli"), (col("lw_milli") >= col("mu")).as("selected"))
+  }
 
   // ---- q197 batch-perceptron helpers ----
   /** The 5 marker-token count features (plus bias) behind q197 — ONE
