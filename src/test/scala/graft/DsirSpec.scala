@@ -59,4 +59,43 @@ class DsirSpec extends SparkTestBase {
     assert(out.count() === docs.count())
     assert(out.select("doc_id").distinct().count() === docs.count())
   }
+
+  test("frozen model: a delta doc's verdict is independent of co-arrivals") {
+    import graft.operators.Sampling
+    val base = docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train")
+    val delta = docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
+    val full = TextOps.dsirSelectDelta(base, delta, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val halfIds = delta.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .collect { case (id, i) if i % 2 == 0 => id }.toSet
+    val half = TextOps.dsirSelectDelta(
+        base, delta.filter(col("doc_id").isin(halfIds.toSeq: _*)),
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(half.nonEmpty)
+    half.foreach { case (id, row) =>
+      assert(row === full(id),
+        s"doc $id scored differently when co-arrivals changed")
+    }
+  }
+
+  test("a torn DSIR artifact is refused") {
+    import graft.operators.{DsirStore, TextOps => T}
+    val dir = TempDirs.create("dsir-torn-spec").toString
+    val m = T.dsirTrain(docs, col("lang") === "en")
+    DsirStore.save(m, dir)
+    // crash-mid-rewrite simulation: the lr parquet loses rows while the
+    // params still record the full count
+    val lr = spark.read.parquet(s"$dir/lr")
+    val truncated = lr.limit((lr.count() - 1).toInt).collect()
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(truncated.toSeq), lr.schema)
+    tdf.coalesce(1).write.mode("overwrite").parquet(s"$dir/lr")
+    val e = intercept[IllegalArgumentException] {
+      DsirStore.load(spark, dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("lr"),
+      s"refusal must name the torn component: ${e.getMessage}")
+  }
 }
