@@ -28,8 +28,7 @@ object DsirStore {
     import spark.implicits._
     m.lr.coalesce(1).write.mode("overwrite").parquet(s"$path/lr")
     val n = spark.read.parquet(s"$path/lr").count()
-    val mu = m.mu.head.getLong(0)
-    Seq((FormatVersion, n, mu)).toDF("version", "n_lr", "mu")
+    Seq((FormatVersion, n, m.mu)).toDF("version", "n_lr", "mu")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 

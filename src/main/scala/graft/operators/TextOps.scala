@@ -1175,7 +1175,7 @@ object TextOps {
       val m = dsirTrain(
         docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train"),
         col("lang") === "en")
-      val muVal = m.mu.head.getLong(0)
+      val muVal = m.mu
       val stream = graft.streaming.EventStreams
         .readParquetStream(s, s"$d/documents.parquet")
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
@@ -1559,25 +1559,30 @@ object TextOps {
     * corpus-cardinality. */
   def dsirSelect(docs: DataFrame, isTarget: Column): DataFrame = {
     val tb = dsirBuckets(docs)
-    val lr = dsirLrTable(tb, isTarget)
-    val x = dsirScoreTb(tb, lr)
-    val mu = dsirMu(x)
-    dsirSelected(x, mu)
+    val lr = dsirLocalModel(tb, isTarget)
+    // snapshot the per-doc scores (one narrow row per doc — output-
+    // sized) so the mean job and the final select share ONE scoring
+    // pass instead of re-running the token explode each
+    val (x, _) = Graph.snapshot(dsirScoreTb(tb, lr))
+    x.withColumn("selected", col("lw_milli") >= lit(dsirMu(x)))
   }
 
-  /** The trained DSIR state: the 256-row log-ratio table and the base
-    * corpus's 1-row mean weight (the frozen selection threshold the
-    * delta/stream/artifact paths score arrivals against). */
-  final case class DsirModel(lr: DataFrame, mu: DataFrame)
+  /** The trained DSIR state: the 256-row log-ratio table as a
+    * MATERIALIZED local relation and the base corpus's mean weight —
+    * the frozen selection threshold the delta/stream/artifact paths
+    * score arrivals against. Driver-sized by the hashing trick (256
+    * longs + one long), the kmeansTrain-centroid stance. */
+  final case class DsirModel(lr: DataFrame, mu: Long)
 
   /** Train the DSIR model on a BASE corpus: distributions AND the mean
     * threshold come from the base only — the frozen-router stance
     * (q269/q274) for this family: arrivals are scored against shipped
     * state, never against themselves, so a doc's verdict is independent
-    * of what co-arrives. */
+    * of what co-arrives. Exactly TWO corpus passes: the fused bucket
+    * histogram, then the base scoring that yields the threshold. */
   def dsirTrain(docs: DataFrame, isTarget: Column): DsirModel = {
     val tb = dsirBuckets(docs)
-    val lr = dsirLrTable(tb, isTarget)
+    val lr = dsirLocalModel(tb, isTarget)
     DsirModel(lr, dsirMu(dsirScoreTb(tb, lr)))
   }
 
@@ -1592,7 +1597,8 @@ object TextOps {
   def dsirSelectDelta(base: DataFrame, delta: DataFrame,
                       isTarget: Column): DataFrame = {
     val m = dsirTrain(base, isTarget)
-    dsirSelected(dsirScore(delta, m.lr), m.mu)
+    dsirScore(delta, m.lr)
+      .withColumn("selected", col("lw_milli") >= lit(m.mu))
   }
 
   /** (doc_id, lang, b) token-bucket rows — one per token occurrence. */
@@ -1603,15 +1609,26 @@ object TextOps {
       .withColumn("b", Sampling.hashBucket(col("w"), 256)).drop("w")
   }
 
-  /** The 256-row (b, lr16) table from base token-bucket rows — see the
-    * q276 comment for the integer log2 scheme. */
-  private def dsirLrTable(tb: DataFrame, isTarget: Column): DataFrame = {
-    val ct = tb.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = tb.groupBy("b").agg(count(lit(1)).as("cr"))
-    val nn = tb.agg(count(lit(1)).as("nr"),
-      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("nt"))
-    cr.join(ct, Seq("b"), "left")
-      .crossJoin(broadcast(nn))
+  /** The 256-row (b, lr16) model from base token-bucket rows — see the
+    * q276 comment for the integer log2 scheme. ONE fused histogram pass
+    * (per-bucket raw + target counts; the totals derive from the 256
+    * local rows), then the lr16 math runs over the LocalRelation and
+    * the result is collected: the model is driver-sized BY DESIGN (the
+    * hashing trick), and materializing it here is what keeps every
+    * downstream consumer from re-running corpus aggregations as nested
+    * broadcast-build subtrees (the first cut left the model lazy and
+    * measured 35× at 10× data from exactly that — each broadcast build
+    * re-ran the scan inside the branch that used it). */
+  private def dsirLocalModel(tb: DataFrame, isTarget: Column): DataFrame = {
+    val spark = tb.sparkSession
+    import spark.implicits._
+    val h = tb.groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val nr = h.map(_._2).sum
+    val nt = h.map(_._3).sum
+    val local = h.toSeq.toDF("b", "cr", "ct")
+      .withColumn("nt", lit(nt)).withColumn("nr", lit(nr))
       .select(col("b"), expr(
         "least((((coalesce(ct, 0) + 1) * 1048576) div (cr + 1))" +
           " * (((nr + 256) * 1024) div (nt + 256)) div 1024," +
@@ -1624,6 +1641,8 @@ object TextOps {
         s"""CASE WHEN mm <= 0 THEN CAST(-336 AS BIGINT)
            |  ELSE CAST(16 * (e0 - 20) + $dsirFracCaseSql AS BIGINT) END"""
           .stripMargin).as("lr"))
+      .as[(Long, Long)].collect().toSeq
+    local.toDF("b", "lr")
   }
 
   private def dsirScoreTb(tb: DataFrame, lr: DataFrame): DataFrame =
@@ -1633,13 +1652,12 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_sum"),
         expr("(lw_sum * 1000) div n_tok").as("lw_milli"))
 
-  private def dsirMu(x: DataFrame): DataFrame =
-    x.agg(expr("sum(lw_milli) div count(*)").as("mu"))
-
-  private def dsirSelected(x: DataFrame, mu: DataFrame): DataFrame =
-    x.crossJoin(broadcast(mu))
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_sum"),
-        col("lw_milli"), (col("lw_milli") >= col("mu")).as("selected"))
+  /** The corpus mean weight (one 1-row aggregation job — the q200
+    * threshold stance), as a driver scalar. */
+  private def dsirMu(x: DataFrame): Long = {
+    val r = x.agg(expr("sum(lw_milli) div count(*)").as("mu")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   // ---- q197 batch-perceptron helpers ----
   /** The 5 marker-token count features (plus bias) behind q197 — ONE

@@ -828,6 +828,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
   }
 
+  test("q276 DSIR: the model joins broadcast (constant-sized at any " +
+    "corpus); the corpus is never self-joined") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, Sf, "documents")
+    val m = TextOps.dsirTrain(docs, col("lang") === "en")
+    // the scoring path: the ONLY join is the 256-row local model on
+    // the broadcast side; a shuffled or merge join here would mean a
+    // corpus-keyed join crept into the per-token scoring
+    val ps = planOf(TextOps.dsirScore(docs, m.lr))
+      .split("== Initial Plan ==").head
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("ShuffledHashJoin"),
+      ps)
+    // the gated frame itself serves from the snapshotted scores — no
+    // join of any kind survives on the served plan (the q243 stance)
+    val pf = planOf(q("q276_dsir_select")).split("== Initial Plan ==").head
+    assert(!pf.contains("Join"), pf)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
