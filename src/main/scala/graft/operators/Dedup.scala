@@ -463,6 +463,43 @@ object Dedup {
     ClusterLabels(labels, labelsRdd)
   }
 
+  /** Verified near-dup pairs with BOTH endpoints' connected-component
+    * labels attached: (id_a, id_b, comp_a, comp_b). This is the evidence
+    * table behind the leakage-safe-split audit (q281): a pair whose
+    * endpoints land in different train/eval splits under a DOC-keyed
+    * split is eval-set leakage; under a CLUSTER-keyed split (hash the
+    * component, not the doc) the cross count is zero BY CONSTRUCTION —
+    * both endpoints of a verified pair share a component, so they hash
+    * together. Cost shape: the pair list is LSH-bounded (never all-pairs),
+    * the label join is pairs-vs-labels on the doc id (uniform keys), and
+    * the CC runs on the pair edges only — same machinery, same bounds as
+    * [[nearDupClustersResult]]. The returned frame is a managed snapshot
+    * (ContextCleaner reclaims it); intermediates are freed here. */
+  def nearDupPairLabels(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double,
+                        numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).cache()
+    val bands = lshBands(signaturesFromShingles(sh, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val pairs = verifyCandidates(candidatesFromBands(bands, idCol), sh, idCol, minJaccard)
+      .select("id_a", "id_b").persist()
+    pairs.count()
+    sh.unpersist()
+    val cc = Graph.connectedComponentsResult(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      edgesAreDistinctPairs = true)
+    val (out, _) = Graph.snapshot(pairs
+      .join(cc.labels.select(col("v").as("id_a"), col("component").as("comp_a")),
+        Seq("id_a"))
+      .join(cc.labels.select(col("v").as("id_b"), col("component").as("comp_b")),
+        Seq("id_b"))
+      .select("id_a", "id_b", "comp_a", "comp_b"))
+    out.count()
+    pairs.unpersist()
+    cc.release()
+    out
+  }
+
   /** The STATIC asset for ingest-time decontamination: the distinct
     * n-gram shingles of the train corpus, with hot shingles (df over the
     * TRAIN rows > maxDf) dropped — boilerplate shared across many train

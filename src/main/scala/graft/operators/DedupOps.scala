@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked dedup queries over `documents` (which contains ~25 planted
@@ -70,6 +71,46 @@ object DedupOps {
        |  unnest([${hashes.mkString(", ")}]) AS band_hash,
        |  unnest(range($numBands)) AS band_idx FROM sig)""".stripMargin
   }
+
+  /** Candidate→verify CTE chain (expects `sh` and `bands` in scope),
+    * ending in `pairs(i, j)` — the verified near-dup pairs at 3-gram
+    * Jaccard ≥ 0.8. ONE owner for the q74/q113/q153 text and the
+    * leakage-split gates (q280/q281), so the near-dup evidence can never
+    * drift between the keep-list, the cluster analytics, and the split
+    * audit. */
+  private[operators] val verifiedPairsCtes: String =
+    """cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT cand.i, cand.j, count(*) AS inter
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.i
+      |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT i, j FROM p
+      |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+      |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8)""".stripMargin
+
+  /** 3-round min-label propagation over `pairs`, ending in `l3(v, l)` —
+    * EVERY document labeled, singletons label themselves (cluster
+    * diameter ≤ 2 in the fixture; the Spark side iterates to an exact
+    * fixpoint regardless). Companion of [[verifiedPairsCtes]], same
+    * single-owner rule. */
+  private[operators] val labelPropCtes: String =
+    """e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
+      |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
+      |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+      |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
+      |       GROUP BY l1.v, l1.l),
+      |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+      |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
+      |       GROUP BY l2.v, l2.l)""".stripMargin
 
   /** Shared DuckDB CTE ending in `sm(doc_id, simhash)` — the exact SimHash
     * pipeline (md5 token hashes, ±1 votes, bit pack) at `bits` width. */
@@ -249,31 +290,8 @@ object DedupOps {
       s"""WITH $ShingleCte,
          |$minhashSigSql,
          |$bandsSql,
-         |cand AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT cand.i, cand.j, count(*) AS inter
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.i
-         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT i, j FROM p
-         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
-         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
-         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
-         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
-         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
-         |       GROUP BY l1.v, l1.l),
-         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
-         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
-         |       GROUP BY l2.v, l2.l),
+         |$verifiedPairsCtes,
+         |$labelPropCtes,
          |sizes AS (SELECT l, count(*) AS n_vertices FROM l3 GROUP BY l)
          |SELECT n_vertices AS cluster_size, count(*) AS n_clusters
          |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
@@ -295,31 +313,8 @@ object DedupOps {
       s"""WITH $ShingleCte,
          |$minhashSigSql,
          |$bandsSql,
-         |cand AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT cand.i, cand.j, count(*) AS inter
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.i
-         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT i, j FROM p
-         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
-         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
-         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
-         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
-         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
-         |       GROUP BY l1.v, l1.l),
-         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
-         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
-         |       GROUP BY l2.v, l2.l)
+         |$verifiedPairsCtes,
+         |$labelPropCtes
          |SELECT v AS doc_id FROM l3 WHERE l = v ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.nearDupKeepList(Tables.t(s, d, "documents"), "doc_id", "text", 3, 0.8)
         .orderBy("doc_id")
@@ -508,31 +503,8 @@ object DedupOps {
       s"""WITH $ShingleCte,
          |$minhashSigSql,
          |$bandsSql,
-         |cand AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT cand.i, cand.j, count(*) AS inter
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.i
-         |  JOIN sh sb ON sb.doc_id = cand.j AND sb.s = sa.s
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT i, j FROM p
-         |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
-         |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8),
-         |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-         |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
-         |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
-         |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
-         |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
-         |       GROUP BY l1.v, l1.l),
-         |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
-         |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
-         |       GROUP BY l2.v, l2.l),
+         |$verifiedPairsCtes,
+         |$labelPropCtes,
          |j AS (SELECT l3.l, d.doc_id, d.n_chars FROM l3
          |      JOIN documents d ON d.doc_id = l3.v),
          |r AS (SELECT l, doc_id, n_chars,
@@ -772,6 +744,90 @@ object DedupOps {
       Dedup.tokenNormalizedDedupStats(v1.union(v2), "doc_id", "text",
           "source")
         .orderBy("source")
+    },
+
+    // ---- LEAKAGE-SAFE train/eval split: hash the near-dup CLUSTER label,
+    //      not the doc id, so every near-dup cluster lands whole on one
+    //      side — the split a real eval set needs (a doc-keyed split
+    //      leaks near-copies of eval docs into train; see q281 for the
+    //      measured count). Composition: the q113 cluster labeling (LSH
+    //      candidates → exact verify → CC, never all-pairs) + the q85
+    //      md5 split applied to the component. Per-split n_docs /
+    //      n_clusters / total_tokens — the composition report a release
+    //      publishes next to the split. Scale: one labels-vs-corpus
+    //      equi-join on the doc id + a 2-group agg; the only new work
+    //      over q113 is a narrow md5 map. ----
+    Q("q280_leakage_safe_split",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |$verifiedPairsCtes,
+         |$labelPropCtes,
+         |t AS (SELECT ${Sampling.splitLabelSql("l3.l", 1)} AS split,
+         |        l3.l AS component, len(string_split(d.text, ' ')) AS ntok
+         |      FROM l3 JOIN documents d ON d.doc_id = l3.v)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT component) AS n_clusters,
+         |  CAST(sum(ntok) AS BIGINT) AS total_tokens
+         |FROM t GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val labels = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.8)
+      docs.join(labels, "doc_id")
+        .select(Sampling.splitLabel(col("component"), 1).as("split"),
+          col("component"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_clusters"),
+          sum(col("ntok").cast("long")).as("total_tokens"))
+        .orderBy("split")
+    },
+
+    // ---- split-leakage AUDIT: for every VERIFIED near-dup pair, would a
+    //      doc-keyed split separate its endpoints (train/eval leakage),
+    //      and does the cluster-keyed split (q280) keep them together?
+    //      The cluster-keyed cross count is zero BY CONSTRUCTION (both
+    //      endpoints share a component, so they hash together) — the gate
+    //      proves the property end-to-end, and the doc-keyed count is the
+    //      leakage a naive split would have shipped. Scale: the pair list
+    //      is LSH-bounded; labels join pairs on the doc id; the report is
+    //      2 rows. ----
+    Q("q281_split_leakage_audit",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |$verifiedPairsCtes,
+         |$labelPropCtes,
+         |pl AS (SELECT p.i, p.j, la.l AS li, lb.l AS lj
+         |       FROM pairs p JOIN l3 la ON la.v = p.i
+         |       JOIN l3 lb ON lb.v = p.j),
+         |sp AS (SELECT
+         |    ${Sampling.splitLabelSql("i", 1)} AS si,
+         |    ${Sampling.splitLabelSql("j", 1)} AS sj,
+         |    ${Sampling.splitLabelSql("li", 1)} AS ci,
+         |    ${Sampling.splitLabelSql("lj", 1)} AS cj
+         |  FROM pl)
+         |SELECT 'cluster_level' AS strategy, count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN ci <> cj THEN 1 END), 0) AS BIGINT) AS n_cross
+         |FROM sp
+         |UNION ALL
+         |SELECT 'doc_level', count(*),
+         |  CAST(coalesce(sum(CASE WHEN si <> sj THEN 1 END), 0) AS BIGINT)
+         |FROM sp
+         |ORDER BY strategy""".stripMargin) { (s, d) =>
+      val pl = Dedup.nearDupPairLabels(Tables.t(s, d, "documents"),
+        "doc_id", "text", 3, 0.8)
+      def sl(c: String) = Sampling.splitLabel(col(c), 1)
+      val sp = pl.select(sl("id_a").as("si"), sl("id_b").as("sj"),
+        sl("comp_a").as("ci"), sl("comp_b").as("cj"))
+      val cross = (a: Column, b: Column) =>
+        coalesce(sum(when(a =!= b, 1L)), lit(0L)).cast("long").as("n_cross")
+      sp.agg(count(lit(1)).as("n_pairs"), cross(col("ci"), col("cj")))
+        .select(lit("cluster_level").as("strategy"), col("n_pairs"), col("n_cross"))
+        .unionAll(
+          sp.agg(count(lit(1)).as("n_pairs"), cross(col("si"), col("sj")))
+            .select(lit("doc_level").as("strategy"), col("n_pairs"), col("n_cross")))
+        .orderBy("strategy")
     }
   )
 }

@@ -67,6 +67,15 @@ object Sampling {
   def splitLabel(id: Column, evalOutOf10: Int): Column =
     when(hashBucket(id, 10) < 10 - evalOutOf10, lit("train")).otherwise(lit("eval"))
 
+  /** The DuckDB image of [[splitLabel]] over an arbitrary id expression —
+    * ONE owner for the split CASE text, shared by the doc-keyed gates
+    * (q85 and the DSIR/classifier deltas) and the CLUSTER-keyed
+    * leakage-safe split (q280/q281, which hash the component label
+    * instead of the doc id). */
+  def splitLabelSql(idExpr: String, evalOutOf10: Int): String =
+    s"CASE WHEN CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) " +
+      s"% 10 < ${10 - evalOutOf10} THEN 'train' ELSE 'eval' END"
+
   /** Scale-safe stratified exact-quota sample — the production form of the
     * q121 rank-formula shape: per stratum keep exactly `n div outOf` docs,
     * the smallest by (md5, id), WITHOUT ever ranking a whole stratum.
@@ -155,9 +164,8 @@ object Sampling {
 
     // ---- deterministic 90/10 split with per-split corpus stats ----
     Q("q85_train_split",
-      """WITH t AS (
-        |  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
-        |              THEN 'train' ELSE 'eval' END AS split,
+      s"""WITH t AS (
+        |  SELECT ${splitLabelSql("doc_id", 1)} AS split,
         |    len(string_split(text, ' ')) AS ntok
         |  FROM documents)
         |SELECT split, count(*) AS n_docs,

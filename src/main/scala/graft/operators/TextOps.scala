@@ -1434,8 +1434,8 @@ object TextOps {
         .persist() // 3 training rounds + final scoring reread it
       try {
         var w = Array.fill(nf + 1)(0L)
-        def margin = (0 to nf).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
         for (_ <- 1 to PerceptronRounds) {
+          val margin = perceptronMarginCol(w)
           val aggs = (0 to nf).map(i =>
             coalesce(sum(col("y") * col(s"x$i")), lit(0L)).cast("long")
               .as(s"u$i"))
@@ -1444,7 +1444,7 @@ object TextOps {
           w = (0 to nf).map(i => w(i) + upd.getLong(i)).toArray
         }
         val scored = feats.select(col("doc_id"), col("y"),
-            margin.cast("long").as("margin"))
+            perceptronMarginCol(w).cast("long").as("margin"))
           .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
         val acc = scored.agg(
             sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("c"),
@@ -1457,6 +1457,165 @@ object TextOps {
           .crossJoin(broadcast(acc))
           .orderBy("doc_id")
       } finally { feats.unpersist(); () }
+    },
+
+    // ---- classifier CALIBRATION curve (the q282 companion of q197 — the
+    //      step a production quality filter runs before picking its
+    //      threshold): per normalized-margin bin, how often is the
+    //      classifier's positive class actually positive? The margin is
+    //      normalized by the weights' L1 mass in integer thousandths
+    //      (nm = 1000·margin div ‖w‖₁ — invariant to the trainer's step
+    //      scale and round count, so the bin ladder survives retuning),
+    //      then binned against ONE shared edge ladder. Scale: training is PerceptronRounds narrow
+    //      agg passes; the calibration itself is one 6-column map + a
+    //      ≤|edges|+1-group agg. ----
+    Q("q282_margin_calibration", {
+      val binSql = CalibrationEdges
+        .map(e => s"CASE WHEN nm >= $e THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH ${qualityFCteSql("f")},
+         |${qualityTrainCtes("f")},
+         |wn AS (SELECT ${perceptronL1Sql} AS l1 FROM w$QualityRounds),
+         |nb AS (SELECT f.doc_id, f.y,
+         |  CAST((1000 * (${perceptronMarginSql("f")})) // GREATEST(wn.l1, 1)
+         |    AS BIGINT) AS nm
+         |  FROM f, w$QualityRounds w, wn),
+         |b AS (SELECT CAST($binSql AS INTEGER) AS bin, y FROM nb)
+         |SELECT bin, count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n_pos,
+         |  CAST((1000000 * coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0))
+         |    // count(*) AS BIGINT) AS pos_ppm
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    }) { (s, d) =>
+      val feats = qualityFeats(Tables.t(s, d, "documents")).persist()
+      try {
+        val w = qualityTrain(feats)
+        val bin = CalibrationEdges
+          .map(e => when(col("nm") >= e, 1).otherwise(0))
+          .reduce(_ + _).cast("int")
+        perceptronNormMargin(feats, w)
+          .select(bin.as("bin"), col("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(when(col("y") === 1, 1L)), lit(0L)).cast("long")
+              .as("n_pos"))
+          .withColumn("pos_ppm", expr("(1000000 * n_pos) div n_docs")
+            .cast("long"))
+          .orderBy("bin")
+      } finally { feats.unpersist(); () }
+    },
+
+    // ---- PRECISION-TARGETED threshold sweep (the q224/q248 tuning-sweep
+    //      stance for the trained filter): ONE training, every candidate
+    //      normalized-margin threshold scored — selected count, positives
+    //      among selected, precision ppm — and the smallest threshold
+    //      meeting the 90% precision target flagged `chosen`. This is how
+    //      a filter threshold is actually picked: sweep once, read the
+    //      curve, ship the cheapest cut that meets the precision bar.
+    //      Scale: the sweep joins the per-doc nm row to a |thresholds|-row
+    //      broadcast — |thresholds|× the corpus in narrow rows, grouped to
+    //      |thresholds| output rows; the chosen flag joins the sweep to
+    //      its own 1-row min. ----
+    Q("q283_calibrated_select", {
+      val thrList = ClassifierThresholds.mkString(", ")
+      s"""WITH ${qualityFCteSql("f")},
+         |${qualityTrainCtes("f")},
+         |wn AS (SELECT ${perceptronL1Sql} AS l1 FROM w$QualityRounds),
+         |nb AS (SELECT f.doc_id, f.y,
+         |  CAST((1000 * (${perceptronMarginSql("f")})) // GREATEST(wn.l1, 1)
+         |    AS BIGINT) AS nm
+         |  FROM f, w$QualityRounds w, wn),
+         |t AS (SELECT unnest([$thrList]) AS thr),
+         |g AS (SELECT t.thr,
+         |    coalesce(sum(CASE WHEN nb.nm > t.thr THEN 1 END), 0) AS n_sel,
+         |    coalesce(sum(CASE WHEN nb.nm > t.thr AND nb.y = 1 THEN 1 END), 0) AS n_pos
+         |  FROM t, nb GROUP BY t.thr),
+         |g2 AS (SELECT CAST(thr AS INTEGER) AS thr,
+         |    CAST(n_sel AS BIGINT) AS n_sel, CAST(n_pos AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN n_sel = 0 THEN 0
+         |      ELSE (1000000 * n_pos) // n_sel END AS BIGINT) AS prec_ppm
+         |  FROM g),
+         |m AS (SELECT min(thr) AS mt FROM g2
+         |      WHERE prec_ppm >= $PrecisionTargetPpm)
+         |SELECT g2.thr, g2.n_sel, g2.n_pos, g2.prec_ppm,
+         |  coalesce(g2.thr = m.mt, FALSE) AS chosen
+         |FROM g2, m ORDER BY thr""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val feats = qualityFeats(Tables.t(s, d, "documents")).persist()
+      try {
+        val w = qualityTrain(feats)
+        val thr = broadcast(ClassifierThresholds.toDF("thr"))
+        val sweep = perceptronNormMargin(feats, w)
+          .crossJoin(thr)
+          .groupBy("thr")
+          .agg(
+            coalesce(sum(when(col("nm") > col("thr"), 1L)), lit(0L))
+              .cast("long").as("n_sel"),
+            coalesce(sum(when(col("nm") > col("thr") && col("y") === 1, 1L)),
+              lit(0L)).cast("long").as("n_pos"))
+          .withColumn("prec_ppm",
+            when(col("n_sel") === 0L, 0L)
+              .otherwise(expr("(1000000 * n_pos) div n_sel")).cast("long"))
+        // the sweep is |thresholds| rows — its own min is driver-sized
+        val chosen = sweep.filter(col("prec_ppm") >= PrecisionTargetPpm)
+          .agg(min(col("thr")).as("mt"))
+        sweep.crossJoin(broadcast(chosen))
+          .select(col("thr"), col("n_sel"), col("n_pos"), col("prec_ppm"),
+            coalesce(col("thr") === col("mt"), lit(false)).as("chosen"))
+          .orderBy("thr")
+      } finally { feats.unpersist(); () }
+    },
+
+    // ---- FROZEN-CLASSIFIER delta scoring (the q277 stance for this
+    //      family): weights train on the SHIPPED base (the md5 'train'
+    //      split) only; arrivals (the 'eval' split) are scored against
+    //      that frozen model — a doc's verdict is a pure function of
+    //      (base, doc), never of what co-arrives. ONE oracle instance
+    //      shared with q285 (streamed ≡ batch) and q286 (load ≡ train). ----
+    Q("q284_classifier_delta", ClassifierDeltaOracleSql) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val w = trainQualityFilter(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train"))
+      scoreQualityFilter(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"), w)
+    },
+
+    // ---- STREAMING classifier front door (the q278 stance): a REAL
+    //      file-source stream of arrivals scored statelessly against the
+    //      frozen broadcast weights — per-arrival work is a narrow map
+    //      (6 literal multiplies), so arrival order and batch boundaries
+    //      are invisible by construction; the SAME oracle instance as
+    //      q284 proves it. ----
+    Q("q285_classifier_stream", ClassifierDeltaOracleSql) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val w = trainQualityFilter(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train"))
+      val stream = graft.streaming.EventStreams
+        .readParquetStream(s, s"$d/documents.parquet")
+        .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
+      val scored = scoreQualityFilter(stream, w, ordered = false)
+      val name = s"q285_sink_${System.nanoTime()}"
+      val query = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).select("doc_id", "label", "margin", "pred")
+        .orderBy("doc_id")
+    },
+
+    // ---- classifier from the PERSISTED model (the q279 stance): train
+    //      on the base, save the weight row through the shared
+    //      artifact-params owner, load into a fresh array, and score the
+    //      delta with ZERO training jobs on the load path — same oracle
+    //      instance as q284, so the hash proves load ≡ train. ----
+    Q("q286_classifier_from_artifact", ClassifierDeltaOracleSql) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val w = trainQualityFilter(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "train"))
+      val dir = classifierArtifactDir(d)
+      PerceptronStore.save(s, w, dir)
+      val loaded = PerceptronStore.load(s, dir)
+      scoreQualityFilter(
+        docs.filter(Sampling.splitLabel(col("doc_id"), 1) === "eval"), loaded)
     }
   )
 
@@ -1667,42 +1826,266 @@ object TextOps {
   private def PerceptronMarkers = Seq("the", "a", "data", "spark", "fast")
   private def PerceptronRounds = 3
 
-  private def perceptronMarginSql: String =
-    (0 to PerceptronMarkers.length)
-      .map(i => s"w.b$i * f.x$i").mkString(" + ")
+  // ---- q282–q286 QUALITY-classifier family constants (distinct from
+  //      q197's langid: that gate pins the RAW batch-perceptron
+  //      trajectory; this family trains a USABLE filter — see
+  //      [[qualityTrain]] for why the update rule differs) ----
 
-  /** One DuckDB batch-perceptron round: misclassified-set update sums
-    * under the previous round's weights, then the integer weight add —
-    * the Lloyd-style oracle replay of an iterative trainer. */
-  private def perceptronRoundCte(r: Int): String = {
-    val nf = PerceptronMarkers.length
+  /** Marker-count features x2..x5 of the quality classifier. */
+  private def QualityMarkers = Seq("the", "data", "spark", "fast")
+
+  /** x1 = tokenCount − this (CENTERED length): with raw counts the
+    * length feature's magnitude (~55) dwarfs the bias's (1), so the
+    * separating hyperplane's offset can never catch up and batch
+    * training oscillates at chance (measured: acc stuck at 0.49–0.51
+    * over 8 rounds). Centering puts the boundary near the origin. */
+  private def QualityTokCenter = 55
+
+  /** The label: y = +1 iff n_chars ≥ this — the long-doc quality proxy.
+    * Chars correlate with (but aren't determined by) the token
+    * features, so the learned filter is good-but-imperfect — exactly
+    * what a calibration curve (q282) and threshold sweep (q283) are
+    * for. */
+  private def QualityCharBar = 300
+
+  private def QualityRounds = 4
+
+  /** Damped batch rounds: w += (1000·Σ_mis y·x) div max(|mis|, 1) —
+    * the misclassified-set MEAN in milli-units, not the raw sum q197
+    * pins. The raw-sum update scales with corpus size (at sf0.1 the
+    * round-1 step is 10× sf0.01's), so the same 3-round program lands
+    * at wildly different weights per SF and oscillates (measured:
+    * round 3 flips every sign). The mean step is corpus-size-FREE:
+    * bounded by feature magnitude, identical shape at any SF — the
+    * Lloyd-rounds stance applied to a linear model. */
+  private def QualityStepMilli = 1000L
+
+  /** Normalized-margin bin edges (thousandths of the L1-normalized
+    * margin) — ONE ladder for the q282 calibration bins, Spark and
+    * oracle sides. */
+  private def CalibrationEdges = Seq(-200L, -50L, 0L, 50L, 200L)
+
+  /** Candidate thresholds for the q283 precision-targeted sweep, same
+    * nm units as [[CalibrationEdges]] but reaching further into the
+    * negative cloud so the sweep shows sub-bar rows. */
+  private def ClassifierThresholds = Seq(-20000, -5000, -2000, -1000, -200, 0, 200)
+
+  /** The q283 precision bar (ppm): ship the cheapest threshold whose
+    * selected set is ≥ 90% positive. */
+  private def PrecisionTargetPpm = 900000L
+
+  /** ‖w‖₁ over the trained weight row — the q282/q283 normalizer. */
+  private def perceptronL1Sql: String =
+    (0 to QualityMarkers.length + 1).map(i => s"abs(b$i)").mkString(" + ")
+
+  /** Quality-feature frame (doc_id, y, x0..x5): bias, centered token
+    * count, marker counts; y = ±1 on the n_chars bar. */
+  private def qualityFeats(docs: DataFrame): DataFrame = {
+    val featCols = QualityMarkers.zipWithIndex.map { case (m, i) =>
+      size(filter(split(col("text"), " "), t => t === m)).as(s"x${i + 2}")
+    }
+    docs.select(Seq(col("doc_id"),
+      when(col("n_chars") >= QualityCharBar, 1).otherwise(-1).as("y"),
+      lit(1).as("x0"),
+      (graft.functions.TextFunctions.tokenCount(col("text"))
+        - QualityTokCenter).as("x1")) ++ featCols: _*)
+  }
+
+  /** The SQL image of [[qualityFeats]], optionally filtered (`where`
+    * includes the leading " WHERE "). */
+  private def qualityFCteSql(name: String, where: String = ""): String = {
+    val feats = QualityMarkers.zipWithIndex.map { case (m, i) =>
+      s"len(list_filter(string_split(text, ' '), t -> t = '$m')) AS x${i + 2}"
+    }.mkString(",\n  ")
+    s"""$name AS (
+       |  SELECT doc_id, CASE WHEN n_chars >= $QualityCharBar THEN 1 ELSE -1 END AS y,
+       |  1 AS x0,
+       |  len(string_split(text, ' ')) - $QualityTokCenter AS x1,
+       |  $feats
+       |  FROM documents$where)""".stripMargin
+  }
+
+  /** One damped training round (see [[QualityStepMilli]]): the update
+    * CTE also counts the misclassified set, and the weight add divides
+    * by it — both engines truncate toward zero. */
+  private def qualityRoundCte(r: Int, fName: String): String = {
+    val nf = QualityMarkers.length + 1
+    val m = perceptronMarginSql(fName)
     val upd = (0 to nf).map(i =>
-      s"CAST(coalesce(sum(CASE WHEN f.y * ($perceptronMarginSql) <= 0 " +
-        s"THEN f.y * f.x$i ELSE 0 END), 0) AS BIGINT) AS b$i").mkString(",\n    ")
+      s"CAST(coalesce(sum(CASE WHEN $fName.y * ($m) <= 0 " +
+        s"THEN $fName.y * $fName.x$i ELSE 0 END), 0) AS BIGINT) AS b$i")
+      .mkString(",\n    ")
+    val add = (0 to nf).map(i =>
+      s"w.b$i + ($QualityStepMilli * u.b$i) // GREATEST(u.nmis, 1) AS b$i")
+      .mkString(", ")
+    s"""u$r AS (SELECT
+       |    $upd,
+       |    CAST(coalesce(sum(CASE WHEN $fName.y * ($m) <= 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS nmis
+       |  FROM $fName, w${r - 1} w),
+       |w$r AS (SELECT $add FROM w${r - 1} w, u$r u)""".stripMargin
+  }
+
+  /** w0 + QualityRounds damped training CTEs over feature CTE `fName`,
+    * ending in `w$QualityRounds(b0..b5)`. */
+  private def qualityTrainCtes(fName: String): String = {
+    val nf = QualityMarkers.length + 1
+    val w0 = (0 to nf).map(i => s"CAST(0 AS BIGINT) AS b$i").mkString(", ")
+    val rounds = (1 to QualityRounds)
+      .map(r => qualityRoundCte(r, fName)).mkString(",\n")
+    s"""w0 AS (SELECT $w0),
+       |$rounds""".stripMargin
+  }
+
+  /** Damped batch training over a [[qualityFeats]] frame: each round is
+    * ONE two-phase agg (integer adds, order-independent) collecting the
+    * |features|+2-row update driver-side — the model is O(features) on
+    * the driver by definition. Update rule: see [[QualityStepMilli]]. */
+  private def qualityTrain(feats: DataFrame): Array[Long] = {
+    val nf = QualityMarkers.length + 1
+    var w = Array.fill(nf + 1)(0L)
+    for (_ <- 1 to QualityRounds) {
+      val margin = perceptronMarginCol(w)
+      val aggs = (0 to nf).map(i =>
+        coalesce(sum(col("y") * col(s"x$i")), lit(0L)).cast("long")
+          .as(s"u$i")) :+ count(lit(1)).as("nmis")
+      val upd = feats.filter((col("y") * margin) <= 0)
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      val nmis = math.max(upd.getLong(nf + 1), 1L)
+      w = (0 to nf).map(i => w(i) + (QualityStepMilli * upd.getLong(i)) / nmis)
+        .toArray
+    }
+    w
+  }
+
+  /** Σ wᵢ·xᵢ as literal weights over x0..xN columns. */
+  private def perceptronMarginCol(w: Array[Long]): Column =
+    w.indices.map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+
+  /** Per-doc L1-normalized margin in thousandths: nm = 1000·margin div
+    * max(‖w‖₁, 1) — scale-free across weight magnitudes, integer-exact
+    * (both engines truncate toward zero). Returns (doc_id, y, nm). */
+  private def perceptronNormMargin(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val l1 = math.max(w.map(math.abs).sum, 1L)
+    feats.select(col("doc_id"), col("y"),
+      perceptronMarginCol(w).cast("long").as("margin"))
+      .select(col("doc_id"), col("y"),
+        expr(s"(1000 * margin) div $l1").cast("long").as("nm"))
+  }
+
+  /** Train the quality filter on a document frame: the public surface
+    * of the q282–q286 family (persist hygiene included — the feature
+    * frame is re-read once per damped round). */
+  def trainQualityFilter(docs: DataFrame): Array[Long] = {
+    val f = qualityFeats(docs).persist()
+    try qualityTrain(f) finally { f.unpersist(); () }
+  }
+
+  /** Score a document frame (batch OR stream — plain DataFrame ops)
+    * with frozen [[trainQualityFilter]] weights:
+    * (doc_id, label, margin, pred). */
+  def scoreQualityFilter(docs: DataFrame, w: Array[Long],
+      ordered: Boolean = true): DataFrame =
+    perceptronScoreDelta(qualityFeats(docs), w, ordered)
+
+  /** Score a quality-feature frame (batch OR stream — plain DataFrame
+    * ops) with frozen weights: (doc_id, label, margin, pred), ordered
+    * for the gate unless `ordered = false` (streaming sinks sort after
+    * collection). */
+  private def perceptronScoreDelta(feats: DataFrame, w: Array[Long],
+      ordered: Boolean = true): DataFrame = {
+    val scored = feats
+      .select(col("doc_id"), col("y").as("label"),
+        perceptronMarginCol(w).cast("long").as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
+    if (ordered) scored.orderBy("doc_id") else scored
+  }
+
+  /** ONE oracle instance for q284 (batch delta), q285 (streamed ≡ batch)
+    * and q286 (load ≡ train): weights train on the md5 'train' split,
+    * the 'eval' split is scored against that frozen model. */
+  private lazy val ClassifierDeltaOracleSql: String = {
+    val split = Sampling.splitLabelSql("doc_id", 1)
+    s"""WITH ${qualityFCteSql("f", s" WHERE ($split) = 'train'")},
+       |${qualityTrainCtes("f")},
+       |${qualityFCteSql("fe", s" WHERE ($split) = 'eval'")},
+       |scored AS (SELECT fe.doc_id, fe.y,
+       |  CAST(${perceptronMarginSql("fe")} AS BIGINT) AS margin
+       |  FROM fe, w$QualityRounds w)
+       |SELECT doc_id, y AS label, margin,
+       |  CASE WHEN margin > 0 THEN 1 ELSE -1 END AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // data dir -> the ONE q286 artifact dir this JVM round-trips through
+  // (the dsirDirs rule: each invocation overwrite-saves — the save IS
+  // the operator — but repeated bench/verify passes must not accumulate
+  // artifact copies).
+  private val classifierDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def classifierArtifactDir(d: String): String =
+    classifierDirs.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => graft.TempDirs.create("graft-classifier").toString)
+
+  /** The weighted margin Σ wᵢ·xᵢ with the feature table aliased `fa` and
+    * the weight row aliased `w` — parameterized so the delta gates can
+    * score an EVAL feature table against weights trained on the train
+    * split (q284–q286). */
+  private def perceptronMarginSql(fa: String = "f"): String =
+    (0 to PerceptronMarkers.length)
+      .map(i => s"w.b$i * $fa.x$i").mkString(" + ")
+
+  /** One DuckDB batch-perceptron round over feature CTE `fName`:
+    * misclassified-set update sums under the previous round's weights,
+    * then the integer weight add — the Lloyd-style oracle replay of an
+    * iterative trainer. */
+  private def perceptronRoundCte(r: Int, fName: String = "f"): String = {
+    val nf = PerceptronMarkers.length
+    val m = perceptronMarginSql(fName)
+    val upd = (0 to nf).map(i =>
+      s"CAST(coalesce(sum(CASE WHEN $fName.y * ($m) <= 0 " +
+        s"THEN $fName.y * $fName.x$i ELSE 0 END), 0) AS BIGINT) AS b$i")
+      .mkString(",\n    ")
     val add = (0 to nf).map(i => s"w.b$i + u.b$i AS b$i").mkString(", ")
     s"""u$r AS (SELECT
        |    $upd
-       |  FROM f, w${r - 1} w),
+       |  FROM $fName, w${r - 1} w),
        |w$r AS (SELECT $add FROM w${r - 1} w, u$r u)""".stripMargin
+  }
+
+  /** Feature CTE `name(doc_id, y, x0..x5)` over documents, optionally
+    * filtered (`where` includes the leading " WHERE "). ONE builder for
+    * the full-corpus (q197/q282/q283) and split-filtered (q284–q286)
+    * instances. */
+  private def perceptronFCteSql(name: String, where: String = ""): String = {
+    val feats = PerceptronMarkers.zipWithIndex.map { case (m, i) =>
+      s"len(list_filter(string_split(text, ' '), t -> t = '$m')) AS x${i + 1}"
+    }.mkString(",\n  ")
+    s"""$name AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |  1 AS x0,
+       |  $feats
+       |  FROM documents$where)""".stripMargin
+  }
+
+  /** The w0 + PerceptronRounds training CTEs over feature CTE `fName`,
+    * ending in `w$PerceptronRounds(b0..b5)`. */
+  private def perceptronTrainCtes(fName: String = "f"): String = {
+    val nf = PerceptronMarkers.length
+    val w0 = (0 to nf).map(i => s"CAST(0 AS BIGINT) AS b$i").mkString(", ")
+    val rounds = (1 to PerceptronRounds)
+      .map(r => perceptronRoundCte(r, fName)).mkString(",\n")
+    s"""w0 AS (SELECT $w0),
+       |$rounds""".stripMargin
   }
 
   private def perceptronOracleSql: String = {
     val nf = PerceptronMarkers.length
-    val feats = PerceptronMarkers.zipWithIndex.map { case (m, i) =>
-      s"len(list_filter(string_split(text, ' '), t -> t = '$m')) AS x${i + 1}"
-    }.mkString(",\n  ")
-    val w0 = (0 to nf).map(i => s"CAST(0 AS BIGINT) AS b$i").mkString(", ")
-    val rounds = (1 to PerceptronRounds).map(perceptronRoundCte).mkString(",\n")
     val wOut = (0 to nf).map(i => s"w.b$i AS w$i").mkString(", ")
-    s"""WITH f AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-       |  1 AS x0,
-       |  $feats
-       |  FROM documents),
-       |w0 AS (SELECT $w0),
-       |$rounds,
+    s"""WITH ${perceptronFCteSql("f")},
+       |${perceptronTrainCtes("f")},
        |scored AS (SELECT f.doc_id, f.y,
-       |  CAST($perceptronMarginSql AS BIGINT) AS margin
+       |  CAST(${perceptronMarginSql("f")} AS BIGINT) AS margin
        |  FROM f, w$PerceptronRounds w),
        |pred AS (SELECT doc_id, y, margin,
        |  CASE WHEN margin > 0 THEN 1 ELSE -1 END AS pred FROM scored),
