@@ -849,6 +849,37 @@ class PlanSpec extends SparkTestBase {
     assert(!pf.contains("Join"), pf)
   }
 
+  test("q283/q284 quality filter: scoring is a join-free narrow map; the " +
+    "sweep's only join is the broadcast threshold ladder") {
+    // the frozen-weights scoring path (the q284/q285/q286 serve shape):
+    // six literal multiplies over the feature projection — any join here
+    // would mean the model stopped being driver-embedded literals
+    import graft.operators.TextOps
+    val docs = Tables.t(spark, Sf, "documents")
+    val w = TextOps.trainQualityFilter(docs)
+    val ps = planOf(TextOps.scoreQualityFilter(docs, w))
+      .split("== Initial Plan ==").head
+    assert(!ps.contains("Join"), ps)
+    assert(!ps.contains("Exchange hashpartitioning"), ps)
+    // the sweep joins the per-doc margin map to the |thresholds|-row
+    // ladder — broadcast nested loop over a LocalRelation is the right
+    // plan for a 7-row unconditioned expansion; a shuffled join on it
+    // would mean the ladder grew a corpus-sized key
+    val pw = planOf(q("q283_calibrated_select"))
+      .split("== Initial Plan ==").head
+    assert(!pw.contains("CartesianProduct"), pw)
+    assert(!pw.contains("SortMergeJoin") && !pw.contains("ShuffledHashJoin"),
+      pw)
+  }
+
+  test("q280: the split report rides the labels-vs-corpus equi-join — " +
+    "no cartesian, no corpus-wide window") {
+    val p = planOf(q("q280_leakage_safe_split"))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
