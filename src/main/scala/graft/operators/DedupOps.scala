@@ -96,21 +96,27 @@ object DedupOps {
       |          JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
       |          WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8)""".stripMargin
 
-  /** 3-round min-label propagation over `pairs`, ending in `l3(v, l)` —
-    * EVERY document labeled, singletons label themselves (cluster
-    * diameter ≤ 2 in the fixture; the Spark side iterates to an exact
-    * fixpoint regardless). Companion of [[verifiedPairsCtes]], same
-    * single-owner rule. */
+  /** 3-round min-label propagation over `pairs(i, j)`, ending in
+    * `l3(v, l)` — EVERY row of `table` labeled, singletons label
+    * themselves (cluster diameter ≤ 2 in the fixture; the Spark side
+    * iterates to an exact fixpoint regardless). Parameterized on the
+    * vertex table so the semantic modality (q287, embeddings/vec_id)
+    * replays the same propagation text. */
+  private[operators] def labelPropCtesFor(table: String, idCol: String,
+      edges: String = "e"): String =
+    s"""$edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |l1 AS (SELECT d.$idCol AS v, LEAST(d.$idCol, coalesce(min($edges.b), d.$idCol)) AS l
+       |       FROM $table d LEFT JOIN $edges ON $edges.a = d.$idCol GROUP BY d.$idCol),
+       |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
+       |       FROM l1 LEFT JOIN $edges ON $edges.a = l1.v LEFT JOIN l1 nb ON nb.v = $edges.b
+       |       GROUP BY l1.v, l1.l),
+       |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
+       |       FROM l2 LEFT JOIN $edges ON $edges.a = l2.v LEFT JOIN l2 nb ON nb.v = $edges.b
+       |       GROUP BY l2.v, l2.l)""".stripMargin
+
+  /** The documents-table instance behind q74/q113/q153/q280/q281. */
   private[operators] val labelPropCtes: String =
-    """e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-      |l1 AS (SELECT d.doc_id AS v, LEAST(d.doc_id, coalesce(min(e.b), d.doc_id)) AS l
-      |       FROM documents d LEFT JOIN e ON e.a = d.doc_id GROUP BY d.doc_id),
-      |l2 AS (SELECT l1.v, LEAST(l1.l, coalesce(min(nb.l), l1.l)) AS l
-      |       FROM l1 LEFT JOIN e ON e.a = l1.v LEFT JOIN l1 nb ON nb.v = e.b
-      |       GROUP BY l1.v, l1.l),
-      |l3 AS (SELECT l2.v, LEAST(l2.l, coalesce(min(nb.l), l2.l)) AS l
-      |       FROM l2 LEFT JOIN e ON e.a = l2.v LEFT JOIN l2 nb ON nb.v = e.b
-      |       GROUP BY l2.v, l2.l)""".stripMargin
+    labelPropCtesFor("documents", "doc_id")
 
   /** Shared DuckDB CTE ending in `sm(doc_id, simhash)` — the exact SimHash
     * pipeline (md5 token hashes, ±1 votes, bit pack) at `bits` width. */
@@ -828,6 +834,45 @@ object DedupOps {
           sp.agg(count(lit(1)).as("n_pairs"), cross(col("si"), col("sj")))
             .select(lit("doc_level").as("strategy"), col("n_pairs"), col("n_cross")))
         .orderBy("strategy")
+    },
+
+    // ---- dedup SAVINGS report: per source, what near-dup dedup keeps
+    //      vs drops, in docs AND tokens — the accounting a corpus owner
+    //      reads before paying for a crawl refresh (a source whose
+    //      tokens are mostly duplicates of what's already shipped is a
+    //      source to deprioritize). Composition: the q74 keep rule
+    //      (component representative ⟺ l = v) aggregated by source.
+    //      Scale: the labels-vs-corpus equi-join q280 already runs +
+    //      one |sources|-group agg. ----
+    Q("q288_dedup_savings_by_source",
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |$verifiedPairsCtes,
+         |$labelPropCtes,
+         |t AS (SELECT d.source,
+         |        CASE WHEN l3.l = l3.v THEN 1 ELSE 0 END AS kept,
+         |        len(string_split(d.text, ' ')) AS ntok
+         |      FROM l3 JOIN documents d ON d.doc_id = l3.v)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(kept * ntok) AS BIGINT) AS tokens_kept
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val labels = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.8)
+      docs.join(labels, "doc_id")
+        .select(col("source"),
+          when(col("component") === col("doc_id"), 1L).otherwise(0L)
+            .as("kept"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          sum(col("ntok")).cast("long").as("tokens_total"),
+          sum(col("kept") * col("ntok")).cast("long").as("tokens_kept"))
+        .orderBy("source")
     }
   )
 }

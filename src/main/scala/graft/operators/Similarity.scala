@@ -425,6 +425,72 @@ object Similarity {
           .otherwise(greatest(col("id_d"), col("id_e"))).as("loser"))
   }
 
+  /** Rule (b)'s verified pairs with BOTH endpoints' connected-component
+    * labels attached: (id_a, id_b, comp_a, comp_b) — the vector-modality
+    * twin of [[Dedup.nearDupPairLabels]], feeding the semantic
+    * split-leakage audit (q287): a cluster-keyed train/eval split can
+    * never separate a verified semantic pair (same component ⇒ same
+    * hash), while a vec-keyed split leaks. Pair list is cell-bounded
+    * (Σ|cell|², never n²); the CC runs on the pair edges only. */
+  def semanticPairLabels(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, k: Int,
+                         rounds: Int = 2): DataFrame = {
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+    val pairs = semanticPairs(cells, idCol, minCosine)
+      .select(col("id_d"), col("id_e")).persist()
+    pairs.count()
+    val cc = Graph.connectedComponentsResult(
+      pairs.select(col("id_d").as("src"), col("id_e").as("dst")),
+      edgesAreDistinctPairs = true)
+    val (out, _) = Graph.snapshot(pairs
+      .join(cc.labels.select(col("v").as("id_d"), col("component").as("comp_a")),
+        Seq("id_d"))
+      .join(cc.labels.select(col("v").as("id_e"), col("component").as("comp_b")),
+        Seq("id_e"))
+      .select(col("id_d").as("id_a"), col("id_e").as("id_b"),
+        col("comp_a"), col("comp_b")))
+    out.count()
+    pairs.unpersist()
+    cc.release()
+    out
+  }
+
+  /** Per-cell TIGHTNESS + outlier report (the embedding-curation prune
+    * signal next to q273's redundancy stats): per cell, the member
+    * count, the worst member's distance-to-centroid relative to the
+    * cell MEAN in exact integer thousandths (max_ratio_milli =
+    * 1000·max_d·n div max(Σd, 1) — a concentrated cell sits near 1000;
+    * a planted off-distribution vector spikes it), and the count of
+    * members beyond `factor`× the mean (cross-multiplied in exact
+    * integers, no division). Vectors far from every centroid are the
+    * mislabeled / off-distribution tail an embedding curation pass
+    * drops first; the milli-ratio is the number the q217-style alarm
+    * watches. Scale: one ≤ k-row stats agg BROADCAST back onto the
+    * routed corpus (the cells themselves are the q267 routing pass);
+    * the cross-multiplies stay in Long because the occupancy-scaled
+    * router (q268) bounds cell membership near targetCell. */
+  def semanticOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rounds: Int = 2,
+                       factor: Long = 2L): DataFrame = {
+    val cent = kmeansTrain(emb, idCol, vecCol, k, rounds)
+    val cells = semanticCells(emb, idCol, vecCol, cent, k)
+      .select(col(idCol), col("cid"), col("dist_sq"))
+    val stats = cells.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist_sq")).cast("long").as("sum_d"),
+        max(col("dist_sq")).cast("long").as("max_d"))
+    cells.join(broadcast(stats), Seq("cid"))
+      .select(col("cid"), col("n_members"),
+        expr("(1000 * max_d * n_members) div greatest(sum_d, 1)")
+          .cast("long").as("max_ratio_milli"),
+        when(col("dist_sq") * col("n_members") > lit(factor) * col("sum_d"),
+          1L).otherwise(0L).as("o"))
+      .groupBy("cid", "n_members", "max_ratio_milli")
+      .agg(sum(col("o")).cast("long").as("n_outliers"))
+      .orderBy("cid")
+  }
+
   /** Rule (b) + the drop union + the keep anti-join — the ONE owner
     * both the batch path and the streaming drain finish through (the
     * release pipeline's deltaTail stance): `deltaCells` is the full

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked similarity-search queries over `embeddings` (64-dim
@@ -3132,6 +3133,91 @@ object SimilarityOps {
         "vec_id", "embedding", k = 5, beamWidth = 8, searchRounds = 3)
       loaded.release()
       out.rows.orderBy("qid", "rank")
+    },
+
+    // ---- SEMANTIC split-leakage audit (the q281 stance for the vector
+    //      modality): for every verified rule-(b) pair, would a
+    //      vec-id-keyed train/eval split separate its endpoints, and
+    //      does the component-keyed split keep them together? The
+    //      cluster-keyed cross count is zero BY CONSTRUCTION (paired ⇒
+    //      same component ⇒ same md5 hash) — a near-copy of an eval
+    //      embedding in train is leakage even when no n-gram matches
+    //      (the q270 argument applied to the SPLIT instead of the
+    //      contamination report). Oracle: the shared routing/pair
+    //      owners + the q74 label propagation re-pointed at the
+    //      embeddings table + the shared split CASE. ----
+    Q("q287_semantic_split_audit",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |$SemanticRuleCtes,
+         |pairs AS (SELECT ia AS i, ib AS j FROM pv),
+         |${DedupOps.labelPropCtesFor("embeddings", "vec_id", edges = "le")},
+         |pl AS (SELECT p.i, p.j, la.l AS li, lb.l AS lj
+         |       FROM pairs p JOIN l3 la ON la.v = p.i
+         |       JOIN l3 lb ON lb.v = p.j),
+         |sp AS (SELECT
+         |    ${Sampling.splitLabelSql("i", 1)} AS si,
+         |    ${Sampling.splitLabelSql("j", 1)} AS sj,
+         |    ${Sampling.splitLabelSql("li", 1)} AS ci,
+         |    ${Sampling.splitLabelSql("lj", 1)} AS cj
+         |  FROM pl)
+         |SELECT 'cluster_level' AS strategy, count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN ci <> cj THEN 1 END), 0) AS BIGINT) AS n_cross
+         |FROM sp
+         |UNION ALL
+         |SELECT 'vec_level', count(*),
+         |  CAST(coalesce(sum(CASE WHEN si <> sj THEN 1 END), 0) AS BIGINT)
+         |FROM sp
+         |ORDER BY strategy""".stripMargin) { (s, d) =>
+      val pl = Similarity.semanticPairLabels(Tables.t(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.45, k = 8)
+      def sl(c: String) = Sampling.splitLabel(col(c), 1)
+      val sp = pl.select(sl("id_a").as("si"), sl("id_b").as("sj"),
+        sl("comp_a").as("ci"), sl("comp_b").as("cj"))
+      val cross = (a: Column, b: Column) =>
+        coalesce(sum(when(a =!= b, 1L)), lit(0L)).cast("long").as("n_cross")
+      sp.agg(count(lit(1)).as("n_pairs"), cross(col("ci"), col("cj")))
+        .select(lit("cluster_level").as("strategy"), col("n_pairs"),
+          col("n_cross"))
+        .unionAll(
+          sp.agg(count(lit(1)).as("n_pairs"), cross(col("si"), col("sj")))
+            .select(lit("vec_level").as("strategy"), col("n_pairs"),
+              col("n_cross")))
+        .orderBy("strategy")
+    },
+
+    // ---- per-cell TIGHTNESS + outlier report (the embedding-curation
+    //      prune signal next to q273's redundancy stats): per cell, the
+    //      worst member's distance relative to the cell mean in exact
+    //      integer thousandths, and the count beyond 2× the mean.
+    //      High-dimensional concentration makes natural cells sit near
+    //      1000 (measured 1064–1096 at sf0.01 — the ratio still varies
+    //      per cell, which is what the gate hashes); a planted
+    //      off-distribution vector spikes its cell's ratio and trips
+    //      the outlier count — VectorSpec pins exactly that. ----
+    Q("q289_semantic_outliers",
+      s"""WITH $PreparedCte,
+         |${lloydCte(8, 2)},
+         |${argminCte(8)},
+         |ag AS (${argminSelect(8)}),
+         |st AS (SELECT cid, count(*) AS n_members,
+         |         CAST(sum(dist_sq) AS BIGINT) AS sum_d,
+         |         CAST(max(dist_sq) AS BIGINT) AS max_d
+         |       FROM ag GROUP BY cid),
+         |fl AS (SELECT ag.cid, st.n_members,
+         |         CAST((1000 * st.max_d * st.n_members)
+         |           // GREATEST(st.sum_d, 1) AS BIGINT) AS max_ratio_milli,
+         |         CASE WHEN ag.dist_sq * st.n_members > 2 * st.sum_d
+         |           THEN 1 ELSE 0 END AS o
+         |       FROM ag JOIN st USING (cid))
+         |SELECT cid, n_members, max_ratio_milli,
+         |  CAST(sum(o) AS BIGINT) AS n_outliers
+         |FROM fl GROUP BY cid, n_members, max_ratio_milli
+         |ORDER BY cid""".stripMargin) { (s, d) =>
+      Similarity.semanticOutliers(Tables.t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8)
     }
   )
 

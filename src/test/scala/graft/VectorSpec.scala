@@ -1099,4 +1099,42 @@ class VectorSpec extends SparkTestBase {
     assert(rep.exists { case (_, (n, v)) => !v && n === 0L },
       "no clean eval rows at all — threshold degenerate on this fixture")
   }
+
+  test("q289 outlier report: a planted off-distribution vector spikes its " +
+    "cell's max-ratio and trips the outlier count") {
+    import spark.implicits._
+    // 64-dim concentration keeps NATURAL cells near ratio 1000 with
+    // zero outliers (the q289 gate hashes exactly that shape); a vector
+    // ~3× the natural norm must land SOMEWHERE, and wherever it lands
+    // its cell's worst-member ratio spikes and the 2×-mean flag trips —
+    // the operator's defining property, unreachable from the natural
+    // fixture alone. (NOT a huge plant: a 30× vector drags its cell's
+    // centroid onto itself in the M-step and ends a singleton at
+    // distance 0 — k-means chases extreme outliers; 3× is far enough
+    // to flag, close enough that one vector among ~60 barely moves
+    // the mean.)
+    val base = Similarity.semanticOutliers(emb, "vec_id", "embedding", k = 8)
+      .collect()
+    assert(base.forall(_.getAs[Long]("max_ratio_milli") < 1200), base.toSeq)
+    assert(base.map(_.getAs[Long]("n_outliers")).sum === 0L, base.toSeq)
+    val far = Seq((3000L, Array.fill(64)(0.35f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticOutliers(
+        emb.select("vec_id", "embedding").unionByName(far),
+        "vec_id", "embedding", k = 8)
+      .collect()
+    assert(out.exists(r => r.getAs[Long]("max_ratio_milli") > 2000 &&
+      r.getAs[Long]("n_outliers") >= 1L),
+      s"planted far vector not flagged: ${out.toSeq}")
+  }
+
+  test("q287: the component-keyed split never separates a verified " +
+    "semantic pair") {
+    val pl = Similarity.semanticPairLabels(emb, "vec_id", "embedding",
+      minCosine = 0.45, k = 8)
+    assert(pl.count() > 0, "fixture must contain semantic pairs")
+    assert(pl.filter(col("comp_a") =!= col("comp_b")).count() === 0L)
+    def sl(c: String) = graft.operators.Sampling.splitLabel(col(c), 1)
+    assert(pl.filter(sl("comp_a") =!= sl("comp_b")).count() === 0L)
+  }
 }
