@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document chunking + TF-IDF — the remaining training-data text ops.
@@ -228,6 +228,78 @@ object ChunkingOps {
           sum(col("ntok")).cast("long").as("sum_tokens"),
           sum(col("pad_to") - col("ntok")).cast("long").as("pad_waste"))
         .orderBy("pad_to")
+    },
+
+    // ---- BATCH-padding waste, naive vs length-bucketed (the loader
+    //      decision q127's per-doc audit feeds): a training batch pads
+    //      every member to the batch MAX, so batch composition decides
+    //      the waste — random (md5-"shuffled") batches of ~8 pay for the
+    //      longest member, length-bucketed batches (ntok div 16, then
+    //      md5 within the bucket) co-locate similar lengths and reclaim
+    //      most of it. Batches are md5-keyed, so the comparison is
+    //      deterministic in any engine and under any partitioning —
+    //      NO corpus-wide window, no row_number ordering. Scale: two
+    //      group-bys on bounded keys; the per-bucket batch counts are a
+    //      |buckets|-row broadcast. ----
+    Q("q291_batch_padding_waste",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (SELECT CAST(GREATEST(1, count(*) // 8) AS BIGINT) AS nb FROM t),
+        |nv AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % (SELECT nb FROM c) AS b, ntok FROM t),
+        |nvb AS (SELECT b, count(*) AS n, max(ntok) AS mx, sum(ntok) AS s
+        |        FROM nv GROUP BY b),
+        |na AS (SELECT count(*) AS n_batches, CAST(sum(s) AS BIGINT) AS tokens,
+        |       CAST(sum(n * mx) AS BIGINT) AS slots FROM nvb),
+        |lt AS (SELECT doc_id, ntok, ntok // 16 AS lb FROM t),
+        |lc AS (SELECT lb, CAST(GREATEST(1, count(*) // 8) AS BIGINT) AS nb
+        |       FROM lt GROUP BY lb),
+        |lv AS (SELECT l.lb,
+        |    CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % lc.nb AS b, l.ntok
+        |  FROM lt l JOIN lc USING (lb)),
+        |lvb AS (SELECT lb, b, count(*) AS n, max(ntok) AS mx, sum(ntok) AS s
+        |        FROM lv GROUP BY lb, b),
+        |la AS (SELECT count(*) AS n_batches, CAST(sum(s) AS BIGINT) AS tokens,
+        |       CAST(sum(n * mx) AS BIGINT) AS slots FROM lvb)
+        |SELECT 'length_bucketed' AS strategy, n_batches, tokens, slots,
+        |  CAST((1000000 * (slots - tokens)) // slots AS BIGINT) AS waste_ppm
+        |FROM la
+        |UNION ALL
+        |SELECT 'naive', n_batches, tokens, slots,
+        |  CAST((1000000 * (slots - tokens)) // slots AS BIGINT)
+        |FROM na
+        |ORDER BY strategy""".stripMargin) { (s, d) =>
+      val t = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+      val h = graft.operators.Sampling.md5Prefix32(col("doc_id"))
+      def summarize(batches: DataFrame, strategy: String): DataFrame =
+        batches
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("s")).cast("long").as("tokens"),
+            sum(col("n") * col("mx")).cast("long").as("slots"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("tokens"), col("slots"),
+            expr("(1000000 * (slots - tokens)) div slots").cast("long")
+              .as("waste_ppm"))
+      val nbF = t.agg(expr("CAST(greatest(1, count(1) div 8) AS BIGINT)")
+        .as("nb"))
+      val naive = t.crossJoin(broadcast(nbF))
+        .select((h % col("nb")).as("b"), col("ntok"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), max("ntok").as("mx"), sum("ntok").as("s"))
+      val lt = t.withColumn("lb", expr("ntok div 16"))
+      val lc = lt.groupBy("lb")
+        .agg(expr("CAST(greatest(1, count(1) div 8) AS BIGINT)").as("nb"))
+      val bucketed = lt.join(broadcast(lc), "lb")
+        .select(col("lb"), (h % col("nb")).as("b"), col("ntok"))
+        .groupBy("lb", "b")
+        .agg(count(lit(1)).as("n"), max("ntok").as("mx"), sum("ntok").as("s"))
+      summarize(bucketed, "length_bucketed")
+        .unionAll(summarize(naive, "naive"))
+        .orderBy("strategy")
     },
 
     // ---- composed RAG serving path end-to-end (the retrieval sibling of

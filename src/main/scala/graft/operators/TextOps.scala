@@ -1602,6 +1602,89 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- ANNEAL schedule (the midtraining two-phase mix): phase 'main'
+    //      trains one epoch over the whole corpus; phase 'anneal'
+    //      re-visits ONLY the docs the trained quality filter passes at
+    //      the q283-CHOSEN threshold, twice — the sweep's decision
+    //      (smallest threshold meeting the 90% precision bar, strictest
+    //      rung as the designed fallback) is APPLIED, not just reported:
+    //      sweep once, choose, ship the phase plan. Per (phase, source):
+    //      docs, tokens, epoch factor — the token-budget sheet a
+    //      training run is provisioned from. Scale: the q283 machinery
+    //      + one corpus equi-join to pick up source/ntok + two
+    //      |sources|-group aggs. ----
+    Q("q290_anneal_schedule", {
+      val thrList = ClassifierThresholds.mkString(", ")
+      val maxThr = ClassifierThresholds.max
+      s"""WITH ${qualityFCteSql("f")},
+         |${qualityTrainCtes("f")},
+         |wn AS (SELECT ${perceptronL1Sql} AS l1 FROM w$QualityRounds),
+         |nb AS (SELECT f.doc_id, f.y,
+         |  CAST((1000 * (${perceptronMarginSql("f")})) // GREATEST(wn.l1, 1)
+         |    AS BIGINT) AS nm
+         |  FROM f, w$QualityRounds w, wn),
+         |t AS (SELECT unnest([$thrList]) AS thr),
+         |g AS (SELECT t.thr,
+         |    coalesce(sum(CASE WHEN nb.nm > t.thr THEN 1 END), 0) AS n_sel,
+         |    coalesce(sum(CASE WHEN nb.nm > t.thr AND nb.y = 1 THEN 1 END), 0) AS n_pos
+         |  FROM t, nb GROUP BY t.thr),
+         |g2 AS (SELECT thr,
+         |    CAST(CASE WHEN n_sel = 0 THEN 0
+         |      ELSE (1000000 * n_pos) // n_sel END AS BIGINT) AS prec_ppm
+         |  FROM g),
+         |m AS (SELECT CAST(coalesce(
+         |    min(CASE WHEN prec_ppm >= $PrecisionTargetPpm THEN thr END),
+         |    $maxThr) AS BIGINT) AS mt FROM g2),
+         |d2 AS (SELECT nb.doc_id, nb.nm, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+         |  FROM nb JOIN documents d USING (doc_id))
+         |SELECT 'anneal' AS phase, source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         |  CAST(2 AS BIGINT) AS epochs
+         |FROM d2, m WHERE d2.nm > m.mt GROUP BY source
+         |UNION ALL
+         |SELECT 'main', source, count(*), CAST(sum(ntok) AS BIGINT),
+         |  CAST(1 AS BIGINT)
+         |FROM d2 GROUP BY source
+         |ORDER BY phase, source""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.t(s, d, "documents")
+      val feats = qualityFeats(docs).persist()
+      try {
+        val w = qualityTrain(feats)
+        val nb = perceptronNormMargin(feats, w)
+        val swept = nb.crossJoin(broadcast(ClassifierThresholds.toDF("thr")))
+          .groupBy("thr")
+          .agg(
+            coalesce(sum(when(col("nm") > col("thr"), 1L)), lit(0L))
+              .as("n_sel"),
+            coalesce(sum(when(col("nm") > col("thr") && col("y") === 1, 1L)),
+              lit(0L)).as("n_pos"))
+          .select(col("thr"),
+            when(col("n_sel") === 0L, 0L)
+              .otherwise(expr("(1000000 * n_pos) div n_sel")).as("prec_ppm"))
+        // the sweep is |thresholds| rows — its min is driver-sized (the
+        // dsirMu stance); designed fallback: the strictest rung
+        val mtRow = swept.filter(col("prec_ppm") >= PrecisionTargetPpm)
+          .agg(min(col("thr"))).head
+        val mt: Int =
+          if (mtRow.isNullAt(0)) ClassifierThresholds.max else mtRow.getInt(0)
+        val d2 = nb.join(docs.select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("ntok")), "doc_id")
+        def phaseAgg(src: DataFrame, phase: String, epochs: Int) =
+          src.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("ntok")).cast("long").as("total_tokens"))
+            .select(lit(phase).as("phase"), col("source"), col("n_docs"),
+              col("total_tokens"), lit(epochs.toLong).as("epochs"))
+        phaseAgg(d2.filter(col("nm") > mt), "anneal", 2)
+          .unionAll(phaseAgg(d2, "main", 1))
+          .orderBy("phase", "source")
+      } finally { feats.unpersist(); () }
+    },
+
     // ---- classifier from the PERSISTED model (the q279 stance): train
     //      on the base, save the weight row through the shared
     //      artifact-params owner, load into a fresh array, and score the
