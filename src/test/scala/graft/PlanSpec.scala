@@ -880,6 +880,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q291: batch assignment is md5-keyed — no window, no row_number, " +
+    "bucket counts broadcast") {
+    val p = planOf(q("q291_batch_padding_waste"))
+      .split("== Initial Plan ==").head
+    // the whole point of md5 batch keys: a corpus-wide ordering window
+    // here would serialize 100 TB through one task
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("row_number"), p)
+    // the per-bucket batch-count table joins broadcast (|buckets| rows)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+  }
+
   test("OSM shape pipeline is narrow - no exchange anywhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan")
     dir.toFile.deleteOnExit()
