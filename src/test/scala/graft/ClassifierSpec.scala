@@ -84,6 +84,31 @@ class ClassifierSpec extends SparkTestBase {
       s"refusal must name the version: ${e.getMessage}")
   }
 
+  test("q290 anneal phase is a subset of the main phase, per source") {
+    val out = SparkEntry.queries("q290_anneal_schedule")(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val anneal = out.keys.filter(_._1 == "anneal").map(_._2)
+    assert(anneal.nonEmpty, "anneal phase selected nothing anywhere")
+    anneal.foreach { src =>
+      val (aDocs, aToks) = out(("anneal", src))
+      val (mDocs, mToks) = out(("main", src))
+      assert(aDocs <= mDocs && aToks <= mToks,
+        s"anneal exceeds main for $src: $aDocs/$mDocs docs, $aToks/$mToks toks")
+    }
+  }
+
+  test("q291: length-bucketed batching wastes less than naive on this corpus") {
+    val out = SparkEntry.queries("q291_batch_padding_waste")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("waste_ppm")).toMap
+    // not a theorem (adversarial corpora exist), but on any
+    // length-varied corpus co-locating similar lengths must reclaim
+    // padding — if it doesn't, the bucketing is wired wrong
+    assert(out("length_bucketed") < out("naive"), out)
+    assert(out("naive") > 0L, "naive batching shows zero waste — suspicious")
+  }
+
   test("cluster-keyed split never separates a verified near-dup pair") {
     val pl = Dedup.nearDupPairLabels(docs, "doc_id", "text", 3, 0.8)
     def sl(c: String) = Sampling.splitLabel(col(c), 1)
