@@ -22,12 +22,18 @@ object PerceptronStore {
     * torn-write check's evidence. */
   def save(spark: SparkSession, w: Array[Long], path: String): Unit = {
     import spark.implicits._
-    val cols = w.indices.map(i => s"b$i")
+    // designed refusal, not selectExpr()'s opaque zero-expression
+    // analysis error: nothing upstream guarantees non-empty weights
+    // for future callers (round-14 advice)
+    require(w.nonEmpty,
+      s"classifier artifact at $path: cannot persist an empty weight row")
     Seq(w.toSeq).toDF("w")
       .selectExpr(w.indices.map(i => s"w[$i] AS b$i"): _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    // the same TOTAL-b-column measure load verifies against, so the
+    // recorded count and the torn-check count can never drift
     val n = spark.read.parquet(s"$path/weights").columns
-      .count(cols.contains)
+      .count(_.matches("^b\\d+$"))
     Seq((FormatVersion, n.toLong)).toDF("version", "n_w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
@@ -41,12 +47,31 @@ object PerceptronStore {
     val wf = spark.read.parquet(s"$path/weights")
     val nW = p.long("n_w")
     val cols = (0L until nW).map(i => s"b$i")
-    val got = wf.columns.count(cols.contains).toLong
+    // EXACT equality against the TOTAL on-disk weight-column count, not
+    // a subset check (round-14 advice): a crash after writing a new,
+    // WIDER weights parquet but before rewriting params would leave old
+    // params whose expected b0..b(n_w-1) all exist in the new file — a
+    // hybrid artifact the subset check would silently serve truncated.
+    val got = wf.columns.count(_.matches("^b\\d+$")).toLong
     p.verifyCounts(())(ArtifactParams.Count("weights", Some(nW), got))
     val rows = wf.collect()
     require(rows.length == 1,
       s"malformed classifier artifact at $path: weights holds " +
         s"${rows.length} rows, expected 1")
-    cols.map(c => rows.head.getLong(rows.head.fieldIndex(c))).toArray
+    // widen foreign integer widths the way ArtifactParams.Handle does,
+    // and refuse non-integer weights with the designed message instead
+    // of a raw ClassCastException (round-14 advice)
+    cols.map { c =>
+      rows.head.get(rows.head.fieldIndex(c)) match {
+        case v: Long  => v
+        case v: Int   => v.toLong
+        case v: Short => v.toLong
+        case v: Byte  => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"requirement failed: malformed classifier artifact at $path: " +
+            s"weights column $c holds non-integer " +
+            (if (other == null) "null" else other.getClass.getSimpleName))
+      }
+    }.toArray
   }
 }

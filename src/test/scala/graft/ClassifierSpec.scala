@@ -56,6 +56,51 @@ class ClassifierSpec extends SparkTestBase {
     assert(PerceptronStore.load(spark, dir).toSeq === w.toSeq)
   }
 
+  test("an empty weight row is refused at save, with the designed message") {
+    val e = intercept[IllegalArgumentException] {
+      PerceptronStore.save(spark, Array.empty[Long],
+        TempDirs.create("classifier-empty-spec").toString)
+    }
+    assert(e.getMessage.contains("empty weight row"),
+      s"refusal must be the designed one, not a selectExpr error: ${e.getMessage}")
+  }
+
+  test("a hybrid artifact (wider weights, stale params) is refused") {
+    import spark.implicits._
+    val dir = TempDirs.create("classifier-hybrid-spec").toString
+    PerceptronStore.save(spark, Array(1L, 2L), dir)
+    // crash AFTER the new, WIDER weights parquet landed but BEFORE the
+    // params rewrite: old params (n_w=2) sit beside b0..b2 — every
+    // expected column exists, so a subset check would silently serve
+    // the new row truncated to the old count (round-14 advice)
+    Seq((7L, 8L, 9L)).toDF("b0", "b1", "b2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    val e = intercept[IllegalArgumentException] {
+      PerceptronStore.load(spark, dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("torn"),
+      s"hybrid artifact must be refused as torn: ${e.getMessage}")
+  }
+
+  test("foreign-typed weight columns widen (int) or refuse (double) designedly") {
+    import spark.implicits._
+    val intDir = TempDirs.create("classifier-int-spec").toString
+    PerceptronStore.save(spark, Array(5L, 6L), intDir)
+    Seq((5, 6)).toDF("b0", "b1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$intDir/weights")
+    assert(PerceptronStore.load(spark, intDir).toSeq === Seq(5L, 6L),
+      "int-width weights from a foreign writer must widen, not throw")
+    val dblDir = TempDirs.create("classifier-dbl-spec").toString
+    PerceptronStore.save(spark, Array(5L, 6L), dblDir)
+    Seq((5.0, 6.0)).toDF("b0", "b1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dblDir/weights")
+    val e = intercept[IllegalArgumentException] {
+      PerceptronStore.load(spark, dblDir)
+    }
+    assert(e.getMessage.contains("malformed classifier artifact"),
+      s"non-integer weights must refuse with the designed message: ${e.getMessage}")
+  }
+
   test("a torn classifier artifact is refused") {
     import spark.implicits._
     val dir = TempDirs.create("classifier-torn-spec").toString
