@@ -264,11 +264,11 @@ object ChunkingOps {
         |la AS (SELECT count(*) AS n_batches, CAST(sum(s) AS BIGINT) AS tokens,
         |       CAST(sum(n * mx) AS BIGINT) AS slots FROM lvb)
         |SELECT 'length_bucketed' AS strategy, n_batches, tokens, slots,
-        |  CAST((1000000 * (slots - tokens)) // slots AS BIGINT) AS waste_ppm
+        |  CAST(CAST(slots - tokens AS HUGEINT) * 1000000 // slots AS BIGINT) AS waste_ppm
         |FROM la
         |UNION ALL
         |SELECT 'naive', n_batches, tokens, slots,
-        |  CAST((1000000 * (slots - tokens)) // slots AS BIGINT)
+        |  CAST(CAST(slots - tokens AS HUGEINT) * 1000000 // slots AS BIGINT)
         |FROM na
         |ORDER BY strategy""".stripMargin) { (s, d) =>
       val t = Tables.t(s, d, "documents")
@@ -282,8 +282,13 @@ object ChunkingOps {
             sum(col("n") * col("mx")).cast("long").as("slots"))
           .select(lit(strategy).as("strategy"), col("n_batches"),
             col("tokens"), col("slots"),
-            expr("(1000000 * (slots - tokens)) div slots").cast("long")
-              .as("waste_ppm"))
+            // ppm numerator in 128-bit (DECIMAL(38,0) here, HUGEINT in
+            // the oracle — both truncating division on non-negatives):
+            // at the 100TB corpus scale slots reaches ~1e13 token slots
+            // and a BIGINT 1e6·(slots-tokens) product can overflow
+            // (round-14 advice)
+            expr("(CAST(slots - tokens AS DECIMAL(38,0)) * 1000000)" +
+              " div slots").cast("long").as("waste_ppm"))
       val nbF = t.agg(expr("CAST(greatest(1, count(1) div 8) AS BIGINT)")
         .as("nb"))
       val naive = t.crossJoin(broadcast(nbF))
@@ -300,6 +305,53 @@ object ChunkingOps {
       summarize(bucketed, "length_bucketed")
         .unionAll(summarize(naive, "naive"))
         .orderBy("strategy")
+    },
+
+    // ---- CONCAT-AND-CHUNK packing audit (the q291 decision's sibling
+    //      for packed pretraining loaders): docs concatenate in md5
+    //      order into fixed 256-token context windows; per source, how
+    //      many docs a window boundary SPLITS (a split doc trains with
+    //      truncated context — the number an attention-masking /
+    //      best-fit-packing decision starts from) and the worst
+    //      windows-spanned count. The md5 order makes the layout
+    //      deterministic in any engine; the cumulative token offset is
+    //      ONE global running sum — at corpus scale a range-partitioned
+    //      sort, which is what physical packing costs anyway (the
+    //      loader must emit windows in SOME total order). ----
+    Q("q296_pack_sequences",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT doc_id, source, ntok,
+        |   COALESCE(SUM(ntok) OVER (ORDER BY h, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |   FROM t),
+        |f AS (SELECT source, ntok, st // 256 AS w0,
+        |   (st + ntok - 1) // 256 AS w1 FROM c)
+        |SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN w1 > w0 THEN 1 END), 0) AS BIGINT) AS n_split_docs,
+        |  CAST(max(w1 - w0 + 1) AS BIGINT) AS max_windows_spanned
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val w = Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = t
+        .withColumn("st", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .select(col("source"), col("ntok"),
+          expr("st div 256").as("w0"),
+          expr("(st + ntok - 1) div 256").as("w1"))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"),
+          coalesce(sum(when(col("w1") > col("w0"), 1L)), lit(0L))
+            .cast("long").as("n_split_docs"),
+          max(col("w1") - col("w0") + lit(1L)).cast("long")
+            .as("max_windows_spanned"))
+        .orderBy("source")
     },
 
     // ---- composed RAG serving path end-to-end (the retrieval sibling of

@@ -90,6 +90,154 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Binary (sign-bit) quantization ANN — the 1-bit-per-dimension end of
+    * the quantization spectrum the engine already serves at 8 bits (SQ8)
+    * and ~bits/m (PQ): each vector compresses to dim bits laid out as
+    * `nBands` words of `bandBits` sign bits (bit d of word b = sign of
+    * quantized component b·bandBits+d), candidates come from a
+    * MULTI-PROBED PIGEONHOLE band equi-join — each query band probes its
+    * own value plus every 1-bit flip (the [[probeArray]] stance), so by
+    * pigeonhole total hamming ≤ 2·nBands−1 guarantees SOME band pair at
+    * hamming ≤ 1, which the probe set reaches (the q84 SimHash banding
+    * argument, widened one flip; exact-band-only measured 0.36 recall@5
+    * on the fixture, 1-flip probing 0.70 at ~26% of the corpus as
+    * candidates). Survivors are cut to
+    * `candidates` by full hamming (Σ popcount(xor) — exact integer,
+    * engine-reproducible) and exact-reranked on the original quantized
+    * dims. Scale shape: the only pairwise work is the band equi-join
+    * (Σ|bucket|·|probes touching it|, never n²); hamming scoring
+    * touches nBands longs per candidate — a 64× read-volume cut vs the
+    * float vectors — and the exact rerank reads full vectors for
+    * ≤ candidates rows per query. Words pack per-row in one narrow
+    * map, so at corpus scale they'd be materialized at ingest like
+    * q135's quantized columns. */
+  def binaryHammingKnn(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       candidates: Int, nBands: Int = 8,
+                       bandBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(nBands > 0 && bandBits > 0 && bandBits <= 62,
+      s"nBands=$nBands bandBits=$bandBits out of range")
+    val wordsExpr = expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> " +
+        s"aggregate(sequence(0, ${bandBits - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, d) -> acc + IF(q[b * $bandBits + d] >= 0, " +
+        "shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT))))")
+    def withWords(p: DataFrame): DataFrame = p.withColumn("wds", wordsExpr)
+    val cp = withWords(prepared(corpus, idCol, vecCol))
+    val qp = withWords(prepared(queries, idCol, vecCol))
+      .select(col(idCol).as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"), col("wds").as("qwds"))
+    // multi-probed band equi-join: each query band probes its own value
+    // plus every 1-bit flip; corpus bands are indexed exactly once
+    val cb = cp.select(col(idCol).as("nid"),
+      posexplode(col("wds")).as(Seq("b", "v")))
+    val qBands = qp.select(col("qid"),
+        posexplode(col("qwds")).as(Seq("b", "v0")))
+      .select(col("qid"), col("b"),
+        explode(probeArray(col("v0"), bandBits)).as("v"))
+    val cand = qBands.join(cb, Seq("b", "v"))
+      .select("qid", "nid").distinct()
+    // full hamming over the packed words: Σ popcount(xor) — integers only
+    val ham = cand
+      .join(qp.select(col("qid"), col("qwds")), Seq("qid"))
+      .join(cp.select(col(idCol).as("nid"), col("wds")), Seq("nid"))
+      .withColumn("ham", expr(
+        "aggregate(zip_with(qwds, wds, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, h) -> acc + h)"))
+      .select("qid", "nid", "ham")
+    val wH = Window.partitionBy("qid").orderBy(col("ham"), col("nid"))
+    val cut = ham.withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= candidates).select("qid", "nid")
+    // exact rerank on the original quantized dims
+    val scored = cut
+      .join(qp.select(col("qid"), col("qq"), col("qnsq")), Seq("qid"))
+      .join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qnsq") + col("nsq") - lit(2L) * dot(col("qq"), col("q")))
+          .cast("long").as("d2"))
+    val wE = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    scored.withColumn("rank", row_number().over(wE).cast("int"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "d2", "rank")
+  }
+
+  /** Greedy MMR (maximal marginal relevance, λ = 1/2) top-k: diversified
+    * re-ranking of the `candidates` exact nearest neighbors — step 1
+    * takes the most relevant (min d2 to the query), each later step the
+    * candidate maximizing λ·(−d2(q,c)) − (1−λ)·max_{s∈S}(−d2(c,s)),
+    * which at λ = 1/2 is argmax[min_{s∈S} d2(c,s) − d2(q,c)] — pure
+    * integer arithmetic, ties to the smaller id, so the greedy sequence
+    * is engine-replayable step for step (the oracle unrolls the k steps
+    * the way lloydCte unrolls Lloyd rounds). Scale shape: candidate
+    * generation is whatever ANN route feeds it (brute here — the q42
+    * baseline stance; at corpus scale the SAME tail rides ivfAdcKnn's
+    * survivors); the greedy loop touches only the |queries|·candidates
+    * frame and its candidates² pairwise distances — both
+    * query-side-bounded, never corpus-sized — and each of the k rounds
+    * is one bounded join + one windowed argmax, snapshotted so the plan
+    * stays k-flat instead of 3^k-nested. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, candidates: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && candidates >= k,
+      s"candidates=$candidates must be >= k=$k >= 1")
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+    val cp = prepared(corpus, idCol, vecCol)
+    val wC = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val cd = qp.join(cp, col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        (col("qnsq") + col("nsq") - lit(2L) * dot(col("qq"), col("q")))
+          .cast("long").as("d2"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= candidates)
+      .select("qid", "nid", "d2").persist()
+    cd.count()
+    // pairwise distances among each query's candidates: candidates² per
+    // query, the diversity term's whole working set
+    val cq = cd.select(col("qid"), col("nid"))
+      .join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")), Seq("nid"))
+    val lhs = cq.select(col("qid"), col("nid").as("i"),
+      col("q").as("qa"), col("nsq").as("na"))
+    val rhs = cq.select(col("qid").as("qid_r"), col("nid").as("j"),
+      col("q").as("qb"), col("nsq").as("nb"))
+    val pp = lhs.join(rhs,
+        col("qid") === col("qid_r") && col("i") =!= col("j"))
+      .select(col("qid"), col("i"), col("j"),
+        (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+          .cast("long").as("pd2"))
+      .persist()
+    pp.count()
+    val w1 = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    var (sel, selRdd) = Graph.snapshot(
+      cd.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(1).as("step")))
+    sel.count()
+    var t = 2
+    while (t <= k) {
+      val rem = cd.join(sel.select("qid", "nid"), Seq("qid", "nid"),
+        "left_anti")
+      val msd = pp
+        .join(sel.select(col("qid"), col("nid").as("j")), Seq("qid", "j"))
+        .groupBy(col("qid"), col("i").as("nid"))
+        .agg(min(col("pd2")).as("msd"))
+      val wP = Window.partitionBy("qid")
+        .orderBy((col("msd") - col("d2")).desc, col("nid"))
+      val pick = rem.join(msd, Seq("qid", "nid"))
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(t).as("step"))
+      val (nextSel, nextRdd) = Graph.snapshot(sel.unionByName(pick))
+      nextSel.count()
+      Graph.release(selRdd)
+      sel = nextSel; selRdd = nextRdd
+      t += 1
+    }
+    cd.unpersist(); pp.unpersist()
+    sel.select(col("qid"), col("nid"), col("step").cast("int").as("step"))
+  }
+
   /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
     * corpus so expected bucket occupancy stays near `targetBucket` at any
     * scale — a fixed plane count that is right at 10^3 vectors is
@@ -364,6 +512,22 @@ object Similarity {
     semanticDedupDeltaWithRouter(base, delta, idCol, vecCol, minCosine,
       kmeansTrain(base, idCol, vecCol, k, rounds), k)
 
+  /** [[semanticDedupDeltaResult]] with the router OCCUPANCY-SCALED from
+    * the BASE size ([[adaptiveNlist]]) — the q268 adaptive stance for
+    * the incremental entry point: the base is the snapshot the router
+    * freezes on, so the base count (one count() job, answered from
+    * parquet footers) is the right occupancy signal, and both the
+    * delta×base rule-(a) join and the delta×delta rule-(b) join stay
+    * Σ|cell|²-bounded at ANY snapshot size instead of degrading toward
+    * n² when a fixed k meets 1000× the data. */
+  def semanticDedupDeltaResultAdaptive(base: DataFrame, delta: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       minCosine: Double,
+                                       targetCell: Int = 64,
+                                       rounds: Int = 2): KeepList =
+    semanticDedupDeltaResult(base, delta, idCol, vecCol, minCosine,
+      adaptiveNlist(base.count(), targetCell), rounds)
+
   /** [[semanticDedupDeltaResult]] against an EXPLICIT router (the
     * centroid frame) — the entry point the persisted-router path
     * ([[SemanticRouter.load]], q274) shares with the train-inline path,
@@ -455,6 +619,19 @@ object Similarity {
     cc.release()
     out
   }
+
+  /** [[semanticPairLabels]] with the router OCCUPANCY-SCALED from the
+    * corpus size ([[adaptiveNlist]]) — the scale-safe split-audit entry
+    * point: the audit's pair list is exactly the dedup's rule-(b) pair
+    * list, so it inherits the same Σ|cell|² bound the adaptive router
+    * guarantees the dedup (a fixed-k audit of a 1000× corpus would pay
+    * the n² the dedup itself refuses to). */
+  def semanticPairLabelsAdaptive(emb: DataFrame, idCol: String,
+                                 vecCol: String, minCosine: Double,
+                                 targetCell: Int = 64,
+                                 rounds: Int = 2): DataFrame =
+    semanticPairLabels(emb, idCol, vecCol, minCosine,
+      adaptiveNlist(emb.count(), targetCell), rounds)
 
   /** Per-cell TIGHTNESS + outlier report (the embedding-curation prune
     * signal next to q273's redundancy stats): per cell, the member

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked similarity-search queries over `embeddings` (64-dim
@@ -598,8 +598,11 @@ object SimilarityOps {
     * packing shift IS k (power of two by [[Similarity.adaptiveNlist]]'s
     * construction), so every literal shift becomes one uncorrelated
     * scalar subselect and the training replay stays bit-exact at ANY
-    * corpus size. Emits `c` like the static variant. */
-  private def lloydCteDyn(rounds: Int): String = {
+    * corpus size. Emits `c` like the static variant. `trainWhere`
+    * restricts the E-step scans (and the kc0 seed, which stays the
+    * k-smallest-ids identity because every restricted caller trains on
+    * an id-contiguous-from-0 base — the q269 AppendBase shape). */
+  private def lloydCteDyn(rounds: Int, trainWhere: String = ""): String = {
     val kSel = "(SELECT k FROM nl)"
     val seed =
       s"""kc0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, qd AS cqd, nsq AS cnsq
@@ -609,7 +612,7 @@ object SimilarityOps {
          |  SELECT n.vec_id, CAST(min(
          |      CAST(n.nsq + c.cnsq - 2 * list_dot_product(n.qd, c.cqd) AS BIGINT) * $kSel
          |        + c.cid) % $kSel AS BIGINT) AS cid
-         |  FROM n, kc${r - 1} c GROUP BY n.vec_id),
+         |  FROM n, kc${r - 1} c$trainWhere GROUP BY n.vec_id),
          |ks$r AS (
          |  SELECT a.cid, t.d, CAST(sum(n.qd[CAST(t.d AS INTEGER)]) AS BIGINT) AS s,
          |    count(*) AS cnt
@@ -714,7 +717,15 @@ object SimilarityOps {
        |${lloydCte(8, 2, s"\n  WHERE n.vec_id < $AppendBase")},
        |${argminCte(8)},
        |ag AS (${argminSelect(8)}),
-       |crb AS (SELECT ag.vec_id, ag.cid, n.qd, n.nsq
+       |$SemanticDeltaTailSql""".stripMargin
+
+  /** The delta rules + keep projection over an `ag` (vec_id, cid,
+    * dist_sq) assignment CTE — ONE tail owner for the fixed-k delta
+    * oracle (q269/q271) and its occupancy-scaled twin (q292): both
+    * rules, both cell-local, replayed character for character, only
+    * the router sizing upstream differs. */
+  private lazy val SemanticDeltaTailSql: String =
+    s"""crb AS (SELECT ag.vec_id, ag.cid, n.qd, n.nsq
        |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id < $AppendBase),
        |crd AS (SELECT ag.vec_id, ag.cid, ag.dist_sq, n.qd, n.nsq
        |  FROM ag JOIN n USING (vec_id) WHERE ag.vec_id >= $AppendBase),
@@ -731,6 +742,66 @@ object SimilarityOps {
        |LEFT JOIN losers l ON l.vec_id = e2.vec_id
        |WHERE e2.vec_id >= $AppendBase AND l.vec_id IS NULL
        |ORDER BY e2.vec_id""".stripMargin
+
+  /** q292's oracle: the SAME delta rules, with the router OCCUPANCY-
+    * SCALED from the BASE count — nl over the base-restricted scan in
+    * SQL, [[Similarity.adaptiveNlist]](base.count) in Spark, the same
+    * integer formula — so the incremental entry point's gate stays in
+    * sync at any snapshot size (the q268 stance for q269's path). */
+  private lazy val SemanticDeltaAdaptiveOracleSql: String =
+    s"""WITH ${nlCte(s"embeddings WHERE vec_id < $AppendBase")},
+       |$PreparedCte,
+       |${lloydCteDyn(2, s"\n  WHERE n.vec_id < $AppendBase")},
+       |${asgCteDyn()},
+       |ag AS (SELECT vec_id, CAST(key % (SELECT k FROM nl) AS BIGINT) AS cid,
+       |  CAST(key // (SELECT k FROM nl) AS BIGINT) AS dist_sq FROM m),
+       |$SemanticDeltaTailSql""".stripMargin
+
+  /** The split-comparison tail over the rule CTEs' verified pairs `pv`
+    * — ONE tail owner for the fixed-k split audit (q287) and its
+    * occupancy-scaled twin (q293): the q74-style 3-round min-label
+    * propagation over the pair edges, then the shared md5 split CASE
+    * at both keying levels (vec-keyed leaks, component-keyed cannot). */
+  private lazy val SemanticSplitAuditTailSql: String =
+    s"""pairs AS (SELECT ia AS i, ib AS j FROM pv),
+       |${DedupOps.labelPropCtesFor("embeddings", "vec_id", edges = "le")},
+       |pl AS (SELECT p.i, p.j, la.l AS li, lb.l AS lj
+       |       FROM pairs p JOIN l3 la ON la.v = p.i
+       |       JOIN l3 lb ON lb.v = p.j),
+       |sp AS (SELECT
+       |    ${Sampling.splitLabelSql("i", 1)} AS si,
+       |    ${Sampling.splitLabelSql("j", 1)} AS sj,
+       |    ${Sampling.splitLabelSql("li", 1)} AS ci,
+       |    ${Sampling.splitLabelSql("lj", 1)} AS cj
+       |  FROM pl)
+       |SELECT 'cluster_level' AS strategy, count(*) AS n_pairs,
+       |  CAST(coalesce(sum(CASE WHEN ci <> cj THEN 1 END), 0) AS BIGINT) AS n_cross
+       |FROM sp
+       |UNION ALL
+       |SELECT 'vec_level', count(*),
+       |  CAST(coalesce(sum(CASE WHEN si <> sj THEN 1 END), 0) AS BIGINT)
+       |FROM sp
+       |ORDER BY strategy""".stripMargin
+
+  /** The Spark half of the split-audit tail: split-label both
+    * endpoints of every labeled pair at both keying levels and count
+    * the crossings — shared by q287 (fixed-k pair labels) and q293
+    * (occupancy-scaled pair labels). */
+  private def semanticSplitAuditFrame(pl: DataFrame): DataFrame = {
+    def sl(c: String) = Sampling.splitLabel(col(c), 1)
+    val sp = pl.select(sl("id_a").as("si"), sl("id_b").as("sj"),
+      sl("comp_a").as("ci"), sl("comp_b").as("cj"))
+    val cross = (a: Column, b: Column) =>
+      coalesce(sum(when(a =!= b, 1L)), lit(0L)).cast("long").as("n_cross")
+    sp.agg(count(lit(1)).as("n_pairs"), cross(col("ci"), col("cj")))
+      .select(lit("cluster_level").as("strategy"), col("n_pairs"),
+        col("n_cross"))
+      .unionAll(
+        sp.agg(count(lit(1)).as("n_pairs"), cross(col("si"), col("sj")))
+          .select(lit("vec_level").as("strategy"), col("n_pairs"),
+            col("n_cross")))
+      .orderBy("strategy")
+  }
 
   /** The q187 split point: quantizers train on vec_id < [[AppendBase]],
     * the index serves every vector — one value owned here, used by the
@@ -3152,40 +3223,10 @@ object SimilarityOps {
          |${argminCte(8)},
          |ag AS (${argminSelect(8)}),
          |$SemanticRuleCtes,
-         |pairs AS (SELECT ia AS i, ib AS j FROM pv),
-         |${DedupOps.labelPropCtesFor("embeddings", "vec_id", edges = "le")},
-         |pl AS (SELECT p.i, p.j, la.l AS li, lb.l AS lj
-         |       FROM pairs p JOIN l3 la ON la.v = p.i
-         |       JOIN l3 lb ON lb.v = p.j),
-         |sp AS (SELECT
-         |    ${Sampling.splitLabelSql("i", 1)} AS si,
-         |    ${Sampling.splitLabelSql("j", 1)} AS sj,
-         |    ${Sampling.splitLabelSql("li", 1)} AS ci,
-         |    ${Sampling.splitLabelSql("lj", 1)} AS cj
-         |  FROM pl)
-         |SELECT 'cluster_level' AS strategy, count(*) AS n_pairs,
-         |  CAST(coalesce(sum(CASE WHEN ci <> cj THEN 1 END), 0) AS BIGINT) AS n_cross
-         |FROM sp
-         |UNION ALL
-         |SELECT 'vec_level', count(*),
-         |  CAST(coalesce(sum(CASE WHEN si <> sj THEN 1 END), 0) AS BIGINT)
-         |FROM sp
-         |ORDER BY strategy""".stripMargin) { (s, d) =>
-      val pl = Similarity.semanticPairLabels(Tables.t(s, d, "embeddings"),
-        "vec_id", "embedding", minCosine = 0.45, k = 8)
-      def sl(c: String) = Sampling.splitLabel(col(c), 1)
-      val sp = pl.select(sl("id_a").as("si"), sl("id_b").as("sj"),
-        sl("comp_a").as("ci"), sl("comp_b").as("cj"))
-      val cross = (a: Column, b: Column) =>
-        coalesce(sum(when(a =!= b, 1L)), lit(0L)).cast("long").as("n_cross")
-      sp.agg(count(lit(1)).as("n_pairs"), cross(col("ci"), col("cj")))
-        .select(lit("cluster_level").as("strategy"), col("n_pairs"),
-          col("n_cross"))
-        .unionAll(
-          sp.agg(count(lit(1)).as("n_pairs"), cross(col("si"), col("sj")))
-            .select(lit("vec_level").as("strategy"), col("n_pairs"),
-              col("n_cross")))
-        .orderBy("strategy")
+         |$SemanticSplitAuditTailSql""".stripMargin) { (s, d) =>
+      semanticSplitAuditFrame(
+        Similarity.semanticPairLabels(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.45, k = 8))
     },
 
     // ---- per-cell TIGHTNESS + outlier report (the embedding-curation
@@ -3218,8 +3259,164 @@ object SimilarityOps {
          |ORDER BY cid""".stripMargin) { (s, d) =>
       Similarity.semanticOutliers(Tables.t(s, d, "embeddings"),
         "vec_id", "embedding", k = 8)
+    },
+
+    // ---- OCCUPANCY-SCALED incremental semantic dedup (the q268
+    //      adaptive stance for q269's entry point — round-14 verdict
+    //      item 1): the router k comes from adaptiveNlist(base count)
+    //      on the Spark side and the base-restricted nl CTE on the
+    //      oracle side — the same integer formula — so both the
+    //      delta×base rule-(a) join and the delta×delta rule-(b) join
+    //      stay Σ|cell|²-bounded at ANY snapshot size, where q269's
+    //      fixed k=8 measured quadratic (67×) at the 100× probe. Rules
+    //      replay through the SHARED SemanticDeltaTailSql, character
+    //      for character: only the router sizing differs. ----
+    Q("q292_semantic_dedup_delta_adaptive", SemanticDeltaAdaptiveOracleSql) {
+      (s, d) =>
+        val emb = Tables.t(s, d, "embeddings")
+        val kl = Similarity.semanticDedupDeltaResultAdaptive(
+          emb.filter(col("vec_id") < AppendBase),
+          emb.filter(col("vec_id") >= AppendBase),
+          "vec_id", "embedding", minCosine = 0.45)
+        kl.keep.orderBy("vec_id")
+    },
+
+    // ---- OCCUPANCY-SCALED semantic split-leakage audit (the q268
+    //      stance for q287's entry point — round-14 verdict item 1):
+    //      the audit's pair list IS the dedup's rule-(b) pair list, so
+    //      a fixed-k audit of a 1000× corpus pays the n² the dedup
+    //      itself refuses; sizing the router by adaptiveNlist(count)
+    //      keeps the audit inside the same Σ|cell|² budget (q287's
+    //      100× probe measured 52×, the adaptive route's sibling
+    //      measures sub-data-growth). Tail = the SHARED
+    //      SemanticSplitAuditTailSql: label propagation and the split
+    //      CASEs replay identically, only the router sizing differs. ----
+    Q("q293_semantic_split_audit_adaptive",
+      s"""WITH ${nlCte()},
+         |$PreparedCte,
+         |${lloydCteDyn(2)},
+         |${asgCteDyn()},
+         |ag AS (SELECT vec_id, CAST(key % (SELECT k FROM nl) AS BIGINT) AS cid,
+         |  CAST(key // (SELECT k FROM nl) AS BIGINT) AS dist_sq FROM m),
+         |$SemanticRuleCtes,
+         |$SemanticSplitAuditTailSql""".stripMargin) { (s, d) =>
+      semanticSplitAuditFrame(
+        Similarity.semanticPairLabelsAdaptive(Tables.t(s, d, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.45))
+    },
+
+    // ---- BINARY (sign-bit) quantization ANN — the 1-bit end of the
+    //      quantization ladder next to SQ8 (8 bits) and PQ (~bits/m):
+    //      vectors compress 64× to 8 sign-bit words; candidates come
+    //      from a MULTI-PROBED pigeonhole band equi-join on the words
+    //      (each query band probes itself + its 8 one-bit flips, so
+    //      hamming ≤ 15 ⇒ some probe hits — the q84 SimHash banding
+    //      argument applied to the quantizer itself, widened one flip
+    //      for recall 0.36 → 0.70), the hamming cut is Σ popcount(xor)
+    //      in exact integers, and the final rank is the exact d2
+    //      rerank every serving family ends with. Packing
+    //      avoids bit 63 by construction (8-bit words) — DuckDB traps
+    //      on 1<<63 where Java wraps, so the layout itself is the
+    //      cross-engine-safe one. ----
+    Q("q294_binary_hamming_knn", BinaryHammingOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.binaryHammingKnn(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, candidates = 50)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- GREEDY MMR diversified retrieval (λ = 1/2): the RAG read
+    //      path's answer to redundant top-k — the exact top-20 get
+    //      re-ranked so each pick maximizes relevance MINUS similarity
+    //      to what's already picked (at λ = 1/2, argmax[min_sel d2 −
+    //      d2_query] in pure integers, ties to the smaller id). The
+    //      oracle unrolls the 5 greedy steps the way lloydCte unrolls
+    //      Lloyd rounds — each step one min-join + one windowed argmax
+    //      — so the sequential-looking algorithm is replayed
+    //      deterministically by both engines. Scale: the greedy loop
+    //      never touches the corpus — only the |queries|·candidates
+    //      frame and its candidates² pair distances. ----
+    Q("q295_mmr_rerank", MmrOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, candidates = 20)
+        .orderBy("qid", "step")
     }
   )
+
+  /** q294's oracle: sign-bit packing into 8×8-bit words, pigeonhole
+    * band candidates, hamming cut at 50, exact top-5 rerank — every
+    * stage in integer arithmetic both engines replay bit-for-bit. */
+  private lazy val BinaryHammingOracleSql: String =
+    s"""WITH $PreparedCte,
+       |wd AS (SELECT vec_id,
+       |  list_transform(range(0,8), b -> list_sum(list_transform(range(0,8),
+       |    d -> CASE WHEN q[CAST(b AS INTEGER)*8 + CAST(d AS INTEGER) + 1] >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER)) ELSE 0 END))) AS wds
+       |  FROM e),
+       |bd AS (SELECT vec_id, unnest(range(0,8)) AS b, unnest(wds) AS v FROM wd),
+       |qpr AS (SELECT vec_id, b, unnest(list_concat([v],
+       |    list_transform(range(0,8),
+       |      p -> xor(v, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS v
+       |  FROM bd WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qpr.vec_id AS qid, c.vec_id AS nid
+       |  FROM qpr JOIN bd c ON c.b = qpr.b AND c.v = qpr.v),
+       |hm AS (SELECT cand.qid, cand.nid,
+       |   CAST(list_sum(list_transform(range(0,8), i ->
+       |     bit_count(xor(wa.wds[CAST(i AS INTEGER)+1],
+       |                   wb.wds[CAST(i AS INTEGER)+1])))) AS BIGINT) AS ham
+       |   FROM cand JOIN wd wa ON wa.vec_id = cand.qid
+       |   JOIN wd wb ON wb.vec_id = cand.nid),
+       |hc AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS hrank
+       |  FROM hm) t WHERE hrank <= 50),
+       |sc AS (SELECT hc.qid, hc.nid,
+       |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+       |  FROM hc JOIN n na ON na.vec_id = hc.qid
+       |  JOIN n nb ON nb.vec_id = hc.nid)
+       |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q295's oracle: exact top-20 candidates (self excluded), pairwise
+    * candidate distances, then the 5 greedy MMR steps UNROLLED — each
+    * step's pick CTE is the windowed argmax of (min d2 to the selected
+    * set − d2 to the query), the lloydCte unrolling discipline applied
+    * to a greedy selection. */
+  private lazy val MmrOracleSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""ms$t AS (SELECT cd.qid, cd.nid, cd.d2, min(pp.d2) AS msd
+         |  FROM cd JOIN pp ON pp.qid = cd.qid AND pp.i = cd.nid
+         |  JOIN sel${t - 1} s ON s.qid = pp.qid AND s.nid = pp.j
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |    WHERE x.qid = cd.qid AND x.nid = cd.nid)
+         |  GROUP BY cd.qid, cd.nid, cd.d2),
+         |p$t AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY msd - d2 DESC, nid) AS rn
+         |  FROM ms$t) z WHERE rn = 1),
+         |sel$t AS (SELECT qid, nid, step FROM sel${t - 1}
+         |  UNION ALL SELECT qid, nid, $t FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $PreparedCte,
+       |sc AS (SELECT qn.vec_id AS qid, cn.vec_id AS nid,
+       |    CAST(qn.nsq + cn.nsq - 2*list_dot_product(qn.qd, cn.qd) AS BIGINT) AS d2
+       |  FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
+       |cd AS (SELECT qid, nid, d2 FROM (SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM sc) z
+       |  WHERE rn <= 20),
+       |pp AS (SELECT a.qid, a.nid AS i, b.nid AS j,
+       |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+       |  FROM cd a JOIN cd b ON b.qid = a.qid AND b.nid != a.nid
+       |  JOIN n na ON na.vec_id = a.nid JOIN n nb ON nb.vec_id = b.nid),
+       |sel1 AS (SELECT qid, nid, 1 AS step FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM cd) z
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT qid, nid, CAST(step AS INTEGER) AS step FROM sel5
+       |ORDER BY qid, step""".stripMargin
+  }
 
 
   // data dir -> the ONE NSW stream staging dir (the idxDirs reuse rule)

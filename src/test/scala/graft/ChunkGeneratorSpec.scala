@@ -33,4 +33,25 @@ class ChunkGeneratorSpec extends SparkTestBase {
     assert(rows.count(_._1 == 1L) === 1)
     assert(rows.count(_._1 == 2L) === 2)
   }
+
+  test("q296 packing audit: token totals reconcile with the corpus and " +
+    "every span is sane (the hash gate can't see the invariants)") {
+    import graft.functions.TextFunctions
+    val docs = Tables.t(spark, Sf, "documents")
+    val out = SparkEntry.queries("q296_pack_sequences")(spark, Sf).collect()
+    val totalTok = docs
+      .select(sum(size(TextFunctions.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === totalTok,
+      "per-source token totals must reconcile with the corpus")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_split_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_windows_spanned") >= 1L)
+    }
+    // the packing order is md5-keyed, not source-keyed: at least one
+    // source must actually have a boundary-split doc on this fixture
+    assert(out.map(_.getAs[Long]("n_split_docs")).sum > 0L,
+      "fixture should produce at least one split doc")
+  }
 }

@@ -828,6 +828,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
   }
 
+  test("q292/q293 adaptive twins: the pair stage under an occupancy-" +
+    "scaled router still rides the cid equi-join, and the gated plans " +
+    "stay cartesian-free (the pair joins themselves materialize behind " +
+    "the losers snapshot, so they are pinned directly)") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, Sf, "embeddings")
+    val k = Similarity.adaptiveNlist(emb.count())
+    val cent = Similarity.kmeansTrain(emb, "vec_id", "embedding", k,
+      rounds = 2)
+    val cells = Similarity.semanticCells(emb, "vec_id", "embedding",
+      cent, k)
+    val pp = planOf(Similarity.semanticPairs(cells, "vec_id", 0.45)
+      .select("loser")).split("== Initial Plan ==").head
+    assert(!pp.contains("CartesianProduct"), pp)
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[cid#"
+      .r.findFirstIn(pp).isDefined, pp)
+    val p292 = planOf(q("q292_semantic_dedup_delta_adaptive"))
+      .split("== Initial Plan ==").head
+    assert(!p292.contains("CartesianProduct"), p292)
+    assert(!p292.contains("BroadcastNestedLoopJoin BuildLeft"), p292)
+    val p293 = planOf(q("q293_semantic_split_audit_adaptive"))
+      .split("== Initial Plan ==").head
+    assert(!p293.contains("CartesianProduct"), p293)
+    assert(!p293.contains("BroadcastNestedLoopJoin BuildLeft"), p293)
+  }
+
+  test("q294 binary-hamming: candidates come only from the (band, word) " +
+    "equi-join — the 1-bit route must never scan corpus pairs") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, Sf, "embeddings")
+    val p = planOf(Similarity.binaryHammingKnn(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        emb, "vec_id", "embedding", k = 5, candidates = 50))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate source is the multi-probed band equi-join on
+    // (band index, word value)
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[b#"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("q276 DSIR: the model joins broadcast (constant-sized at any " +
     "corpus); the corpus is never self-joined") {
     import graft.operators.TextOps

@@ -1137,4 +1137,75 @@ class VectorSpec extends SparkTestBase {
     def sl(c: String) = graft.operators.Sampling.splitLabel(col(c), 1)
     assert(pl.filter(sl("comp_a") =!= sl("comp_b")).count() === 0L)
   }
+
+  /** Exact d2 top-k INCLUDING self — the recall reference for the
+    * binary route (whose hash gate includes the self row at rank 1,
+    * like every ADC-family gate). */
+  private def exactD2TopK(queries: org.apache.spark.sql.DataFrame,
+      k: Int): Set[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val qp = Similarity.prepared(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nsq").as("qnsq"))
+    val cp = Similarity.prepared(emb, "vec_id", "embedding")
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    qp.join(cp)
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qnsq") + col("nsq") -
+          lit(2L) * VectorFunctions.dot(col("qq"), col("q")))
+          .cast("long").as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q294 binary-hamming ANN: recall floor vs exact (1-bit routing " +
+    "can be deterministic-but-wrong — the hash gate can't see quality)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bin = Similarity.binaryHammingKnn(queries, emb, "vec_id",
+        "embedding", k = 5, candidates = 50)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactD2TopK(queries, 5)
+    val recall = (bin & exact).size.toDouble / exact.size
+    // measured 0.70 with 1-flip multiprobe on this fixture (0.36
+    // exact-band-only); floor leaves slack
+    assert(recall >= 0.5, s"binary-hamming recall@5 collapsed: $recall")
+  }
+
+  test("q295 MMR: step 1 is the nearest neighbor and the 5 picks are " +
+    "STRICTLY more spread than plain top-5 on every fixture query " +
+    "(diversification must actually diversify)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val mmr = Similarity.mmrRerank(queries, emb, "vec_id", "embedding",
+      k = 5, candidates = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(mmr.length === 50, s"expected 10×5 picks, got ${mmr.length}")
+    // per query: 5 distinct picks
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length === 5, s"dup pick for $q")
+    }
+    // step 1 = most relevant (exact NN excluding self — MMR's anchor)
+    val nn = exactD2TopK(queries, 2).groupBy(_._1)
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    mmr.filter(_._3 == 1).foreach { case (q, nid, _) =>
+      val exp = nn(q).map(_._2).filter(_ != q)
+      assert(exp.contains(nid), s"step-1 pick $nid for $q not the NN $exp")
+    }
+    def minPairD2(ids: Seq[Long]): Long =
+      (for (i <- ids.indices; j <- i + 1 until ids.size) yield {
+        val (a, b) = (p(ids(i)), p(ids(j)))
+        a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+      }).min
+    val plain = exactD2TopK(queries, 6) // self + 5 real neighbors
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      val mmrMin = minPairD2(rows.map(_._2).toSeq)
+      val plainMin = minPairD2(
+        plain.filter(t => t._1 == q && t._2 != q).map(_._2).toSeq)
+      assert(mmrMin > plainMin,
+        s"MMR picks for $q not more spread: $mmrMin <= $plainMin")
+    }
+  }
 }
