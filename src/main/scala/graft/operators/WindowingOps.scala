@@ -43,12 +43,19 @@ object WindowingOps {
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
-      val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+      val path = s"$d/events.parquet"
+      val stream = EventStreams.readEventStream(s, path)
       val agg = EventStreams.tumblingWithWatermark(stream, "1 hour", "10 minutes")
       val name = freshSink(s, "q82_stream_sink")
-      val query = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      // state partitions sized by state volume, not core count (the
+      // q151 measurement; complete-mode window state ≤ the input)
+      graft.sources.Tuning.withShufflePartitions(s,
+        graft.sources.Tuning.adviseStatePartitions(
+          graft.sources.Tuning.pathBytes(path))) {
+        val query = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       s.table(name).orderBy("ws", "event_type")
     },
 
@@ -68,9 +75,14 @@ object WindowingOps {
         .union(EventStreams.readEventStream(s, path))
         .dropDuplicates("event_id")
       val name = freshSink(s, "q90_stream_sink")
-      val query = stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      // dedup state ≈ both delivered copies (the q151 sizing stance)
+      graft.sources.Tuning.withShufflePartitions(s,
+        graft.sources.Tuning.adviseStatePartitions(
+          2L * graft.sources.Tuning.pathBytes(path))) {
+        val query = stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       s.table(name)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
@@ -114,9 +126,14 @@ object WindowingOps {
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
       val guarded = Dedup.contaminationAgainst(stream, trainSet, "doc_id", "text", 5)
       val name = freshSink(s, "q110_stream_sink")
-      val query = guarded.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      // complete-mode per-doc agg state ≤ the incoming documents file
+      graft.sources.Tuning.withShufflePartitions(s,
+        graft.sources.Tuning.adviseStatePartitions(
+          graft.sources.Tuning.pathBytes(s"$d/documents.parquet"))) {
+        val query = guarded.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       s.table(name).orderBy("doc_id")
     },
 
@@ -164,9 +181,18 @@ object WindowingOps {
           .filter(col("event_type") === "click"),
         "30 minutes", "30 minutes")
       val name = freshSink(s, "q151_stream_sink")
-      val query = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      // state partitions sized by state volume (both sides retained for
+      // the watermark horizon ⇒ ~2× the input), not core count: one
+      // state store is created/committed per partition per micro-batch,
+      // so an over-partitioned bounded replay pays pure store overhead
+      // (measured 7.5 s @ 32 parts vs 2.0 s @ 2 on sf0.1 — Tuning notes)
+      graft.sources.Tuning.withShufflePartitions(s,
+        graft.sources.Tuning.adviseStatePartitions(
+          2L * graft.sources.Tuning.pathBytes(path))) {
+        val query = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       s.table(name).orderBy("purchase_id", "click_id")
     },
 
@@ -185,9 +211,13 @@ object WindowingOps {
         .select(explode(tokens(col("text"))).as("w"))
       val regs = Profile.hllRegisters(stream, col("w"))
       val name = freshSink(s, "q203_stream_sink")
-      val query = regs.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      // HLL state is 256 registers FOREVER — the minimum floor is right
+      graft.sources.Tuning.withShufflePartitions(s,
+        graft.sources.Tuning.adviseStatePartitions(0L)) {
+        val query = regs.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       s.table(name).orderBy("reg")
     },
 

@@ -201,6 +201,24 @@ class FormatsRobustnessSpec extends SparkTestBase {
     assert(bytes > 0)
   }
 
+  test("state-partition advice floors at 2 (NOT parallelism) and scales " +
+    "with bytes; the scoped shuffle-partition override restores the conf") {
+    // streaming state stores pay a fixed per-partition-per-batch cost and
+    // AQE cannot coalesce them — the batch floor is wrong there
+    assert(Tuning.adviseStatePartitions(0L) === 2)
+    assert(Tuning.adviseStatePartitions(4L << 20) === 2)   // 4 MiB replay
+    assert(Tuning.adviseStatePartitions(1L << 40) === 8192) // 1 TiB state
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = Tuning.withShufflePartitions(spark, 3) { spark.conf.get(key) }
+    assert(inside === "3")
+    assert(spark.conf.get(key) === before, "conf must be restored")
+    intercept[IllegalArgumentException] {
+      Tuning.withShufflePartitions(spark, 0) { () }
+    }
+    assert(Tuning.pathBytes(s"$Sf/events.parquet") > 0)
+  }
+
   test("corrupt JSONL lines quarantine into _corrupt_record, valid rows survive") {
     // the PERMISSIVE-mode contract a 100 TB JSONL ingest relies on: one
     // torn line must not fail the job OR silently vanish — it lands in
