@@ -115,34 +115,68 @@ object Similarity {
                        idCol: String, vecCol: String, k: Int,
                        candidates: Int, nBands: Int = 8,
                        bandBits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val cp = prepared(corpus, idCol, vecCol)
+    val words = cp.select(col(idCol).as("nid"),
+      binaryWordsCol(nBands, bandBits).as("wds"))
+    binaryServe(queries, words, cp, idCol, vecCol, k, candidates,
+      nBands, bandBits)
+  }
+
+  /** The sign-bit word packing lane over a prepared `q` column — ONE
+    * owner for the inline route, [[BinaryIndex.build]]'s materialized
+    * encode and its append path (encode is DATA-INDEPENDENT — no
+    * trained state — so every route packs identical words by
+    * construction). */
+  private[operators] def binaryWordsCol(nBands: Int, bandBits: Int): Column = {
     require(nBands > 0 && bandBits > 0 && bandBits <= 62,
       s"nBands=$nBands bandBits=$bandBits out of range")
-    val wordsExpr = expr(
+    expr(
       s"transform(sequence(0, ${nBands - 1}), b -> " +
         s"aggregate(sequence(0, ${bandBits - 1}), CAST(0 AS BIGINT), " +
         s"(acc, d) -> acc + IF(q[b * $bandBits + d] >= 0, " +
         "shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT))))")
-    def withWords(p: DataFrame): DataFrame = p.withColumn("wds", wordsExpr)
-    val cp = withWords(prepared(corpus, idCol, vecCol))
-    val qp = withWords(prepared(queries, idCol, vecCol))
+  }
+
+  /** The binary serving core — multi-probed band candidates, hamming
+    * cut, exact rerank — over an EXPLICIT (nid, wds) words frame: ONE
+    * owner for [[binaryHammingKnn]] (words derived inline) and the
+    * [[BinaryIndex]] handle (words materialized / loaded), so
+    * handle-served results equal inline results character for
+    * character (the q185/q251 discipline). `allowed` (first column =
+    * id) semi-joins the words BEFORE the candidate cut — the q220
+    * filtered-serving stance. */
+  private[operators] def binaryServe(queries: DataFrame, words: DataFrame,
+      corpusPrepared: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidates: Int, nBands: Int, bandBits: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val admissible = allowed match {
+      case Some(a) =>
+        words.join(a.select(col(a.columns.head).as("nid")),
+          Seq("nid"), "left_semi")
+      case None => words
+    }
+    val qp = prepared(queries, idCol, vecCol)
+      .withColumn("wds", binaryWordsCol(nBands, bandBits))
       .select(col(idCol).as("qid"), col("q").as("qq"),
         col("nsq").as("qnsq"), col("wds").as("qwds"))
     // multi-probed band equi-join: each query band probes its own value
     // plus every 1-bit flip; corpus bands are indexed exactly once
-    val cb = cp.select(col(idCol).as("nid"),
+    val cb = admissible.select(col("nid"),
       posexplode(col("wds")).as(Seq("b", "v")))
     val qBands = qp.select(col("qid"),
         posexplode(col("qwds")).as(Seq("b", "v0")))
       .select(col("qid"), col("b"),
         explode(probeArray(col("v0"), bandBits)).as("v"))
+    // self excluded — the family convention every serving handle follows
     val cand = qBands.join(cb, Seq("b", "v"))
+      .filter(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
     // full hamming over the packed words: Σ popcount(xor) — integers only
     val ham = cand
       .join(qp.select(col("qid"), col("qwds")), Seq("qid"))
-      .join(cp.select(col(idCol).as("nid"), col("wds")), Seq("nid"))
+      .join(admissible, Seq("nid"))
       .withColumn("ham", expr(
         "aggregate(zip_with(qwds, wds, (x, y) -> bit_count(x ^ y)), " +
           "0, (acc, h) -> acc + h)"))
@@ -153,7 +187,8 @@ object Similarity {
     // exact rerank on the original quantized dims
     val scored = cut
       .join(qp.select(col("qid"), col("qq"), col("qnsq")), Seq("qid"))
-      .join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")), Seq("nid"))
+      .join(corpusPrepared.select(col(idCol).as("nid"), col("q"),
+        col("nsq")), Seq("nid"))
       .select(col("qid"), col("nid"),
         (col("qnsq") + col("nsq") - lit(2L) * dot(col("qq"), col("q")))
           .cast("long").as("d2"))

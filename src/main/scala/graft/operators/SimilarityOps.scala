@@ -119,6 +119,16 @@ object SimilarityOps {
   private def mryMipsDir(d: String): String =
     dirFor(mryMipsDirs, "graft-mrymips", d)
 
+  // data dir -> the ONE binary-index artifact / stream staging dir each
+  // (the q251/q261 pattern for the fifth serving family)
+  private val binDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binDir(d: String): String = dirFor(binDirs, "graft-binidx", d)
+  private val binStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binStreamDir(d: String): String =
+    dirFor(binStreamDirs, "graft-binstream", d)
+
   // data dir -> the ONE q271 delta-arrival staging dir: the delta split
   // into three single-file arrival batches by vec_id mod 3 (interleaved
   // ranges — the schedule must not matter, and a modulo split is
@@ -3321,7 +3331,7 @@ object SimilarityOps {
     Q("q294_binary_hamming_knn", BinaryHammingOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       Similarity.binaryHammingKnn(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", k = 5, candidates = 50)
+        "vec_id", "embedding", k = 5, candidates = 100)
         .orderBy("qid", "rank")
     },
 
@@ -3341,44 +3351,202 @@ object SimilarityOps {
       Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 5, candidates = 20)
         .orderBy("qid", "step")
+    },
+
+    // ---- binary index ARTIFACT round-trip (the q251 cell for the
+    //      fifth serving family): build → save → release → load →
+    //      serve, gated by the SAME oracle instance as q294 — the hash
+    //      proves load ≡ build ≡ inline across a process-restart
+    //      boundary, with zero encode jobs on the load path. ----
+    Q("q297_binary_save_load", BinaryHammingOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val built = BinaryIndex.build(emb, "vec_id", "embedding")
+      val dir = binDir(d)
+      built.save(dir)
+      built.release()
+      val idx = BinaryIndex.load(s, dir, emb)
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- binary index APPEND (the q254 cell): the strongest form of
+    //      the nightly-delta story — sign-bit encode has ZERO trained
+    //      state, so an appended index serves EXACTLY what a full
+    //      rebuild serves, and the gate is the UNRESTRICTED full-corpus
+    //      oracle (no frozen-base seam to pin: there is nothing to
+    //      freeze, hence nothing to drift). ----
+    Q("q298_binary_append", BinaryHammingOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val base = BinaryIndex.build(emb.filter(col("vec_id") < AppendBase),
+        "vec_id", "embedding")
+      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+      base.release()
+      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- binary index DELETE (the q256 cell): one anti-join, no
+    //      revalidation argument needed at all (nothing trained);
+    //      deleted vectors can never resurface — candidates come from
+    //      the filtered words, the rerank joins the filtered corpus. ----
+    Q("q299_binary_delete",
+      binaryOracle(adFilter = " AND c.vec_id % 10 <> 3")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = BinaryIndex.build(emb, "vec_id", "embedding")
+      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+        "vec_id")
+      idx.release()
+      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+          candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      pruned.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- binary metadata-FILTERED serving (the q220/q257 cell): the
+    //      allow-list semi-joins the words BEFORE the candidate cut, so
+    //      the whole candidate budget is spent on admissible vectors. ----
+    Q("q300_binary_filtered_search",
+      binaryOracle(adFilter = " AND c.vec_id IN" +
+        " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = BinaryIndex.build(emb, "vec_id", "embedding")
+      val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") < 5).select("vec_id"),
+          k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- binary STREAMING serve from the PERSISTED artifact (the
+    //      q261 cell, upgraded with the q250 load seam): query vectors
+    //      arrive as a REAL file stream in three micro-batches, each
+    //      served from ONE loaded artifact handle — stream-served ≡
+    //      batch-served ≡ built, all under the q294 oracle instance. ----
+    Q("q301_binary_stream_serve", BinaryHammingOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val built = BinaryIndex.build(emb, "vec_id", "embedding")
+      val dir = binDir(d)
+      built.save(dir)
+      built.release()
+      val idx = BinaryIndex.load(s, dir, emb)
+      val sdir = binStreamDir(d)
+      Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(s"$sdir/b$i")
+      }
+      val schema = idx.query(emb.limit(0), k = 5, candidates = 100).schema
+      val out = fileStreamDrain(s, emb.schema, s"$sdir/b*", schema,
+          Seq("qid", "rank")) { batch =>
+        idx.query(batch, k = 5, candidates = 100).collect()
+      }
+      idx.release()
+      out
+    },
+
+    // ---- binary MIPS via the norm-augmentation reduction (the q263
+    //      cell): corpus += sqrt(maxNorm² − ‖x‖²), queries += 0, and
+    //      the UNCHANGED binary funnel serves largest-dot neighbors —
+    //      the words hash only the first 64 components (the augmented
+    //      one carries no direction), the exact rerank reads the full
+    //      augmented arrays. All five serving families are now
+    //      metric-general. ----
+    Q("q302_binary_mips", BinaryMipsOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = BinaryIndex.build(mipsAugmented(emb), "vec_id",
+        "embedding")
+      val out = idx.query(
+          mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
+          k = 5, candidates = 100)
+        .orderBy("qid", "rank")
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     }
   )
 
-  /** q294's oracle: sign-bit packing into 8×8-bit words, pigeonhole
-    * band candidates, hamming cut at 50, exact top-5 rerank — every
-    * stage in integer arithmetic both engines replay bit-for-bit. */
-  private lazy val BinaryHammingOracleSql: String =
-    s"""WITH $PreparedCte,
-       |wd AS (SELECT vec_id,
-       |  list_transform(range(0,8), b -> list_sum(list_transform(range(0,8),
-       |    d -> CASE WHEN q[CAST(b AS INTEGER)*8 + CAST(d AS INTEGER) + 1] >= 0
-       |      THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER)) ELSE 0 END))) AS wds
-       |  FROM e),
+  // single-owner binary SQL pieces (the sq8CodeExpr discipline): the
+  // sign-bit words lane is shared by every binary oracle — the q294
+  // family, the lifecycle gates q297–q301 and the MIPS seam q302 — so
+  // the packing text can never drift between them
+  // lazy: referenced from the eagerly-built defs Seq above, which runs
+  // before this object's later strict vals initialize
+  private lazy val BinaryWordsExpr: String =
+    """list_transform(range(0,8), b -> list_sum(list_transform(range(0,8),
+      |    d -> CASE WHEN q[CAST(b AS INTEGER)*8 + CAST(d AS INTEGER) + 1] >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(d AS INTEGER)) ELSE 0 END)))""".stripMargin
+
+  /** The binary route over prepared corpus CTEs (`e`, `n`) and a query
+    * seam (`qE` int-code CTE, `qWhere` restriction, `qN` norms CTE):
+    * words, multi-probed band candidates (`adFilter` narrows the
+    * corpus side — the delete / allow-list gates), hamming cut, exact
+    * rerank. The L2 gates read the query seam off the corpus chain;
+    * the MIPS gate points it at the zero-augmented chain. */
+  private def binaryOracleBody(qE: String, qWhere: String, qN: String,
+      adFilter: String = ""): String =
+    s"""wd AS (SELECT vec_id, $BinaryWordsExpr AS wds FROM e),
+       |qwd AS (SELECT vec_id, $BinaryWordsExpr AS wds FROM $qE $qWhere),
        |bd AS (SELECT vec_id, unnest(range(0,8)) AS b, unnest(wds) AS v FROM wd),
        |qpr AS (SELECT vec_id, b, unnest(list_concat([v],
        |    list_transform(range(0,8),
        |      p -> xor(v, CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS v
-       |  FROM bd WHERE vec_id < 10),
+       |  FROM (SELECT vec_id, unnest(range(0,8)) AS b, unnest(wds) AS v
+       |        FROM qwd) qb),
        |cand AS (SELECT DISTINCT qpr.vec_id AS qid, c.vec_id AS nid
-       |  FROM qpr JOIN bd c ON c.b = qpr.b AND c.v = qpr.v),
+       |  FROM qpr JOIN bd c
+       |  ON c.b = qpr.b AND c.v = qpr.v AND c.vec_id <> qpr.vec_id$adFilter),
        |hm AS (SELECT cand.qid, cand.nid,
        |   CAST(list_sum(list_transform(range(0,8), i ->
        |     bit_count(xor(wa.wds[CAST(i AS INTEGER)+1],
        |                   wb.wds[CAST(i AS INTEGER)+1])))) AS BIGINT) AS ham
-       |   FROM cand JOIN wd wa ON wa.vec_id = cand.qid
+       |   FROM cand JOIN qwd wa ON wa.vec_id = cand.qid
        |   JOIN wd wb ON wb.vec_id = cand.nid),
        |hc AS (SELECT qid, nid FROM (SELECT qid, nid,
        |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS hrank
-       |  FROM hm) t WHERE hrank <= 50),
+       |  FROM hm) t WHERE hrank <= 100),
        |sc AS (SELECT hc.qid, hc.nid,
        |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
-       |  FROM hc JOIN n na ON na.vec_id = hc.qid
+       |  FROM hc JOIN $qN na ON na.vec_id = hc.qid
        |  JOIN n nb ON nb.vec_id = hc.nid)
        |SELECT qid, nid, d2, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT qid, nid, d2,
        |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
        |  FROM sc) t
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q294's oracle (and, unchanged, the q297 save/load, q298 append —
+    * encode is stateless so append ≡ rebuild — and q301 stream-serve
+    * gates): sign-bit packing into 8×8-bit words, multi-probed
+    * pigeonhole band candidates, hamming cut at 50, exact top-5
+    * rerank — every stage in integer arithmetic both engines replay
+    * bit-for-bit. */
+  private def binaryOracle(adFilter: String = ""): String =
+    s"""WITH $PreparedCte,
+       |${binaryOracleBody("e", "WHERE vec_id < 10", "n", adFilter)}""".stripMargin
+
+  private lazy val BinaryHammingOracleSql: String = binaryOracle()
+
+  /** The q302 oracle: the SAME augmentation CTEs as every other MIPS
+    * gate ([[MipsAugCtesSql]] — single owner), then the SAME binary
+    * chain with the query seam pointed at the zero-augmented `qe`/`nq`:
+    * words hash the first 64 components on both sides (the augmented
+    * component carries no direction — the NSW/matryoshka MIPS
+    * argument), the exact rerank reads the full augmented arrays. */
+  private lazy val BinaryMipsOracleSql: String =
+    s"WITH $MipsAugCtesSql,\n" +
+      binaryOracleBody("qe", "", "nq")
 
   /** q295's oracle: exact top-20 candidates (self excluded), pairwise
     * candidate distances, then the 5 greedy MMR steps UNROLLED — each

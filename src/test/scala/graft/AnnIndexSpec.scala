@@ -518,6 +518,51 @@ class AnnIndexSpec extends SparkTestBase {
       s"wrong failure for a torn artifact: ${exTorn.getMessage}")
   }
 
+  test("binary index: save→load round-trip serves row-for-row what the " +
+    "inline route computes; appended ≡ full build exactly (nothing " +
+    "trained); torn and future-version artifacts refused") {
+    import graft.operators.BinaryIndex
+    import spark.implicits._
+    val built = BinaryIndex.build(emb, "vec_id", "embedding")
+    val inline = rows(Similarity.binaryHammingKnn(queries, emb, "vec_id",
+      "embedding", k = 5, candidates = 100))
+    assert(rows(built.query(queries, k = 5, candidates = 100)) === inline)
+    // append ≡ rebuild, bit-exact: the encode has no trained state
+    val base = BinaryIndex.build(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding")
+    val appended = base.append(emb.filter(col("vec_id") >= 400))
+    base.release()
+    assert(rows(appended.query(queries, k = 5, candidates = 100)) === inline)
+    appended.release()
+    val dir = java.nio.file.Files.createTempDirectory("graft-binspec")
+    dir.toFile.deleteOnExit()
+    built.save(dir.toString)
+    built.release()
+    val loaded = BinaryIndex.load(spark, dir.toString, emb)
+    assert(rows(loaded.query(queries, k = 5, candidates = 100)) === inline)
+    loaded.release()
+    // torn: params records more words than words/ holds
+    Seq((1, "vec_id", "embedding", 8, 8, 999999L))
+      .toDF("version", "id_col", "vec_col", "n_bands", "band_bits",
+        "n_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exTorn = intercept[IllegalArgumentException] {
+      BinaryIndex.load(spark, dir.toString, emb)
+    }
+    assert(exTorn.getMessage.contains("torn"),
+      s"wrong failure for a torn artifact: ${exTorn.getMessage}")
+    // future version: refused with the version message
+    Seq((99, "vec_id", "embedding", 8, 8, 500L))
+      .toDF("version", "id_col", "vec_col", "n_bands", "band_bits",
+        "n_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val exV = intercept[IllegalArgumentException] {
+      BinaryIndex.load(spark, dir.toString, emb)
+    }
+    assert(exV.getMessage.contains("version"),
+      s"wrong failure for a v99 artifact: ${exV.getMessage}")
+  }
+
   test("SQ8/matryoshka append: appended handle serves base ∪ delta with " +
     "independent storage (source releasable first); matryoshka appended " +
     "≡ full build exactly") {

@@ -1138,9 +1138,8 @@ class VectorSpec extends SparkTestBase {
     assert(pl.filter(sl("comp_a") =!= sl("comp_b")).count() === 0L)
   }
 
-  /** Exact d2 top-k INCLUDING self — the recall reference for the
-    * binary route (whose hash gate includes the self row at rank 1,
-    * like every ADC-family gate). */
+  /** Exact d2 top-k INCLUDING self — the q295 MMR anchors (the NN via
+    * rank-2, the plain top-5 via ranks 2..6). */
   private def exactD2TopK(queries: org.apache.spark.sql.DataFrame,
       k: Int): Set[(Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
@@ -1163,14 +1162,37 @@ class VectorSpec extends SparkTestBase {
     "can be deterministic-but-wrong — the hash gate can't see quality)") {
     val queries = emb.filter(col("vec_id") < 10)
     val bin = Similarity.binaryHammingKnn(queries, emb, "vec_id",
-        "embedding", k = 5, candidates = 50)
+        "embedding", k = 5, candidates = 100)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = exactD2TopK(queries, 5)
+    val exact = Similarity.exactL2Knn(queries, emb, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bin & exact).size.toDouble / exact.size
+    info(s"binary-hamming recall@5 vs exact-L2 gold = $recall")
     // measured 0.70 with 1-flip multiprobe on this fixture (0.36
     // exact-band-only); floor leaves slack
     assert(recall >= 0.5, s"binary-hamming recall@5 collapsed: $recall")
+  }
+
+  test("binary MIPS: the norm-augmented hamming funnel recalls the " +
+    "exact-IP gold (1-bit words carry no norm at all — the rerank does " +
+    "all the metric work, so this floor is the one that catches a " +
+    "broken augmentation)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = SparkEntry.queries("q302_binary_mips")(spark, Sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipGold = Similarity.exactIpKnn(queries, emb, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.intersect(ipGold).size.toDouble / ipGold.size
+    info(s"binary-MIPS recall@5 vs exact-IP gold = $recall")
+    // measured 0.68 on this fixture — lower than SQ8's 0.8+ because
+    // sign bits quantize direction only; floor leaves slack
+    assert(recall >= 0.5, s"binary-MIPS recall collapsed: $recall")
   }
 
   test("q295 MMR: step 1 is the nearest neighbor and the 5 picks are " +
