@@ -290,6 +290,44 @@ object Dedup {
       .select("id_a", "id_b", "inter", "jac")
   }
 
+  /** LSH band-geometry sweep — the q224-nprobe-sweep analog for the
+    * dedup family: for each rows-per-band setting, the candidate-pair
+    * count (the COST the banding pays — every candidate is one
+    * verification join row) next to the verified-pair count (the
+    * RECALL it buys at the exact-Jaccard threshold). Fewer rows per
+    * band ⇒ more, smaller bands ⇒ more candidates and ≥ the verified
+    * pairs of any coarser setting — the tuning table a pipeline owner
+    * reads before fixing the geometry for a 100 TB run, produced
+    * from ONE shingle scan and ONE signature pass (signatures are
+    * geometry-independent; only the cheap band re-hash and the
+    * bucket equi-join re-run per setting). */
+  def lshBandSweep(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, numHashes: Int, rowsPerBandSettings: Seq[Int],
+                   minJaccard: Double): DataFrame = {
+    require(rowsPerBandSettings.nonEmpty &&
+      rowsPerBandSettings.forall(r => r > 0 && numHashes % r == 0),
+      s"every rows-per-band in $rowsPerBandSettings must divide numHashes=$numHashes")
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val sig = signaturesFromShingles(sh, idCol, numHashes).persist()
+    sig.count()
+    val frames = rowsPerBandSettings.map { rpb =>
+      val cand = candidatesFromBands(
+        lshBands(sig, idCol, numHashes, rpb), idCol)
+      val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nVer = verifyCandidates(cand, sh, idCol, minJaccard)
+        .agg(count(lit(1)).cast("long").as("n_verified"))
+      nCand.crossJoin(nVer) // two 1-row aggregates — the scalar-broadcast pattern
+        .select(lit(rpb).as("rows_per_band"),
+          lit(numHashes / rpb).as("n_bands"),
+          col("n_candidates"), col("n_verified"))
+    }
+    val (out, _) = Graph.snapshot(
+      frames.reduce(_.unionByName(_)).orderBy("rows_per_band"))
+    out.count()
+    sh.unpersist(); sig.unpersist()
+    out
+  }
+
   /** MinHash fidelity audit — the q188-recall-canary analog for the dedup
     * family: for every LSH candidate pair, the signature-estimated
     * Jaccard (matching minhash components / numHashes, in exact ppm)

@@ -61,16 +61,19 @@ object DedupOps {
        |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id)""".stripMargin
   }
 
-  private[operators] val bandsSql = {
-    val numBands = NumHashes / RowsPerBand
+  private[operators] def bandsSqlFor(rowsPerBand: Int,
+      name: String = "bands"): String = {
+    val numBands = NumHashes / rowsPerBand
     val hashes = (0 until numBands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"mh$i")
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
       s"md5(concat_ws(':', ${cols.mkString(", ")}))"
     }
-    s"""bands AS (SELECT doc_id,
+    s"""$name AS (SELECT doc_id,
        |  unnest([${hashes.mkString(", ")}]) AS band_hash,
        |  unnest(range($numBands)) AS band_idx FROM sig)""".stripMargin
   }
+
+  private[operators] val bandsSql = bandsSqlFor(RowsPerBand)
 
   /** Candidate→verify CTE chain (expects `sh` and `bands` in scope),
     * ending in `pairs(i, j)` — the verified near-dup pairs at 3-gram
@@ -873,6 +876,57 @@ object DedupOps {
           sum(col("ntok")).cast("long").as("tokens_total"),
           sum(col("kept") * col("ntok")).cast("long").as("tokens_kept"))
         .orderBy("source")
+    },
+
+    // ---- LSH band-geometry sweep (the q224 nprobe-sweep / q248
+    //      beam-sweep cell for the DEDUP family): per rows-per-band
+    //      setting, the candidate-pair count (the verification cost
+    //      the banding pays) next to the verified-pair count (the
+    //      recall it buys at Jaccard ≥ 0.8) — the knob table a
+    //      pipeline owner reads before fixing the geometry for a
+    //      100 TB run. Signatures are geometry-independent, so ONE
+    //      shingle scan and ONE signature pass feed all three
+    //      settings; only the band re-hash and the bucket equi-join
+    //      re-run. The oracle replays each setting through the SAME
+    //      band/verify text the q74 family uses. ----
+    Q("q304_lsh_band_sweep", {
+      val settings = Seq(2, 4, 8)
+      val ctes = settings.map { rpb =>
+        s"""${bandsSqlFor(rpb, s"bands$rpb")},
+           |cand$rpb AS (
+           |  SELECT a.doc_id AS i, b.doc_id AS j
+           |  FROM bands$rpb a JOIN bands$rpb b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |ver$rpb AS (
+           |  SELECT count(*) AS nv FROM (
+           |    SELECT c.i, c.j, count(*) AS inter
+           |    FROM cand$rpb c
+           |    JOIN sh sa ON sa.doc_id = c.i
+           |    JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+           |    GROUP BY 1, 2) p
+           |  JOIN nsh na ON na.doc_id = p.i
+           |  JOIN nsh nb ON nb.doc_id = p.j
+           |  WHERE CAST(inter AS DOUBLE)
+           |    / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.8)""".stripMargin
+      }.mkString(",\n")
+      val rows = settings.map { rpb =>
+        s"""SELECT CAST($rpb AS INTEGER) AS rows_per_band,
+           |  CAST(${NumHashes / rpb} AS INTEGER) AS n_bands,
+           |  (SELECT count(*) FROM cand$rpb) AS n_candidates,
+           |  (SELECT nv FROM ver$rpb) AS n_verified""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ShingleCte,
+         |$minhashSigSql,
+         |nsh AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         |$ctes
+         |$rows
+         |ORDER BY rows_per_band""".stripMargin
+    }) { (s, d) =>
+      Dedup.lshBandSweep(Tables.t(s, d, "documents"), "doc_id", "text",
+          3, NumHashes, Seq(2, 4, 8), minJaccard = 0.8)
+        .orderBy("rows_per_band")
     }
   )
 }

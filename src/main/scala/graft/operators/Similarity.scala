@@ -216,8 +216,7 @@ object Similarity {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, candidates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 1 && candidates >= k,
-      s"candidates=$candidates must be >= k=$k >= 1")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val qp = prepared(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
     val cp = prepared(corpus, idCol, vecCol)
@@ -228,7 +227,37 @@ object Similarity {
           .cast("long").as("d2"))
       .withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= candidates)
-      .select("qid", "nid", "d2").persist()
+      .select("qid", "nid", "d2")
+    mmrFromCandidates(cd, cp, idCol, k)
+  }
+
+  /** [[mmrRerank]] with the candidate stage swapped for the IVF-ADC
+    * route — the composition the brute variant's doc promises ("at
+    * corpus scale the SAME tail rides ivfAdcKnn's survivors"): the
+    * trained router finds the `candidates` nearest (exact-reranked, so
+    * the relevance term is the same exact integer d2 the brute path
+    * feeds), the greedy tail diversifies them. Per-query cost tracks
+    * nprobe·(n/nlist) + candidates² — never the corpus. */
+  def mmrRerankOverIvf(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int,
+      adcCandidates: Int, nlist: Int, nprobe: Int, trainRounds: Int,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    val cd = ivfAdcKnn(queries, corpus, idCol, vecCol, k = candidates,
+        candidates = adcCandidates, nlist, nprobe, trainRounds, m, ksub,
+        dim)
+      .select("qid", "nid", "d2")
+    mmrFromCandidates(cd, prepared(corpus, idCol, vecCol), idCol, k)
+  }
+
+  /** The greedy-MMR tail over an EXPLICIT (qid, nid, d2) candidate
+    * frame — ONE owner for the brute route (q295) and the IVF-ADC
+    * composition (q303), so the greedy sequence can never drift
+    * between them. */
+  private[operators] def mmrFromCandidates(cand: DataFrame,
+      cp: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val cd = cand.persist()
     cd.count()
     // pairwise distances among each query's candidates: candidates² per
     // query, the diversity term's whole working set
@@ -547,21 +576,30 @@ object Similarity {
     semanticDedupDeltaWithRouter(base, delta, idCol, vecCol, minCosine,
       kmeansTrain(base, idCol, vecCol, k, rounds), k)
 
-  /** [[semanticDedupDeltaResult]] with the router OCCUPANCY-SCALED from
-    * the BASE size ([[adaptiveNlist]]) — the q268 adaptive stance for
-    * the incremental entry point: the base is the snapshot the router
-    * freezes on, so the base count (one count() job, answered from
-    * parquet footers) is the right occupancy signal, and both the
-    * delta×base rule-(a) join and the delta×delta rule-(b) join stay
-    * Σ|cell|²-bounded at ANY snapshot size instead of degrading toward
-    * n² when a fixed k meets 1000× the data. */
+  /** [[semanticDedupDeltaResult]] with the router OCCUPANCY-SCALED —
+    * the q268 adaptive stance for the incremental entry point. The
+    * cell count must bound BOTH routed joins — delta×base (rule a) and
+    * delta×delta (rule b) — so occupancy sizes by the UNION
+    * ([[adaptiveNlist]] over base+delta; two count() jobs, answered
+    * from parquet footers), capped at the largest power of two the
+    * BASE can seed (training reads only the frozen base — a k beyond
+    * its row count cannot even seed; both terms are pure integer
+    * arithmetic, replayed by the oracle's nl CTE). A base-only sizing
+    * would quietly degrade toward delta² whenever a large delta meets
+    * a small base — exactly the shape the fixed-k twin (q269) measures
+    * quadratic at 100×. */
   def semanticDedupDeltaResultAdaptive(base: DataFrame, delta: DataFrame,
                                        idCol: String, vecCol: String,
                                        minCosine: Double,
                                        targetCell: Int = 64,
-                                       rounds: Int = 2): KeepList =
+                                       rounds: Int = 2): KeepList = {
+    val nBase = base.count()
+    val kUnion = adaptiveNlist(nBase + delta.count(), targetCell)
+    var cap = 8
+    while (cap.toLong * 2 <= nBase) cap <<= 1 // pow2 floor of nBase, min 8
     semanticDedupDeltaResult(base, delta, idCol, vecCol, minCosine,
-      adaptiveNlist(base.count(), targetCell), rounds)
+      math.max(8, math.min(kUnion, cap)), rounds)
+  }
 
   /** [[semanticDedupDeltaResult]] against an EXPLICIT router (the
     * centroid frame) — the entry point the persisted-router path

@@ -531,12 +531,12 @@ object SimilarityOps {
       trainPq: String = "", src: String = "embeddings",
       qrWhere: String = "n.vec_id < 10",
       qdtWhere: String = "s.vec_id < 10",
-      adFilter: String = ""): String =
+      adFilter: String = "", rerankK: Int = 5): String =
     s"""${preparedCte(src)},
        |${lloydCte(8, 2, trainLloyd)},
        |${asgCte(8)},
        |${pqCtes(trainPq, qdtWhere)},
-       |${ivfAdcTail(qrWhere, adFilter)}""".stripMargin
+       |${ivfAdcTail(qrWhere, adFilter, rerankK)}""".stripMargin
 
   /** The nlist-INDEPENDENT back half of the IVF-ADC route (query
     * routing → in-list ADC → candidate cut → exact rerank → appr),
@@ -544,7 +544,7 @@ object SimilarityOps {
     * adaptive-nlist oracle — every stage here only reads `c`/`asg`/
     * `codes`/`qdt`, so ONE definition serves both cell-count modes. */
   private def ivfAdcTail(qrWhere: String = "n.vec_id < 10",
-      adFilter: String = ""): String =
+      adFilter: String = "", rerankK: Int = 5): String =
     s"""qr AS (
        |  SELECT n.vec_id AS qid, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -558,7 +558,7 @@ object SimilarityOps {
        |  JOIN codes x ON x.vec_id = a.vec_id
        |  JOIN qdt t ON t.qid = pr.qid AND t.m = x.m AND t.cid = x.cid
        |  GROUP BY pr.qid, a.vec_id),
-       |$AdcCutRerankSql""".stripMargin
+       |${adcCutRerankSql("", rerankK)}""".stripMargin
 
   /** The ADC candidate cut + exact rerank CTE tail (reads `ad` and the
     * raw `n`) — ONE definition shared by [[ivfAdcTail]] and the q223
@@ -568,7 +568,7 @@ object SimilarityOps {
   /** [[AdcCutRerankSql]] with SUFFIXED CTE names (cand$sfx/scored$sfx/
     * appr$sfx reading ad$sfx) — the q224 nprobe sweep needs one cut +
     * rerank chain PER probed depth in a single statement. */
-  private def adcCutRerankSql(sfx: String = ""): String =
+  private def adcCutRerankSql(sfx: String = "", rerankK: Int = 5): String =
     s"""cand$sfx AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
@@ -587,7 +587,7 @@ object SimilarityOps {
        |    SELECT qid, nid, d2,
        |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
        |    FROM scored$sfx) t
-       |  WHERE rank <= 5)""".stripMargin
+       |  WHERE rank <= $rerankK)""".stripMargin
 
   private val IvfAdcOracleSql: String = ivfAdcOracle()
 
@@ -754,12 +754,27 @@ object SimilarityOps {
        |ORDER BY e2.vec_id""".stripMargin
 
   /** q292's oracle: the SAME delta rules, with the router OCCUPANCY-
-    * SCALED from the BASE count — nl over the base-restricted scan in
-    * SQL, [[Similarity.adaptiveNlist]](base.count) in Spark, the same
-    * integer formula — so the incremental entry point's gate stays in
-    * sync at any snapshot size (the q268 stance for q269's path). */
+    * SCALED by the [[Similarity.semanticDedupDeltaResultAdaptive]]
+    * formula — adaptiveNlist over the UNION count (the cell count must
+    * bound both routed joins), capped at the largest power of two the
+    * BASE can seed, floored at 8 — replayed in pure integer arithmetic
+    * so the gate stays in sync at any snapshot size (the q268 stance
+    * for q269's path). */
+  private lazy val SemanticDeltaAdaptiveNlCte: String =
+    s"""icnt AS (SELECT count(*) AS n FROM embeddings),
+       |bcnt AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < $AppendBase),
+       |nl AS (SELECT GREATEST(CAST(8 AS BIGINT), LEAST(
+       |  COALESCE((SELECT min(CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+       |    FROM range(0, 21) t(p), icnt
+       |    WHERE (CAST(64 AS BIGINT) << CAST(p AS INTEGER)) >= n),
+       |    CAST(1 AS BIGINT) << 20),
+       |  COALESCE((SELECT max(CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+       |    FROM range(0, 21) t(p), bcnt
+       |    WHERE (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) <= n),
+       |    CAST(8 AS BIGINT)))) AS k)""".stripMargin
+
   private lazy val SemanticDeltaAdaptiveOracleSql: String =
-    s"""WITH ${nlCte(s"embeddings WHERE vec_id < $AppendBase")},
+    s"""WITH $SemanticDeltaAdaptiveNlCte,
        |$PreparedCte,
        |${lloydCteDyn(2, s"\n  WHERE n.vec_id < $AppendBase")},
        |${asgCteDyn()},
@@ -3273,14 +3288,14 @@ object SimilarityOps {
 
     // ---- OCCUPANCY-SCALED incremental semantic dedup (the q268
     //      adaptive stance for q269's entry point — round-14 verdict
-    //      item 1): the router k comes from adaptiveNlist(base count)
-    //      on the Spark side and the base-restricted nl CTE on the
-    //      oracle side — the same integer formula — so both the
-    //      delta×base rule-(a) join and the delta×delta rule-(b) join
-    //      stay Σ|cell|²-bounded at ANY snapshot size, where q269's
-    //      fixed k=8 measured quadratic (67×) at the 100× probe. Rules
-    //      replay through the SHARED SemanticDeltaTailSql, character
-    //      for character: only the router sizing differs. ----
+    //      item 1): the router k comes from adaptiveNlist(UNION count)
+    //      capped by the base's power-of-two floor (training reads only
+    //      the frozen base) — the same integer formula on both sides —
+    //      so both the delta×base rule-(a) join and the delta×delta
+    //      rule-(b) join stay Σ|cell|²-bounded at ANY snapshot size,
+    //      where q269's fixed k=8 measured quadratic (67×) at the 100×
+    //      probe. Rules replay through the SHARED SemanticDeltaTailSql,
+    //      character for character: only the router sizing differs. ----
     Q("q292_semantic_dedup_delta_adaptive", SemanticDeltaAdaptiveOracleSql) {
       (s, d) =>
         val emb = Tables.t(s, d, "embeddings")
@@ -3474,6 +3489,22 @@ object SimilarityOps {
       val served = out.collect()
       idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- MMR over the IVF-ADC route (the composition q295's scale
+    //      story promises): the trained router produces the top-20
+    //      exact-reranked survivors, the SHARED greedy tail
+    //      diversifies them — per-query cost tracks nprobe·(n/nlist) +
+    //      candidates², never the corpus. Candidate generation and the
+    //      greedy sequence are each replayed by their own single-owner
+    //      CTE chain, so a drift in either breaks the hash. ----
+    Q("q303_mmr_over_ivf", MmrOverIvfOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.mmrRerankOverIvf(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, candidates = 20,
+          adcCandidates = 50, nlist = 8, nprobe = 2, trainRounds = 2,
+          m = 16, ksub = 8, dim = Dim)
+        .orderBy("qid", "step")
     }
   )
 
@@ -3553,8 +3584,12 @@ object SimilarityOps {
     * step's pick CTE is the windowed argmax of (min d2 to the selected
     * set − d2 to the query), the lloydCte unrolling discipline applied
     * to a greedy selection. */
-  private lazy val MmrOracleSql: String = {
-    val steps = (2 to 5).map { t =>
+  /** The greedy-MMR tail over a `cd(qid, nid, d2)` CTE (reads the
+    * prepared `n` for the pairwise distances) — ONE owner for the
+    * brute route (q295) and the IVF-ADC composition (q303), mirroring
+    * [[Similarity.mmrFromCandidates]] exactly. */
+  private def mmrTailSql(k: Int = 5): String = {
+    val steps = (2 to k).map { t =>
       s"""ms$t AS (SELECT cd.qid, cd.nid, cd.d2, min(pp.d2) AS msd
          |  FROM cd JOIN pp ON pp.qid = cd.qid AND pp.i = cd.nid
          |  JOIN sel${t - 1} s ON s.qid = pp.qid AND s.nid = pp.j
@@ -3567,14 +3602,7 @@ object SimilarityOps {
          |sel$t AS (SELECT qid, nid, step FROM sel${t - 1}
          |  UNION ALL SELECT qid, nid, $t FROM p$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $PreparedCte,
-       |sc AS (SELECT qn.vec_id AS qid, cn.vec_id AS nid,
-       |    CAST(qn.nsq + cn.nsq - 2*list_dot_product(qn.qd, cn.qd) AS BIGINT) AS d2
-       |  FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
-       |cd AS (SELECT qid, nid, d2 FROM (SELECT qid, nid, d2,
-       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM sc) z
-       |  WHERE rn <= 20),
-       |pp AS (SELECT a.qid, a.nid AS i, b.nid AS j,
+    s"""pp AS (SELECT a.qid, a.nid AS i, b.nid AS j,
        |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
        |  FROM cd a JOIN cd b ON b.qid = a.qid AND b.nid != a.nid
        |  JOIN n na ON na.vec_id = a.nid JOIN n nb ON nb.vec_id = b.nid),
@@ -3582,9 +3610,28 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM cd) z
        |  WHERE rn = 1),
        |$steps
-       |SELECT qid, nid, CAST(step AS INTEGER) AS step FROM sel5
+       |SELECT qid, nid, CAST(step AS INTEGER) AS step FROM sel$k
        |ORDER BY qid, step""".stripMargin
   }
+
+  private lazy val MmrOracleSql: String =
+    s"""WITH $PreparedCte,
+       |sc AS (SELECT qn.vec_id AS qid, cn.vec_id AS nid,
+       |    CAST(qn.nsq + cn.nsq - 2*list_dot_product(qn.qd, cn.qd) AS BIGINT) AS d2
+       |  FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
+       |cd AS (SELECT qid, nid, d2 FROM (SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM sc) z
+       |  WHERE rn <= 20),
+       |${mmrTailSql(5)}""".stripMargin
+
+  /** The q303 oracle: the UNCHANGED IVF-ADC CTE owners produce the
+    * top-20 exact-reranked survivors (`appr` with the rank cut at 20),
+    * which become the MMR tail's `cd` — candidate generation and
+    * greedy tail each replayed by their own single owner. */
+  private lazy val MmrOverIvfOracleSql: String =
+    s"""WITH ${ivfAdcCtes(rerankK = 20)},
+       |cd AS (SELECT qid, nid, d2 FROM appr),
+       |${mmrTailSql(5)}""".stripMargin
 
 
   // data dir -> the ONE NSW stream staging dir (the idxDirs reuse rule)

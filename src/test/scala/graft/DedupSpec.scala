@@ -224,4 +224,28 @@ class DedupSpec extends SparkTestBase {
     // doc 6 loses BOTH planted spans (two victimizing pairs)
     assert(cut(6L) === ((22L, 3L, "e1 e2 e3")))
   }
+
+  test("q304 band sweep: finer banding never loses candidates or " +
+    "verified pairs, and every verified count is bounded by its " +
+    "candidate count (the knob's meaning — the hash gate can't see it)") {
+    val out = SparkEntry.queries("q304_lsh_band_sweep")(spark, Sf)
+      .collect()
+      .map(r => r.getAs[Int]("rows_per_band") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"))))
+      .toMap
+    assert(out.keySet === Set(2, 4, 8))
+    out.foreach { case (rpb, (nc, nv)) =>
+      assert(nv <= nc, s"rpb=$rpb verified $nv exceeds candidates $nc")
+    }
+    // fewer rows per band ⇒ more bands AND a looser per-band match ⇒
+    // a superset of band-collisions: candidate/verified counts are
+    // monotone non-increasing in rows_per_band... candidates strictly
+    // depend on geometry; verified pairs are capped by the true
+    // near-dup count, so equality is allowed
+    assert(out(2)._1 >= out(4)._1 && out(4)._1 >= out(8)._1,
+      s"candidate counts not monotone: $out")
+    assert(out(2)._2 >= out(4)._2 && out(4)._2 >= out(8)._2,
+      s"verified counts not monotone: $out")
+    assert(out(2)._2 > 0, "finest setting found no verified pairs")
+  }
 }
