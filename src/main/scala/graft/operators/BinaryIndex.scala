@@ -74,6 +74,24 @@ final class BinaryIndex private[operators] (
       rest, idCol, vecCol)
   }
 
+  /** Band-bucket occupancy report (the q207/q237 introspection stance
+    * for this family): per band index, the distinct bucket count, the
+    * largest bucket and Σ bucket² — the last is EXACTLY the candidate
+    * volume the band equi-join pays per probe hitting that band, so
+    * this is the number a serving owner watches to see whether corpus
+    * drift is making buckets hot (sign-bit buckets have no retrain
+    * story — the mitigation is wider bands, which the report sizes).
+    * One groupBy over the exploded words, then a ≤ nBands-row agg. */
+  def stats: DataFrame = {
+    val g = words.select(posexplode(col("wds")).as(Seq("b", "v")))
+      .groupBy("b", "v").agg(count(lit(1)).as("n"))
+    g.groupBy(col("b").as("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).cast("long").as("max_bucket"),
+        sum(col("n") * col("n")).cast("long").as("sum_sq"))
+      .orderBy("band_idx")
+  }
+
   def release(): Unit = releaseStorage()
 
   /** Persist: words parquet + params LAST with the words count AS

@@ -249,14 +249,52 @@ object Similarity {
     mmrFromCandidates(cd, prepared(corpus, idCol, vecCol), idCol, k)
   }
 
+  /** λ sweep over the SAME candidate set (the q224/q248/q304 knob-cell
+    * for the diversified-retrieval family): the three integer
+    * weightings (1,0) / (1,1) / (0,1) — pure relevance, λ = 1/2, pure
+    * diversity — each run through the shared greedy tail, tagged with
+    * λ in percent. The candidate frame and its pairwise distances are
+    * λ-independent; only the three bounded greedy chains differ. */
+  def mmrLambdaSweep(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      candidates: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val qp = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nsq").as("qnsq"))
+    val cp = prepared(corpus, idCol, vecCol)
+    val wC = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val cd = qp.join(cp, col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        (col("qnsq") + col("nsq") - lit(2L) * dot(col("qq"), col("q")))
+          .cast("long").as("d2"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= candidates)
+      .select("qid", "nid", "d2")
+    Seq((1L, 0L, 0), (1L, 1L, 50), (0L, 1L, 100)).map {
+      case (wr, wd, pct) =>
+        mmrFromCandidates(cd, cp, idCol, k, wr, wd)
+          .select(lit(pct).as("lambda_pct"), col("qid"), col("nid"),
+            col("step"))
+    }.reduce(_.unionByName(_)).orderBy("lambda_pct", "qid", "step")
+  }
+
   /** The greedy-MMR tail over an EXPLICIT (qid, nid, d2) candidate
-    * frame — ONE owner for the brute route (q295) and the IVF-ADC
-    * composition (q303), so the greedy sequence can never drift
-    * between them. */
+    * frame — ONE owner for the brute route (q295), the IVF-ADC
+    * composition (q303) and every weighting of the λ sweep (q306), so
+    * the greedy sequence can never drift between them. Integer weights
+    * generalize λ: each step argmaxes wDiv·(min d2 to selected) −
+    * wRel·(d2 to query); (1,0) degenerates to ranked top-k, (1,1) is
+    * λ = 1/2, (0,1) pure diversity. Step 1 is ALWAYS the most relevant
+    * pick — the MMR anchor; at wRel = 0 a first pick is otherwise
+    * undefined. */
   private[operators] def mmrFromCandidates(cand: DataFrame,
-      cp: DataFrame, idCol: String, k: Int): DataFrame = {
+      cp: DataFrame, idCol: String, k: Int,
+      wRel: Long = 1L, wDiv: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k=$k must be >= 1")
+    require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
+      s"weights ($wRel, $wDiv) must be non-negative and not both zero")
     val cd = cand.persist()
     cd.count()
     // pairwise distances among each query's candidates: candidates² per
@@ -288,7 +326,8 @@ object Similarity {
         .groupBy(col("qid"), col("i").as("nid"))
         .agg(min(col("pd2")).as("msd"))
       val wP = Window.partitionBy("qid")
-        .orderBy((col("msd") - col("d2")).desc, col("nid"))
+        .orderBy((lit(wDiv) * col("msd") - lit(wRel) * col("d2")).desc,
+          col("nid"))
       val pick = rem.join(msd, Seq("qid", "nid"))
         .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
         .select(col("qid"), col("nid"), lit(t).as("step"))

@@ -3505,6 +3505,47 @@ object SimilarityOps {
           adcCandidates = 50, nlist = 8, nprobe = 2, trainRounds = 2,
           m = 16, ksub = 8, dim = Dim)
         .orderBy("qid", "step")
+    },
+
+    // ---- binary band-bucket occupancy report (the q207/q237
+    //      introspection cell for the fifth family): per band, distinct
+    //      buckets, the largest bucket and Σ bucket² — the LAST is
+    //      exactly the candidate volume the band equi-join pays per
+    //      probe landing in that band, i.e. the number that says
+    //      whether corpus drift is making sign-bit buckets hot (the
+    //      mitigation is wider bands — there is nothing to retrain).
+    //      Gated through the HANDLE so the report provably describes
+    //      the structure the index serves from. ----
+    Q("q305_binary_band_stats",
+      s"""WITH $PreparedCte,
+         |wd AS (SELECT vec_id, $BinaryWordsExpr AS wds FROM e),
+         |bd AS (SELECT vec_id, unnest(range(0,8)) AS b, unnest(wds) AS v FROM wd),
+         |g AS (SELECT b, v, count(*) AS n FROM bd GROUP BY b, v)
+         |SELECT CAST(b AS INTEGER) AS band_idx, count(*) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * n) AS BIGINT) AS sum_sq
+         |FROM g GROUP BY b ORDER BY band_idx""".stripMargin) { (s, d) =>
+      val idx = BinaryIndex.build(Tables.t(s, d, "embeddings"),
+        "vec_id", "embedding")
+      val out = idx.stats
+      val served = out.collect()
+      idx.release()
+      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    },
+
+    // ---- MMR λ sweep (the q224/q248/q304 knob-sweep cell for the
+    //      diversified-retrieval family): pure relevance (λ=0 — must
+    //      degenerate to ranked top-5), λ=1/2 (the q295 setting) and
+    //      pure diversity (λ=1), all over ONE candidate set and ONE
+    //      pairwise-distance pass — the table a RAG owner reads to
+    //      place the relevance/diversity knob before fixing it. The
+    //      greedy chains replay through the SHARED chain owner at
+    //      integer weights, so the knob provably reaches the
+    //      selection rule. ----
+    Q("q306_mmr_lambda_sweep", MmrLambdaSweepOracleSql) { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      Similarity.mmrLambdaSweep(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, candidates = 20)
     }
   )
 
@@ -3588,31 +3629,47 @@ object SimilarityOps {
     * prepared `n` for the pairwise distances) — ONE owner for the
     * brute route (q295) and the IVF-ADC composition (q303), mirroring
     * [[Similarity.mmrFromCandidates]] exactly. */
-  private def mmrTailSql(k: Int = 5): String = {
+  /** The candidate-pairwise-distance CTE the greedy chains share —
+    * λ-independent, so the q306 sweep computes it ONCE for all three
+    * weightings. */
+  // lazy: referenced from the eagerly-built defs Seq (the BinaryWordsExpr rule)
+  private lazy val MmrPpSql: String =
+    """pp AS (SELECT a.qid, a.nid AS i, b.nid AS j,
+      |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
+      |  FROM cd a JOIN cd b ON b.qid = a.qid AND b.nid != a.nid
+      |  JOIN n na ON na.vec_id = a.nid JOIN n nb ON nb.vec_id = b.nid)""".stripMargin
+
+  /** One greedy selection chain (`sel1$sfx` … `sel$k$sfx`) at integer
+    * weights: each step argmaxes wDiv·(min d2 to selected) −
+    * wRel·(d2 to query); step 1 is always the most relevant pick (the
+    * MMR anchor — at wRel = 0 a first pick is otherwise undefined). */
+  private def mmrSelChainSql(k: Int, wRel: Int, wDiv: Int,
+      sfx: String = ""): String = {
     val steps = (2 to k).map { t =>
-      s"""ms$t AS (SELECT cd.qid, cd.nid, cd.d2, min(pp.d2) AS msd
+      s"""ms$t$sfx AS (SELECT cd.qid, cd.nid, cd.d2, min(pp.d2) AS msd
          |  FROM cd JOIN pp ON pp.qid = cd.qid AND pp.i = cd.nid
-         |  JOIN sel${t - 1} s ON s.qid = pp.qid AND s.nid = pp.j
-         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |  JOIN sel${t - 1}$sfx s ON s.qid = pp.qid AND s.nid = pp.j
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1}$sfx x
          |    WHERE x.qid = cd.qid AND x.nid = cd.nid)
          |  GROUP BY cd.qid, cd.nid, cd.d2),
-         |p$t AS (SELECT qid, nid FROM (SELECT qid, nid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY msd - d2 DESC, nid) AS rn
-         |  FROM ms$t) z WHERE rn = 1),
-         |sel$t AS (SELECT qid, nid, step FROM sel${t - 1}
-         |  UNION ALL SELECT qid, nid, $t FROM p$t)""".stripMargin
+         |p$t$sfx AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY $wDiv * msd - $wRel * d2 DESC, nid) AS rn
+         |  FROM ms$t$sfx) z WHERE rn = 1),
+         |sel$t$sfx AS (SELECT qid, nid, step FROM sel${t - 1}$sfx
+         |  UNION ALL SELECT qid, nid, $t FROM p$t$sfx)""".stripMargin
     }.mkString(",\n")
-    s"""pp AS (SELECT a.qid, a.nid AS i, b.nid AS j,
-       |    CAST(na.nsq + nb.nsq - 2*list_dot_product(na.qd, nb.qd) AS BIGINT) AS d2
-       |  FROM cd a JOIN cd b ON b.qid = a.qid AND b.nid != a.nid
-       |  JOIN n na ON na.vec_id = a.nid JOIN n nb ON nb.vec_id = b.nid),
-       |sel1 AS (SELECT qid, nid, 1 AS step FROM (SELECT qid, nid,
+    s"""sel1$sfx AS (SELECT qid, nid, 1 AS step FROM (SELECT qid, nid,
        |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM cd) z
        |  WHERE rn = 1),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def mmrTailSql(k: Int = 5): String =
+    s"""$MmrPpSql,
+       |${mmrSelChainSql(k, 1, 1)}
        |SELECT qid, nid, CAST(step AS INTEGER) AS step FROM sel$k
        |ORDER BY qid, step""".stripMargin
-  }
 
   private lazy val MmrOracleSql: String =
     s"""WITH $PreparedCte,
@@ -3623,6 +3680,29 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM sc) z
        |  WHERE rn <= 20),
        |${mmrTailSql(5)}""".stripMargin
+
+  /** The q306 oracle: ONE candidate set and ONE pairwise-distance CTE
+    * (both λ-independent), three suffixed greedy chains through the
+    * SHARED chain owner at the three integer weightings. */
+  private lazy val MmrLambdaSweepOracleSql: String =
+    s"""WITH $PreparedCte,
+       |sc AS (SELECT qn.vec_id AS qid, cn.vec_id AS nid,
+       |    CAST(qn.nsq + cn.nsq - 2*list_dot_product(qn.qd, cn.qd) AS BIGINT) AS d2
+       |  FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
+       |cd AS (SELECT qid, nid, d2 FROM (SELECT qid, nid, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM sc) z
+       |  WHERE rn <= 20),
+       |$MmrPpSql,
+       |${mmrSelChainSql(5, 1, 0, "_a")},
+       |${mmrSelChainSql(5, 1, 1, "_b")},
+       |${mmrSelChainSql(5, 0, 1, "_c")}
+       |SELECT CAST(0 AS INTEGER) AS lambda_pct, qid, nid,
+       |  CAST(step AS INTEGER) AS step FROM sel5_a
+       |UNION ALL SELECT CAST(50 AS INTEGER), qid, nid,
+       |  CAST(step AS INTEGER) FROM sel5_b
+       |UNION ALL SELECT CAST(100 AS INTEGER), qid, nid,
+       |  CAST(step AS INTEGER) FROM sel5_c
+       |ORDER BY lambda_pct, qid, step""".stripMargin
 
   /** The q303 oracle: the UNCHANGED IVF-ADC CTE owners produce the
     * top-20 exact-reranked survivors (`appr` with the rank cut at 20),

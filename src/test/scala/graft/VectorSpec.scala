@@ -1176,6 +1176,46 @@ class VectorSpec extends SparkTestBase {
     assert(recall >= 0.5, s"binary-hamming recall@5 collapsed: $recall")
   }
 
+  test("q306 λ sweep: λ=0 degenerates to ranked top-5 and per-query " +
+    "pick spread is monotone non-decreasing in λ (the knob provably " +
+    "reaches the selection rule)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = SparkEntry.queries("q306_mmr_lambda_sweep")(spark, Sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def picks(l: Int, q: Long): Seq[Long] =
+      out.filter(r => r._1 == l && r._2 == q).sortBy(_._4).map(_._3).toSeq
+    def minPair(ids: Seq[Long]): Long =
+      (for (i <- ids.indices; j <- i + 1 until ids.size) yield {
+        val (a, b) = (p(ids(i)), p(ids(j)))
+        a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+      }).min
+    // λ=0 (pure relevance) = the exact top-5 in rank order
+    val gold = Similarity.exactL2Knn(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    var sums = (0L, 0L, 0L)
+    for (q <- 0L until 10L) {
+      val l0 = picks(0, q)
+      assert(l0 === (1 to 5).map(s => gold((q, s))),
+        s"λ=0 for query $q is not the ranked top-5: $l0")
+      val (a, b, c) = (minPair(l0), minPair(picks(50, q)),
+        minPair(picks(100, q)))
+      // per query: any diversity weight beats pure relevance. λ=1 vs
+      // λ=1/2 is NOT pointwise-monotone (greedy MMR maximizes marginal
+      // score, not the min pairwise distance — measured one inversion
+      // at sf0.001), so the 50→100 step is pinned in aggregate below.
+      assert(a <= b && a <= c,
+        s"diversity weight did not spread query $q: $a / $b / $c")
+      sums = (sums._1 + a, sums._2 + b, sums._3 + c)
+    }
+    assert(sums._1 <= sums._2 && sums._2 <= sums._3,
+      s"aggregate spread not monotone in λ: $sums")
+  }
+
   test("binary MIPS: the norm-augmented hamming funnel recalls the " +
     "exact-IP gold (1-bit words carry no norm at all — the rerank does " +
     "all the metric work, so this floor is the one that catches a " +
