@@ -236,6 +236,104 @@ object Multimodal {
     MediaRecord(id, "png", payload, payload.length.toLong)
   }
 
+  /** Deterministic 16×16 grayscale-gradient PNG — the structured image
+    * the aHash near-dup gate (q307) needs (a solid color hashes
+    * degenerately: every block mean equals the global mean). Pixel
+    * luminance is pure integer arithmetic over (id, x, y), mirrored
+    * verbatim by the oracle; ids 2i and 2i+1 share a base pattern and
+    * differ only by a +17 bump on the top-left 2×2 pixels — a planted
+    * near-dup pair per base, while different bases get genuinely
+    * different gradients (base-keyed slopes + a nonlinear x·y term, so
+    * a constant brightness shift can't alias two bases into one hash). */
+  def gradientLum(id: Long, x: Int, y: Int): Int = {
+    val base = id / 2
+    val bump = if (id % 2 == 1 && x < 2 && y < 2) 17L else 0L
+    // slope moduli are PRIMES (97/101/103) so the pattern family only
+    // repeats every ~10^6 bases: without this, bases at lcm(small
+    // moduli) apart produced identical hashes and the near-dup classes
+    // (hence band buckets AND the true answer set) grew linearly with
+    // the corpus — quadratic pair volume that had nothing to do with
+    // the planted twins
+    ((base * 31 + x * (3 + base % 97) + y * (5 + base % 101) +
+      (x.toLong * y * (1 + base % 103)) % 97 + bump) % 256).toInt
+  }
+
+  def syntheticGradientRecord(id: Long): MediaRecord = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val l = gradientLum(id, x, y)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray
+    MediaRecord(id, "png", payload, payload.length.toLong)
+  }
+
+  /** REAL-decode aHash: ImageIO-decode each 16×16 PNG, average 2×2
+    * pixel blocks down to the classic 8×8 aHash grid (truncating
+    * integer means — exact, PNG is lossless), threshold each block
+    * against the truncating mean of the 64 block means (ties → 1,
+    * the `>=` rule), and pack the 64 bits as 4 words of 16 — the band
+    * width is the SCALE knob: an ALL-PAIRS dedup's bucket occupancy is
+    * n/2^bits per band, so 8-bit bands went quadratic at 10× (measured
+    * 27×) while 16-bit buckets stay ~n/65536; and by pigeonhole 4
+    * bands keep FULL recall at the report's hamming ≤ 3 cut (3 diffs
+    * can dirty at most 3 of 4 words). One row per image:
+    * (media_id, wds array<bigint>[4]). Any decoder deviation — wrong
+    * channel, dims, gamma, resample — lands in the block means and
+    * breaks the gate hash. */
+  def imageAHashWords(spark: SparkSession,
+                      media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null && img.getWidth == 16 && img.getHeight == 16,
+          s"media ${r.media_id}: expected a 16x16 image")
+        val bm = new Array[Long](64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            var s = 0L
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                s += (img.getRGB(bx * 2 + dx, by * 2 + dy) & 0xff).toLong
+                dx += 1
+              }
+              dy += 1
+            }
+            bm(by * 8 + bx) = s / 4
+            bx += 1
+          }
+          by += 1
+        }
+        val gmean = bm.sum / 64
+        val wds = (0 until 4).map { w =>
+          var v = 0L
+          var b = 0
+          while (b < 16) {
+            if (bm(w * 16 + b) >= gmean) v |= (1L << b)
+            b += 1
+          }
+          v
+        }
+        (r.media_id, wds)
+      }
+    }.toDF("media_id", "wds")
+  }
+
   /** Deterministic 16-bit mono PCM WAV — the synthetic audio modality.
     * The RIFF header is hand-rolled (canonical 44-byte PCM layout), so the
     * generator shares no code with the `javax.sound` decoder under test.

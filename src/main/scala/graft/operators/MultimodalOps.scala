@@ -306,8 +306,86 @@ object MultimodalOps {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("last_frame_idx"))
         .orderBy("media_id")
+    },
+
+    // ---- IMAGE near-dup dedup (REAL decode → aHash → banded hamming):
+    //      the multimodal modality gets the near-dup operator every
+    //      other modality already has (text MinHash q74, SimHash q84,
+    //      vectors q267, binary words q294). Structured gradient PNGs
+    //      decode through the ACTUAL ImageIO stack into 8×8 block-mean
+    //      aHashes (the classic perceptual hash, exact integer at a
+    //      lossless 16×16 source); ids 2i/2i+1 are planted near-dup
+    //      twins. Candidates come from a 4×16-bit-word band equi-join
+    //      (hamming ≤ 3 ⇒ some word equal — FULL recall at the report
+    //      cut by pigeonhole; 16-bit buckets keep occupancy ~n/65536,
+    //      where 8-bit bands measured quadratic at 10×), so the
+    //      pipeline never compares images pairwise. The oracle
+    //      can't decode PNGs — it replays the generator's pixel
+    //      arithmetic through block means, threshold, packing, banding
+    //      and hamming, so ANY decoder deviation (channel order, dims,
+    //      gamma, resample) breaks the hash. ----
+    Q.withBench("q307_image_ahash_neardup",
+      """WITH px AS (
+        |  SELECT doc_id, tx.x AS x, ty.y AS y,
+        |    ((doc_id // 2) * 31 + tx.x * (3 + (doc_id // 2) % 97)
+        |      + ty.y * (5 + (doc_id // 2) % 101)
+        |      + (tx.x * ty.y * (1 + (doc_id // 2) % 103)) % 97
+        |      + CASE WHEN doc_id % 2 = 1 AND tx.x < 2 AND ty.y < 2
+        |             THEN 17 ELSE 0 END) % 256 AS lum
+        |  FROM documents, range(0,16) tx(x), range(0,16) ty(y)),
+        |bm AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS blk,
+        |    CAST(sum(lum) // 4 AS BIGINT) AS bmean
+        |  FROM px GROUP BY doc_id, blk),
+        |bg AS (SELECT doc_id, CAST(sum(bmean) // 64 AS BIGINT) AS gmean
+        |  FROM bm GROUP BY doc_id),
+        |wv AS (SELECT bm.doc_id, blk // 16 AS b,
+        |    CAST(sum(CASE WHEN bmean >= gmean
+        |      THEN CAST(1 AS BIGINT) << CAST(blk % 16 AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS v
+        |  FROM bm JOIN bg ON bg.doc_id = bm.doc_id
+        |  GROUP BY bm.doc_id, blk // 16),
+        |wl AS (SELECT doc_id, list(v ORDER BY b) AS wds FROM wv GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM wv a JOIN wv b
+        |  ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+        |hm AS (SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(0,4), i ->
+        |      bit_count(xor(wa.wds[CAST(i AS INTEGER)+1],
+        |                    wb.wds[CAST(i AS INTEGER)+1])))) AS BIGINT) AS hamming
+        |  FROM cand JOIN wl wa ON wa.doc_id = cand.id_a
+        |  JOIN wl wb ON wb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+        imageNearDup(s, genMedia(s, d, Multimodal.syntheticGradientRecord))
+    } { (s, d) =>
+      imageNearDup(s,
+        cachedMedia(s, d, "gradpng", Multimodal.syntheticGradientRecord))
     }
   )
+
+  /** aHash words → banded candidates → hamming ≤ 3 report — the q84
+    * SimHash shape over REAL-decoded image hashes. */
+  private def imageNearDup(s: SparkSession,
+      media: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    val wd = Multimodal.imageAHashWords(s, media)
+    val bd = wd.select(col("media_id"),
+      posexplode(col("wds")).as(Seq("b", "v")))
+    val cand = bd.as("a").join(bd.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val wa = wd.select(col("media_id").as("id_a"), col("wds").as("wa"))
+    val wb = wd.select(col("media_id").as("id_b"), col("wds").as("wb"))
+    cand.join(wa, "id_a").join(wb, "id_b")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, h) -> acc + h)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
 
   private def audioStats8(media: Dataset[Multimodal.MediaRecord]): DataFrame =
     Multimodal.decodeFeatures(media).toDF()

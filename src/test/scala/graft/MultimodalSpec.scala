@@ -263,6 +263,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.features(0) === (junk(0) & 0xff).toFloat / 255f) // stub shape
   }
 
+  test("q307 image near-dup: planted twins detected through the REAL " +
+    "decode at a high floor, and every reported pair is within the cut") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q307_image_ahash_neardup")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty, "no near-dup pairs found at all")
+    out.foreach { case (a, b, h) =>
+      assert(h >= 0 && h <= 3, s"pair ($a,$b) outside the hamming cut: $h")
+    }
+    val nDocs = Tables.t(spark, Sf, "documents").count()
+    val nTwins = nDocs / 2
+    val found = out.count { case (a, b, _) => a % 2 == 0 && b == a + 1 }
+    // measured 245/250 at sf0.01 (a twin's +17 bump can move the global
+    // mean and flip >3 threshold bits); floor leaves slack
+    assert(found.toDouble / nTwins >= 0.8,
+      s"only $found of $nTwins planted twins detected")
+    // and the aHash really came from DECODED pixels: recompute one
+    // twin's words from the generator arithmetic and compare
+    val wd = Multimodal.imageAHashWords(spark,
+        Seq(Multimodal.syntheticGradientRecord(0L)).toDS())
+      .select(col("wds")).head().getSeq[Long](0)
+    val bm = Array.tabulate(64) { blk =>
+      val (bx, by) = (blk % 8, blk / 8)
+      (0 until 2).flatMap(dy => (0 until 2).map(dx =>
+        Multimodal.gradientLum(0L, bx * 2 + dx, by * 2 + dy).toLong))
+        .sum / 4
+    }
+    val gm = bm.sum / 64
+    val expect = (0 until 4).map { w =>
+      (0 until 16).foldLeft(0L)((acc, b) =>
+        if (bm(w * 16 + b) >= gm) acc | (1L << b) else acc)
+    }
+    assert(wd.toSeq === expect, "decoded aHash drifted from the generator")
+  }
+
   test("bench body is row-identical to the gated body for the decode family") {
     // the benchRun reads pre-materialized payload parquet instead of
     // synthesizing records inline; semantics must be IDENTICAL or the
@@ -272,7 +309,8 @@ class MultimodalSpec extends SparkTestBase {
       "q98_image_decode", "q99_audio_decode", "q100_jpeg_decode",
       "q101_audio_formats", "q102_video_frames", "q103_image_resize",
       "q104_gif_decode", "q141_bpe_encode", "q173_bpe_decode",
-      "q181_bpe_fertility", "q190_ann_drift_retrain"))
+      "q181_bpe_fertility", "q190_ann_drift_retrain",
+      "q307_image_ahash_neardup"))
     for (q <- withBench) {
       val gated = q.run(spark, Sf).collect().map(_.toString).sorted
       val bench = q.bench(spark, Sf).collect().map(_.toString).sorted
