@@ -315,9 +315,15 @@ object ChunkingOps {
     //      best-fit-packing decision starts from) and the worst
     //      windows-spanned count. The md5 order makes the layout
     //      deterministic in any engine; the cumulative token offset is
-    //      ONE global running sum — at corpus scale a range-partitioned
-    //      sort, which is what physical packing costs anyway (the
-    //      loader must emit windows in SOME total order). ----
+    //      a DISTRIBUTED prefix sum — rows hash to 16 md5-prefix
+    //      buckets that are RANGES of the (h, doc_id) total order, the
+    //      running sum windows WITHIN a bucket, and each bucket adds a
+    //      broadcast 16-row cumulative offset. A bare global
+    //      Window.orderBy would drag the whole corpus through ONE task
+    //      (the q149 rule this engine bans); the bucketed form computes
+    //      the identical offsets with per-bucket parallelism, which is
+    //      what physical packing costs anyway (the loader must emit
+    //      windows in SOME total order). ----
     Q("q296_pack_sequences",
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
@@ -337,10 +343,21 @@ object ChunkingOps {
         .select(col("doc_id"), col("source"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"),
           md5(col("doc_id").cast("string")).as("h"))
-      val w = Window.orderBy("h", "doc_id")
+        // the first hex digit is a RANGE of the (h, doc_id) order —
+        // the distributed-prefix-sum partition key
+        .withColumn("bk", substring(col("h"), 1, 1))
+      val wIn = Window.partitionBy("bk").orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val f = t
-        .withColumn("st", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      // 16-row bucket totals → cumulative offsets (a bounded window
+      // over 16 rows, then broadcast back)
+      val wBk = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy("bk").agg(sum(col("ntok")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wBk), lit(0L)))
+        .select("bk", "off")
+      val f = t.join(broadcast(offs), Seq("bk"))
+        .withColumn("st",
+          col("off") + coalesce(sum(col("ntok")).over(wIn), lit(0L)))
         .select(col("source"), col("ntok"),
           expr("st div 256").as("w0"),
           expr("(st + ntok - 1) div 256").as("w1"))

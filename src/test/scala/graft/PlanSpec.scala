@@ -854,6 +854,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p293.contains("BroadcastNestedLoopJoin BuildLeft"), p293)
   }
 
+  test("q296 packing: the per-row running sum windows WITHIN the md5 " +
+    "bucket — the corpus never passes through one window partition " +
+    "(the distributed-prefix-sum shape)") {
+    val p = planOf(q("q296_pack_sequences"))
+    // the row-level cumulative sum must carry the bucket partition key
+    assert("Window \\[[^\\]]*\\], \\[bk#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q294 binary-hamming: candidates come only from the (band, word) " +
     "equi-join — the 1-bit route must never scan corpus pairs") {
     import graft.operators.Similarity
