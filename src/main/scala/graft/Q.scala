@@ -46,12 +46,54 @@ final case class Q(
 object Q {
   def apply(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): Q =
-    Q(name, Some(oracle))(run)
+    Q(name, Some(materializeSharedCtes(oracle)))(run)
 
   /** A query whose bench body differs from its gated body (fixture
     * pre-materialization); semantics MUST be identical. */
   def withBench(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame)(
       benchRun: (SparkSession, String) => DataFrame): Q =
-    Q(name, Some(oracle))(run, Some(benchRun))
+    Q(name, Some(materializeSharedCtes(oracle)))(run, Some(benchRun))
+
+  // group 1 = a `WINDOW ` prefix when the match is a named-window
+  // definition (`WINDOW w AS (...)`) rather than a CTE — those must
+  // never take a MATERIALIZED hint. Oracle convention in this repo is a
+  // single named window per query (no comma-separated window lists).
+  private val CteDef = """\b(WINDOW\s+)?([A-Za-z_]\w*)(\s+[Aa][Ss]\s+)\(""".r
+
+  /** DuckDB INLINES (re-executes) every non-`MATERIALIZED` CTE at each
+    * reference site. An oracle whose candidate CTE is referenced 47
+    * times therefore re-runs its whole upstream chain 47 times — in
+    * round 15 that made three oracles cost 840 s of a 997 s total and
+    * blew the driver's ~600 s compare budget, zeroing the round's
+    * correctness artifact (CORRECTNESS_r15.json = {}). Measured fix:
+    * q303 575.8 s → 0.2 s, q293 218.8 s → 0.6 s, identical results.
+    *
+    * This rewrites `name AS (` → `name AS MATERIALIZED (` for every CTE
+    * whose name occurs at least twice more in the query text. The count
+    * is a conservative word-boundary scan (an alias collision can only
+    * over-materialize — a pure DuckDB planner hint, never a semantics
+    * change). Applied at the ONE point every oracle registers, so no
+    * future oracle can re-introduce the failure mode. */
+  def materializeSharedCtes(sql: String): String = {
+    val defs = CteDef.findAllMatchIn(sql)
+      .filter(_.group(1) == null).map(_.group(2)).toSeq
+    // a name defined in MORE than one scope (nested WITH) must stay
+    // inlined: DuckDB binds materialized CTEs by name and rejects the
+    // duplicate ("Duplicate alias" — hit by q275's two `p` scopes)
+    val multiDefined = defs.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }.toSet
+    val shared = defs.distinct.filter { name =>
+      !multiDefined(name) &&
+        ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+          .findAllMatchIn(sql).size >= 3 // definition + 2 references
+    }.toSet
+    if (shared.isEmpty) sql
+    else CteDef.replaceAllIn(sql, m =>
+      if (m.group(1) == null && shared(m.group(2)))
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(2) + m.group(3) + "MATERIALIZED (")
+      else java.util.regex.Matcher.quoteReplacement(m.matched))
+  }
 }
