@@ -171,36 +171,29 @@ object AnnMaintenance {
     var cur = baseIdx
     var arrived = List.empty[Long]
     var recalls = List.empty[Double]
-    val stream = spark.readStream.schema(delta.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/b*")
-    val query = stream.writeStream
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
-          // which staged group arrived (1-row agg — never the batch
-          // rows). An EMPTY batch (a delta group with no rows modulo
-          // `groups` still stages a 0-row parquet, round-10 advice
-          // item 2) yields a NULL min — skip it instead of NPEing the
-          // stream: appending nothing and re-running the canary would
-          // only repeat the previous verdict.
-          val gRow = batch.agg(min(pmod(col(idCol), lit(groups)))).head
-          if (!gRow.isNullAt(0)) {
-            val g = gRow.getLong(0)
-            val next = cur.append(batch)
-            cur.release()
-            cur = next
-            arrived = g :: arrived
-            val soFar = base.select(col(idCol), col(vecCol)).union(
-              delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
-                .select(col(idCol), col(vecCol)))
-            val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
-              k, candidates, nprobe)
-            recalls = (h.toDouble / t) :: recalls
-          }
-          ()
+    graft.streaming.StreamHarness
+      .drainFileStream(spark, delta.schema, s"$stageDir/b*") { batch =>
+        // which staged group arrived (1-row agg — never the batch
+        // rows). An EMPTY batch (a delta group with no rows modulo
+        // `groups` still stages a 0-row parquet, round-10 advice
+        // item 2) yields a NULL min — skip it instead of NPEing the
+        // stream: appending nothing and re-running the canary would
+        // only repeat the previous verdict.
+        val gRow = batch.agg(min(pmod(col(idCol), lit(groups)))).head
+        if (!gRow.isNullAt(0)) {
+          val g = gRow.getLong(0)
+          val next = cur.append(batch)
+          cur.release()
+          cur = next
+          arrived = g :: arrived
+          val soFar = base.select(col(idCol), col(vecCol)).union(
+            delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
+              .select(col(idCol), col(vecCol)))
+          val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
+            k, candidates, nprobe)
+          recalls = (h.toDouble / t) :: recalls
+        }
       }
-      .start()
-    try query.processAllAvailable() finally query.stop()
     val union = base.select(col(idCol), col(vecCol))
       .union(delta.select(col(idCol), col(vecCol)))
     (canaryServe(cur, union, queries, idCol, vecCol, k, candidates,

@@ -321,9 +321,16 @@ object Dedup {
           lit(numHashes / rpb).as("n_bands"),
           col("n_candidates"), col("n_verified"))
     }
-    val (out, _) = Graph.snapshot(
-      frames.reduce(_.unionByName(_)).orderBy("rows_per_band"))
-    out.count()
+    // the sweep result is exactly |settings| rows — materialize it as a
+    // LOCAL frame so the shingle/signature caches can be dropped with no
+    // storage handle outliving the call (round-15 advice: the previous
+    // Graph.snapshot here discarded its RDD handle, leaking the persisted
+    // blocks — and the reliable-checkpoint dir when configured — for the
+    // session lifetime)
+    val merged = frames.reduce(_.unionByName(_)).orderBy("rows_per_band")
+    val local = merged.collect().toSeq
+    val out = docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.parallelize(local, 1), merged.schema)
     sh.unpersist(); sig.unpersist()
     out
   }

@@ -54,6 +54,16 @@ object PerceptronStore {
     // hybrid artifact the subset check would silently serve truncated.
     val got = wf.columns.count(_.matches("^b\\d+$")).toLong
     p.verifyCounts(())(ArtifactParams.Count("weights", Some(nW), got))
+    // the count alone doesn't prove CONTIGUITY (round-15 advice): a
+    // foreign artifact with b0,b2 and n_w=2 passes the total check, then
+    // fieldIndex("b1") throws a raw IllegalArgumentException instead of
+    // the designed refusal
+    val present = wf.columns.filter(_.matches("^b\\d+$")).toSet
+    val missing = cols.filterNot(present.contains)
+    require(missing.isEmpty,
+      s"malformed classifier artifact at $path: weights is missing " +
+        s"column(s) ${missing.mkString(", ")} (expected contiguous " +
+        s"b0..b${nW - 1})")
     val rows = wf.collect()
     require(rows.length == 1,
       s"malformed classifier artifact at $path: weights holds " +

@@ -214,7 +214,15 @@ object Similarity {
     * is one bounded join + one windowed argmax, snapshotted so the plan
     * stays k-flat instead of 3^k-nested. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
-                vecCol: String, k: Int, candidates: Int): DataFrame = {
+                vecCol: String, k: Int, candidates: Int): DataFrame =
+    mmrRerankResult(queries, corpus, idCol, vecCol, k, candidates).picks
+
+  /** [[mmrRerank]] with an explicit release handle for the final greedy
+    * round's snapshot (the [[graft.operators.KeepList]] pattern — the
+    * plain variant drops the handle, a bounded k·|queries| leak for the
+    * session lifetime; round-15 advice). */
+  def mmrRerankResult(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, candidates: Int): MmrPicks = {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val qp = prepared(queries, idCol, vecCol)
@@ -231,6 +239,15 @@ object Similarity {
     mmrFromCandidates(cd, cp, idCol, k)
   }
 
+  /** Greedy picks plus the storage handle(s) of the final greedy round's
+    * snapshot: [[release]] frees the blocks and (under reliable
+    * checkpointing) deletes the files — after that `picks` must not be
+    * consumed. The λ sweep carries one handle per weighting. */
+  final case class MmrPicks(picks: DataFrame,
+      private[operators] val selRdds: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = selRdds.foreach(Graph.release)
+  }
+
   /** [[mmrRerank]] with the candidate stage swapped for the IVF-ADC
     * route — the composition the brute variant's doc promises ("at
     * corpus scale the SAME tail rides ivfAdcKnn's survivors"): the
@@ -241,7 +258,16 @@ object Similarity {
   def mmrRerankOverIvf(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, candidates: Int,
       adcCandidates: Int, nlist: Int, nprobe: Int, trainRounds: Int,
-      m: Int, ksub: Int, dim: Int): DataFrame = {
+      m: Int, ksub: Int, dim: Int): DataFrame =
+    mmrRerankOverIvfResult(queries, corpus, idCol, vecCol, k, candidates,
+      adcCandidates, nlist, nprobe, trainRounds, m, ksub, dim).picks
+
+  /** [[mmrRerankOverIvf]] with an explicit release handle (see
+    * [[mmrRerankResult]]). */
+  def mmrRerankOverIvfResult(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int,
+      adcCandidates: Int, nlist: Int, nprobe: Int, trainRounds: Int,
+      m: Int, ksub: Int, dim: Int): MmrPicks = {
     val cd = ivfAdcKnn(queries, corpus, idCol, vecCol, k = candidates,
         candidates = adcCandidates, nlist, nprobe, trainRounds, m, ksub,
         dim)
@@ -257,7 +283,14 @@ object Similarity {
     * λ-independent; only the three bounded greedy chains differ. */
   def mmrLambdaSweep(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int): DataFrame =
+    mmrLambdaSweepResult(queries, corpus, idCol, vecCol, k, candidates).picks
+
+  /** [[mmrLambdaSweep]] with an explicit release handle covering all
+    * three weightings' final snapshots (see [[mmrRerankResult]]). */
+  def mmrLambdaSweepResult(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      candidates: Int): MmrPicks = {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val qp = prepared(queries, idCol, vecCol)
@@ -271,12 +304,15 @@ object Similarity {
       .withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= candidates)
       .select("qid", "nid", "d2")
-    Seq((1L, 0L, 0), (1L, 1L, 50), (0L, 1L, 100)).map {
+    val legs = Seq((1L, 0L, 0), (1L, 1L, 50), (0L, 1L, 100)).map {
       case (wr, wd, pct) =>
-        mmrFromCandidates(cd, cp, idCol, k, wr, wd)
-          .select(lit(pct).as("lambda_pct"), col("qid"), col("nid"),
-            col("step"))
-    }.reduce(_.unionByName(_)).orderBy("lambda_pct", "qid", "step")
+        val r = mmrFromCandidates(cd, cp, idCol, k, wr, wd)
+        r.copy(picks = r.picks.select(lit(pct).as("lambda_pct"),
+          col("qid"), col("nid"), col("step")))
+    }
+    MmrPicks(legs.map(_.picks).reduce(_.unionByName(_))
+        .orderBy("lambda_pct", "qid", "step"),
+      legs.flatMap(_.selRdds))
   }
 
   /** The greedy-MMR tail over an EXPLICIT (qid, nid, d2) candidate
@@ -290,7 +326,7 @@ object Similarity {
     * undefined. */
   private[operators] def mmrFromCandidates(cand: DataFrame,
       cp: DataFrame, idCol: String, k: Int,
-      wRel: Long = 1L, wDiv: Long = 1L): DataFrame = {
+      wRel: Long = 1L, wDiv: Long = 1L): MmrPicks = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k=$k must be >= 1")
     require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
@@ -338,7 +374,9 @@ object Similarity {
       t += 1
     }
     cd.unpersist(); pp.unpersist()
-    sel.select(col("qid"), col("nid"), col("step").cast("int").as("step"))
+    MmrPicks(
+      sel.select(col("qid"), col("nid"), col("step").cast("int").as("step")),
+      Seq(selRdd))
   }
 
   /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
@@ -634,8 +672,13 @@ object Similarity {
                                        rounds: Int = 2): KeepList = {
     val nBase = base.count()
     val kUnion = adaptiveNlist(nBase + delta.count(), targetCell)
+    // pow2 floor of nBase, min 8 — bounded by the oracle's 2^20 clamp
+    // (nl CTE range(0,21)); unbounded, the Int cap overflows to
+    // Int.MinValue at nBase >= 2^31 and the loop never terminates —
+    // exactly the large-corpus regime this entry point exists for
+    // (round-15 ADVICE, medium). Result unchanged: kUnion <= 2^20.
     var cap = 8
-    while (cap.toLong * 2 <= nBase) cap <<= 1 // pow2 floor of nBase, min 8
+    while (cap < (1 << 20) && cap.toLong * 2 <= nBase) cap <<= 1
     semanticDedupDeltaResult(base, delta, idCol, vecCol, minCosine,
       math.max(8, math.min(kUnion, cap)), rounds)
   }

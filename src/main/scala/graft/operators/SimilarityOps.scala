@@ -62,17 +62,9 @@ object SimilarityOps {
       serve: org.apache.spark.sql.DataFrame => Array[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
     val buf =
       new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val stream = s.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", 1).parquet(glob)
-    val query = stream.writeStream
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
-          serve(batch.toDF()).foreach(buf.add)
-          ()
-      }
-      .start()
-    try query.processAllAvailable() finally query.stop()
+    graft.streaming.StreamHarness.drainFileStream(s, inSchema, glob) {
+      batch => serve(batch).foreach(buf.add)
+    }
     s.createDataFrame(new java.util.ArrayList(buf), outSchema)
       .orderBy(orderCols.map(col): _*)
   }
@@ -120,10 +112,17 @@ object SimilarityOps {
     dirFor(mryMipsDirs, "graft-mrymips", d)
 
   // data dir -> the ONE binary-index artifact / stream staging dir each
-  // (the q251/q261 pattern for the fifth serving family)
+  // (the q251/q261 pattern for the fifth serving family); q301 gets its
+  // OWN artifact dir (round-15 advice: q297 and q301 both overwrite-save
+  // inside their bodies, and a shared path would let a concurrently
+  // running suite read a half-overwritten artifact)
   private val binDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def binDir(d: String): String = dirFor(binDirs, "graft-binidx", d)
+  private val binStreamIdxDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def binStreamIdxDir(d: String): String =
+    dirFor(binStreamIdxDirs, "graft-binsidx", d)
   private val binStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def binStreamDir(d: String): String =
@@ -1262,24 +1261,17 @@ object SimilarityOps {
       cb.count() // resident before the first arrival (the q110 stance)
       // fresh accumulator per invocation (the round-13 shared-dir advice)
       val accum = graft.TempDirs.create("graft-semaccum").toString
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$stage/b*")
-      val query = stream.writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            val cdB = Similarity.semanticCells(batch.toDF(), "vec_id",
-              "embedding", cent, k = 8)
-            val flagged = Similarity
-              .semanticDropVsBase(cdB, cb, "vec_id", 0.45)
-              .withColumn("drop_a", lit(true))
-            cdB.join(flagged, Seq("vec_id"), "left")
-              .na.fill(false, Seq("drop_a"))
-              .write.mode("append").parquet(s"$accum/cells")
-            ()
+      graft.streaming.StreamHarness
+        .drainFileStream(s, emb.schema, s"$stage/b*") { batch =>
+          val cdB = Similarity.semanticCells(batch, "vec_id",
+            "embedding", cent, k = 8)
+          val flagged = Similarity
+            .semanticDropVsBase(cdB, cb, "vec_id", 0.45)
+            .withColumn("drop_a", lit(true))
+          cdB.join(flagged, Seq("vec_id"), "left")
+            .na.fill(false, Seq("drop_a"))
+            .write.mode("append").parquet(s"$accum/cells")
         }
-        .start()
-      try query.processAllAvailable() finally query.stop()
       val acc = s.read.parquet(s"$accum/cells").dropDuplicates("vec_id")
       val kl = Similarity.semanticDeltaTail(acc,
         acc.filter(col("drop_a")).select("vec_id"), "vec_id", 0.45)
@@ -3452,7 +3444,7 @@ object SimilarityOps {
     Q("q301_binary_stream_serve", BinaryHammingOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val built = BinaryIndex.build(emb, "vec_id", "embedding")
-      val dir = binDir(d)
+      val dir = binStreamIdxDir(d)
       built.save(dir)
       built.release()
       val idx = BinaryIndex.load(s, dir, emb)

@@ -1181,11 +1181,8 @@ object TextOps {
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
       val scored = dsirScore(stream, m.lr)
         .withColumn("selected", col("lw_milli") >= lit(muVal))
-      val name = s"q278_sink_${System.nanoTime()}"
-      val query = scored.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
-      s.table(name)
+      graft.streaming.StreamHarness
+        .runToTable(scored, "q278_sink", "complete")
         .select("doc_id", "lang", "n_tok", "lw_sum", "lw_milli", "selected")
         .orderBy("doc_id")
     },
@@ -1594,11 +1591,9 @@ object TextOps {
         .readParquetStream(s, s"$d/documents.parquet")
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
       val scored = scoreQualityFilter(stream, w, ordered = false)
-      val name = s"q285_sink_${System.nanoTime()}"
-      val query = scored.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
-      s.table(name).select("doc_id", "label", "margin", "pred")
+      graft.streaming.StreamHarness
+        .runToTable(scored, "q285_sink", "append")
+        .select("doc_id", "label", "margin", "pred")
         .orderBy("doc_id")
     },
 

@@ -14,22 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object WindowingOps {
 
-  /** Memory-sink names must be unique per invocation (bench warmup + timed
-    * run + verify all execute the same query in one session). */
-  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  // prefix -> the previous invocation's sink view, dropped when the next
-  // invocation starts: a memory sink retains its FULL result driver-side
-  // for as long as the view exists, so a 3-pass bench over the streaming
-  // queries would otherwise pin every prior pass's rows in the heap
-  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def freshSink(s: org.apache.spark.sql.SparkSession,
-                        prefix: String): String = {
-    val name = s"${prefix}_${sinkId.incrementAndGet()}"
-    Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
-    name
-  }
+  // the memory-sink drain scaffold (fresh sink names, prior-sink
+  // release, state-partition sizing, stop-in-finally) lives in the ONE
+  // StreamHarness owner — round-14 verdict item 5
+  private val harness = graft.streaming.StreamHarness
 
   val defs: Seq[Q] = Seq(
 
@@ -46,17 +34,11 @@ object WindowingOps {
       val path = s"$d/events.parquet"
       val stream = EventStreams.readEventStream(s, path)
       val agg = EventStreams.tumblingWithWatermark(stream, "1 hour", "10 minutes")
-      val name = freshSink(s, "q82_stream_sink")
       // state partitions sized by state volume, not core count (the
       // q151 measurement; complete-mode window state ≤ the input)
-      graft.sources.Tuning.withShufflePartitions(s,
-        graft.sources.Tuning.adviseStatePartitions(
-          graft.sources.Tuning.pathBytes(path))) {
-        val query = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      s.table(name).orderBy("ws", "event_type")
+      harness.runToTable(agg, "q82_stream_sink", "complete",
+          Some(graft.sources.Tuning.pathBytes(path)))
+        .orderBy("ws", "event_type")
     },
 
     // ---- streaming exact dedup, hash-gated: the SAME event file feeds two
@@ -74,16 +56,9 @@ object WindowingOps {
       val stream = EventStreams.readEventStream(s, path)
         .union(EventStreams.readEventStream(s, path))
         .dropDuplicates("event_id")
-      val name = freshSink(s, "q90_stream_sink")
       // dedup state ≈ both delivered copies (the q151 sizing stance)
-      graft.sources.Tuning.withShufflePartitions(s,
-        graft.sources.Tuning.adviseStatePartitions(
-          2L * graft.sources.Tuning.pathBytes(path))) {
-        val query = stream.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      s.table(name)
+      harness.runToTable(stream, "q90_stream_sink", "append",
+          Some(2L * graft.sources.Tuning.pathBytes(path)))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("event_id")
     },
@@ -125,16 +100,10 @@ object WindowingOps {
       val stream = EventStreams.readParquetStream(s, s"$d/documents.parquet")
         .filter(Sampling.splitLabel(col("doc_id"), 1) === "eval")
       val guarded = Dedup.contaminationAgainst(stream, trainSet, "doc_id", "text", 5)
-      val name = freshSink(s, "q110_stream_sink")
       // complete-mode per-doc agg state ≤ the incoming documents file
-      graft.sources.Tuning.withShufflePartitions(s,
-        graft.sources.Tuning.adviseStatePartitions(
-          graft.sources.Tuning.pathBytes(s"$d/documents.parquet"))) {
-        val query = guarded.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      s.table(name).orderBy("doc_id")
+      harness.runToTable(guarded, "q110_stream_sink", "complete",
+          Some(graft.sources.Tuning.pathBytes(s"$d/documents.parquet")))
+        .orderBy("doc_id")
     },
 
     // ---- interval join (the stream-stream shape, batch-checked): each
@@ -180,20 +149,14 @@ object WindowingOps {
         EventStreams.readEventStream(s, path)
           .filter(col("event_type") === "click"),
         "30 minutes", "30 minutes")
-      val name = freshSink(s, "q151_stream_sink")
       // state partitions sized by state volume (both sides retained for
       // the watermark horizon ⇒ ~2× the input), not core count: one
       // state store is created/committed per partition per micro-batch,
       // so an over-partitioned bounded replay pays pure store overhead
       // (measured 7.5 s @ 32 parts vs 2.0 s @ 2 on sf0.1 — Tuning notes)
-      graft.sources.Tuning.withShufflePartitions(s,
-        graft.sources.Tuning.adviseStatePartitions(
-          2L * graft.sources.Tuning.pathBytes(path))) {
-        val query = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      s.table(name).orderBy("purchase_id", "click_id")
+      harness.runToTable(joined, "q151_stream_sink", "append",
+          Some(2L * graft.sources.Tuning.pathBytes(path)))
+        .orderBy("purchase_id", "click_id")
     },
 
     // ---- STREAMING HyperLogLog: the q199 register sketch as live stream
@@ -210,15 +173,9 @@ object WindowingOps {
       val stream = EventStreams.readParquetStream(s, s"$d/documents.parquet")
         .select(explode(tokens(col("text"))).as("w"))
       val regs = Profile.hllRegisters(stream, col("w"))
-      val name = freshSink(s, "q203_stream_sink")
       // HLL state is 256 registers FOREVER — the minimum floor is right
-      graft.sources.Tuning.withShufflePartitions(s,
-        graft.sources.Tuning.adviseStatePartitions(0L)) {
-        val query = regs.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      s.table(name).orderBy("reg")
+      harness.runToTable(regs, "q203_stream_sink", "complete", Some(0L))
+        .orderBy("reg")
     },
 
     // ---- late-arrival audit: how out-of-order is the stream, per key?

@@ -81,10 +81,16 @@ object Tuning {
     * — the planning-time state-volume proxy a bounded streaming replay
     * feeds [[adviseStatePartitions]]. */
   def pathBytes(path: String): Long = {
+    // RECURSIVE walk (round-15 advice): a partitioned/nested parquet dir
+    // has no top-level plain files, so a flat listing yields 0 bytes and
+    // adviseStatePartitions silently floors at 2 — wrong sizing with no
+    // signal; a missing path is a caller bug, not "zero state"
     val f = new java.io.File(path)
-    if (f.isFile) f.length
-    else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum)
-      .getOrElse(0L)
+    require(f.exists, s"pathBytes: $path does not exist")
+    def walk(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(f)
   }
 
   /** Enable Catalyst's runtime bloom-filter join pruning for shuffle

@@ -310,7 +310,7 @@ class MultimodalSpec extends SparkTestBase {
       "q101_audio_formats", "q102_video_frames", "q103_image_resize",
       "q104_gif_decode", "q141_bpe_encode", "q173_bpe_decode",
       "q181_bpe_fertility", "q190_ann_drift_retrain",
-      "q307_image_ahash_neardup"))
+      "q275_release_semantic", "q307_image_ahash_neardup"))
     for (q <- withBench) {
       val gated = q.run(spark, Sf).collect().map(_.toString).sorted
       val bench = q.bench(spark, Sf).collect().map(_.toString).sorted
