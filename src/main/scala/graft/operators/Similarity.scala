@@ -304,12 +304,20 @@ object Similarity {
       .withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= candidates)
       .select("qid", "nid", "d2")
+    // candidates and their pairwise distances are λ-independent — ONE
+    // persisted instance of each feeds all three greedy chains (the
+    // oracle's shared cd/pp CTEs, now mirrored plan-side too)
+    val cdP = cd.persist()
+    cdP.count()
+    val pp = candidatePairD2(cdP, cp, idCol).persist()
+    pp.count()
     val legs = Seq((1L, 0L, 0), (1L, 1L, 50), (0L, 1L, 100)).map {
       case (wr, wd, pct) =>
-        val r = mmrFromCandidates(cd, cp, idCol, k, wr, wd)
+        val r = mmrGreedySteps(cdP, pp, k, wr, wd)
         r.copy(picks = r.picks.select(lit(pct).as("lambda_pct"),
           col("qid"), col("nid"), col("step")))
     }
+    cdP.unpersist(); pp.unpersist()
     MmrPicks(legs.map(_.picks).reduce(_.unionByName(_))
         .orderBy("lambda_pct", "qid", "step"),
       legs.flatMap(_.selRdds))
@@ -327,27 +335,43 @@ object Similarity {
   private[operators] def mmrFromCandidates(cand: DataFrame,
       cp: DataFrame, idCol: String, k: Int,
       wRel: Long = 1L, wDiv: Long = 1L): MmrPicks = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"k=$k must be >= 1")
-    require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
-      s"weights ($wRel, $wDiv) must be non-negative and not both zero")
     val cd = cand.persist()
     cd.count()
-    // pairwise distances among each query's candidates: candidates² per
-    // query, the diversity term's whole working set
+    val pp = candidatePairD2(cd, cp, idCol).persist()
+    pp.count()
+    val out = mmrGreedySteps(cd, pp, k, wRel, wDiv)
+    cd.unpersist(); pp.unpersist()
+    out
+  }
+
+  /** Pairwise distances among each query's candidates: candidates² per
+    * query, the diversity term's whole working set — λ-independent, so
+    * the sweep computes it ONCE for all three weightings (mirroring the
+    * oracle's shared pp CTE). */
+  private def candidatePairD2(cd: DataFrame, cp: DataFrame,
+      idCol: String): DataFrame = {
     val cq = cd.select(col("qid"), col("nid"))
       .join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")), Seq("nid"))
     val lhs = cq.select(col("qid"), col("nid").as("i"),
       col("q").as("qa"), col("nsq").as("na"))
     val rhs = cq.select(col("qid").as("qid_r"), col("nid").as("j"),
       col("q").as("qb"), col("nsq").as("nb"))
-    val pp = lhs.join(rhs,
+    lhs.join(rhs,
         col("qid") === col("qid_r") && col("i") =!= col("j"))
       .select(col("qid"), col("i"), col("j"),
         (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
           .cast("long").as("pd2"))
-      .persist()
-    pp.count()
+  }
+
+  /** The k greedy rounds over PRE-PERSISTED cd/pp frames (callers own
+    * their lifecycle — [[mmrLambdaSweepResult]] shares ONE pp across
+    * its three weightings). */
+  private def mmrGreedySteps(cd: DataFrame, pp: DataFrame, k: Int,
+      wRel: Long, wDiv: Long): MmrPicks = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
+      s"weights ($wRel, $wDiv) must be non-negative and not both zero")
     val w1 = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     var (sel, selRdd) = Graph.snapshot(
       cd.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
@@ -373,7 +397,6 @@ object Similarity {
       sel = nextSel; selRdd = nextRdd
       t += 1
     }
-    cd.unpersist(); pp.unpersist()
     MmrPicks(
       sel.select(col("qid"), col("nid"), col("step").cast("int").as("step")),
       Seq(selRdd))
