@@ -18,9 +18,20 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // warm codegen + finalize AQE on this exact instance
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
-    println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+    // optional second arg: timed passes (default 1). Multi-pass medians
+    // matter for fixture-heavy families (NSW, release): one warm pass in
+    // a fresh JVM doesn't amortize Janino/JIT across their many stages,
+    // so a single timed pass reads far above the in-suite steady state.
+    val passes = args.lift(1).flatMap(_.toIntOption).getOrElse(1)
+    val times = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"rows=$n time=${sec}s")
+      sec
+    }
+    if (passes > 1)
+      println(f"median=${times.sorted.apply(passes / 2)}%.3fs min=${times.min}%.3fs")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
