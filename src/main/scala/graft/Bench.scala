@@ -37,6 +37,11 @@ object Bench {
         "re-run on an idle box for the curated record")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only subset filter (regex on query names) for drift bisection;
+    // the driver never sets it, so the contract run is always the full
+    // suite — BenchRecordSpec rejects a filtered record as the curated
+    // one anyway (missing keys)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,7 +84,9 @@ object Bench {
     // caches; prime those caches for the BENCH SF too (the warmup above
     // only primes the warmup SF), so no timed pass pays the one-off
     // materialization.
-    SparkEntry.allQueries.filter(_.benchRun.isDefined).foreach { q =>
+    SparkEntry.allQueries.filter(_.benchRun.isDefined)
+      .filter(q => filter.forall(_.findFirstIn(q.name).isDefined))
+      .foreach { q =>
       try q.bench(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] prime ${q.name} FAILED: ${e.getMessage}")
@@ -100,6 +107,7 @@ object Bench {
     val loadBefore = loadavg()
     val tStart = System.currentTimeMillis()
     val ordered = SparkEntry.allQueries.sortBy(_.name)
+      .filter(q => filter.forall(_.findFirstIn(q.name).isDefined))
     val timed: Seq[Seq[Option[Double]]] = {
       val acc = Array.fill(ordered.size)(Vector.empty[Option[Double]])
       for (pass <- 1 to Runs; (q, qi) <- ordered.zipWithIndex) {

@@ -1028,6 +1028,12 @@ object ReleaseOps {
     * share the memo; the outputs are deterministic, so cached ≡ fresh
     * (the buildCached contract). Entries live for the JVM (≤ 3 dirs ×
     * 3 variants; snapshots are Spark-managed blocks). */
+  // data dir -> the ONE q275 bench-fixture dir (parquet-backed card memo;
+  // see the q275 withBench comment for why this is NOT a pipelineCache
+  // snapshot)
+  private val semBenchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val pipelineCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
   private def cachedPipeline(d: String, variant: String)(
@@ -1125,22 +1131,32 @@ object ReleaseOps {
     //      column is the q215 owner's text, character for character
     //      (the oracle splices semanticLosersSubquerySql as an inner
     //      WITH whose bindings shadow the body's e/n/p CTEs). ----
-    // The bench body reads the (kept, card) snapshot from the
-    // cachedPipeline owner (the q240 stance — round-14 verdict item 3,
-    // carried to r16): the eight-stage semantic pipeline is the gate
-    // FIXTURE here, re-materialized once per JVM, so the three timed
-    // passes measure the card serve, not 3× the stage re-run that made
-    // q275 the suite's #1 cost (31.3 s ≈ 8% of r15 wall). Verify still
-    // gates the full composition; MultimodalSpec pins run ≡ bench rows.
+    // The bench body reads the release CARD from a parquet-backed memo
+    // (round-14 verdict item 3, carried to r16): the eight-stage
+    // semantic pipeline is the gate FIXTURE here, materialized once per
+    // JVM, so the three timed passes measure the card serve, not 3× the
+    // stage re-run that made q275 the suite's #1 cost (31.3 s ≈ 8% of
+    // r15 wall). Parquet, NOT the cachedPipeline snapshot: q275 consumes
+    // only the |sources|-row card, and a resident kept-corpus snapshot
+    // (text for every final doc) measurably taxed the whole suite — the
+    // A/B subset bench read q01–q99 at 44.9 s with the snapshot resident
+    // vs 34.6 s without (the r15 level). The MultimodalOps decode-family
+    // withBench stance: fixture on disk, zero executor storage. Verify
+    // still gates the full composition; MultimodalSpec pins run ≡ bench.
     Q.withBench("q275_release_semantic",
       releaseSql("", "documents", "text", semantic = true)) { (s, d) =>
       prepareCorpusSemantic(Tables.t(s, d, "documents"),
         Tables.t(s, d, "embeddings")).orderBy("source")
     } { (s, d) =>
-      val (_, card) = cachedPipeline(d, "semantic")(
-        corpusPipeline(Tables.t(s, d, "documents"), robust = false,
-          semanticEmb = Some(Tables.t(s, d, "embeddings"))))
-      card.orderBy("source")
+      val dir = semBenchDirs.computeIfAbsent(
+        new java.io.File(d).getCanonicalPath, _ => {
+          val t = graft.TempDirs.create("graft-relsem-bench").toString
+          prepareCorpusSemantic(Tables.t(s, d, "documents"),
+            Tables.t(s, d, "embeddings"))
+            .coalesce(1).write.parquet(s"$t/card")
+          t
+        })
+      s.read.parquet(s"$dir/card").orderBy("source")
     },
 
     // ---- release artifact PERSISTENCE (round-12 verdict item 1): save
