@@ -71,7 +71,13 @@ object Bench {
     // timed runs measure execution, not Janino compilation + JIT.
     val warmDir = new java.io.File("/root/testdata/sf0.001")
     if (warmDir.isDirectory && warmDir.toString != sfDir)
-      SparkEntry.allQueries.foreach { q =>
+      // the warmup honors the dev-only subset filter too: a filtered
+      // bisection run shouldn't pay ~300 unfiltered warmup queries it
+      // will never time (the driver never sets the filter, so the
+      // contract run still warms everything)
+      SparkEntry.allQueries
+        .filter(q => filter.forall(_.findFirstIn(q.name).isDefined))
+        .foreach { q =>
         try q.bench(spark, warmDir.toString).count()
         catch { case e: Throwable =>
           // a query that ONLY fails at the warmup SF would otherwise never
