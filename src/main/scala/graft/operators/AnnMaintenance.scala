@@ -87,17 +87,38 @@ object AnnMaintenance {
       rebuilt: () => IvfAdcIndex, releaseRebuilt: Boolean): DataFrame = {
     require(minRecallPct >= 0 && minRecallPct <= 100,
       s"minRecallPct=$minRecallPct out of 0..100")
-    val spark = union.sparkSession
 
     // canary: frozen-quantizer top-k vs exact gold on the sample
     val apprRows = appended.query(queries, k, candidates, nprobe).collect()
-    appended.release()
     val gold = Similarity.exactL2Knn(queries, union, idCol, vecCol, k)
       .select(col("qid"), col("nid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = apprRows.count(r => gold.contains((r.getLong(0), r.getLong(1))))
-    val total = gold.size
-    val retrained = hits.toLong * 100L < minRecallPct.toLong * total.toLong
+    canaryServeDecided(appended, queries, k, candidates, nprobe,
+      apprRows, hits.toLong, gold.size.toLong, minRecallPct, rebuilt,
+      releaseRebuilt)
+  }
+
+  /** The decision + serve TAIL of the canary loop, over an
+    * ALREADY-MEASURED canary (apprRows = `appended`'s served top-k on
+    * `queries`, hits/total vs exact gold over the full corpus): the
+    * streaming front door's last micro-batch canary measures exactly
+    * this (after the drain, the arrived corpus IS base ∪ delta and the
+    * resident index is the final appended state), so re-querying and
+    * re-golding in the nightly window would recompute identical rows —
+    * one full exact-kNN pass and one index query saved per run (guide
+    * §1.2: don't compute things you throw away). CONSUMES `appended`
+    * (releases it). */
+  def canaryServeDecided(appended: IvfAdcIndex, queries: DataFrame,
+      k: Int, candidates: Int, nprobe: Int,
+      apprRows: Array[org.apache.spark.sql.Row], hits: Long, total: Long,
+      minRecallPct: Int, rebuilt: () => IvfAdcIndex,
+      releaseRebuilt: Boolean, releaseAppended: Boolean = true): DataFrame = {
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
+    val spark = queries.sparkSession
+    if (releaseAppended) appended.release()
+    val retrained = hits * 100L < minRecallPct.toLong * total
 
     // serve: the appended index's answers stand unless the canary
     // tripped — then rebuild with quantizers retrained on base ∪ delta
@@ -125,11 +146,25 @@ object AnnMaintenance {
   def canaryHits(idx: IvfAdcIndex, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, candidates: Int,
       nprobe: Int): (Long, Long) = {
+    val (_, h, t) = canaryHitsRows(idx, corpus, queries, idCol, vecCol,
+      k, candidates, nprobe)
+    (h, t)
+  }
+
+  /** [[canaryHits]] plus the served rows the verdict was measured on —
+    * so a caller whose LAST canary already covers the final state (the
+    * q217 stream drain) can hand them to [[canaryServeDecided]] instead
+    * of re-measuring. */
+  def canaryHitsRows(idx: IvfAdcIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidates: Int, nprobe: Int):
+      (Array[org.apache.spark.sql.Row], Long, Long) = {
     val appr = idx.query(queries, k, candidates, nprobe).collect()
     val gold = Similarity.exactL2Knn(queries, corpus, idCol, vecCol, k)
       .select(col("qid"), col("nid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    (appr.count(r => gold.contains((r.getLong(0), r.getLong(1)))).toLong,
+    (appr,
+      appr.count(r => gold.contains((r.getLong(0), r.getLong(1)))).toLong,
       gold.size.toLong)
   }
 
@@ -160,17 +195,62 @@ object AnnMaintenance {
     // file — not after the whole stream has drained
     require(minRecallPct >= 0 && minRecallPct <= 100,
       s"minRecallPct=$minRecallPct out of 0..100")
-    val spark = base.sparkSession
+    stageDeltaGroups(delta, stageDir, groups, idCol)
+    val baseIdx = IvfAdcIndex.build(base, idCol, vecCol, nlist,
+      trainRounds, m, ksub, dim, pqTrainRounds)
+    streamMaintainOn(baseIdx, releaseBase = true, base, delta,
+      stageDir, groups, queries, idCol, vecCol, k, candidates, nprobe,
+      minRecallPct,
+      rebuilt = () => IvfAdcIndex.build(
+        base.select(col(idCol), col(vecCol))
+          .union(delta.select(col(idCol), col(vecCol))),
+        idCol, vecCol, nlist, trainRounds, m, ksub, dim, pqTrainRounds),
+      releaseRebuilt = true)
+  }
+
+  /** Stage the delta as one parquet file per `pmod(id, groups)` group —
+    * the arrival fixture [[streamMaintainOn]] drains. Deterministic per
+    * (delta, groups), so a bench body may stage once per data dir and
+    * re-drain the same files each pass (the q253 stagedDeltaBatches
+    * rule). */
+  def stageDeltaGroups(delta: DataFrame, stageDir: String, groups: Int,
+      idCol: String): Unit =
     (0 until groups).foreach { g =>
       delta.filter(pmod(col(idCol), lit(groups)) === g).coalesce(1)
         .write.mode("overwrite").parquet(s"$stageDir/b$g")
     }
-    val baseIdx = IvfAdcIndex.build(base, idCol, vecCol, nlist,
-      trainRounds, m, ksub, dim, pqTrainRounds)
+
+  /** The drain + per-batch canary + nightly decision over a
+    * CALLER-SUPPLIED base index and ALREADY-STAGED arrival files — the
+    * [[canaryServeWith]] factoring applied to the streaming front door,
+    * so the q217 bench body can pass the memoized staging and the
+    * buildCached base (timed work = the stream run itself; Verify gates
+    * the fresh-build [[streamMaintain]]). `releaseBase = false` when
+    * `baseIdx` is a shared cached handle that must outlive this call.
+    *
+    * The nightly decision reuses the LAST micro-batch's canary verdict:
+    * after the drain the arrived corpus IS base ∪ delta (every group's
+    * rows have been appended; an all-groups filter selects the whole
+    * delta) and `cur` is the final appended state — measuring again
+    * would re-run one index query and one exact-kNN gold pass to
+    * produce byte-identical inputs to the same integer decision. Only
+    * an all-empty delta (no batch carried rows, so no canary ran)
+    * falls back to measuring in the nightly window. */
+  def streamMaintainOn(baseIdx: IvfAdcIndex, releaseBase: Boolean,
+      base: DataFrame, delta: DataFrame, stageDir: String, groups: Int,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidates: Int, nprobe: Int, minRecallPct: Int,
+      rebuilt: () => IvfAdcIndex,
+      releaseRebuilt: Boolean): (DataFrame, Seq[Double]) = {
+    require(minRecallPct >= 0 && minRecallPct <= 100,
+      s"minRecallPct=$minRecallPct out of 0..100")
+    val spark = base.sparkSession
     // foreachBatch runs sequentially on the driver: plain vars are safe
     var cur = baseIdx
     var arrived = List.empty[Long]
     var recalls = List.empty[Double]
+    var lastCanary:
+      Option[(Array[org.apache.spark.sql.Row], Long, Long)] = None
     graft.streaming.StreamHarness
       .drainFileStream(spark, delta.schema, s"$stageDir/b*") { batch =>
         // which staged group arrived (1-row agg — never the batch
@@ -183,21 +263,37 @@ object AnnMaintenance {
         if (!gRow.isNullAt(0)) {
           val g = gRow.getLong(0)
           val next = cur.append(batch)
-          cur.release()
+          if (cur ne baseIdx) cur.release()
+          else if (releaseBase) cur.release()
           cur = next
           arrived = g :: arrived
           val soFar = base.select(col(idCol), col(vecCol)).union(
             delta.filter(pmod(col(idCol), lit(groups)).isin(arrived: _*))
               .select(col(idCol), col(vecCol)))
-          val (h, t) = canaryHits(cur, soFar, queries, idCol, vecCol,
-            k, candidates, nprobe)
+          val (rows, h, t) = canaryHitsRows(cur, soFar, queries, idCol,
+            vecCol, k, candidates, nprobe)
+          lastCanary = Some((rows, h, t))
           recalls = (h.toDouble / t) :: recalls
         }
       }
-    val union = base.select(col(idCol), col(vecCol))
-      .union(delta.select(col(idCol), col(vecCol)))
-    (canaryServe(cur, union, queries, idCol, vecCol, k, candidates,
-      nprobe, nlist, trainRounds, m, ksub, dim, pqTrainRounds,
-      minRecallPct), recalls.reverse)
+    val served = lastCanary match {
+      case Some((rows, h, t)) =>
+        // the final state's canary is the last batch's (arrived corpus
+        // ≡ base ∪ delta, same index handle, same query sample); `cur`
+        // is always a post-append handle here, never the caller's base
+        canaryServeDecided(cur, queries, k, candidates, nprobe, rows,
+          h, t, minRecallPct, rebuilt, releaseRebuilt)
+      case None =>
+        // nothing arrived: measure in the nightly window. `cur` is
+        // still the CALLER's base index — release only if asked to.
+        val union = base.select(col(idCol), col(vecCol))
+          .union(delta.select(col(idCol), col(vecCol)))
+        val (rows, h, t) = canaryHitsRows(cur, union, queries, idCol,
+          vecCol, k, candidates, nprobe)
+        canaryServeDecided(cur, queries, k, candidates, nprobe, rows,
+          h, t, minRecallPct, rebuilt, releaseRebuilt,
+          releaseAppended = releaseBase)
+    }
+    (served, recalls.reverse)
   }
 }

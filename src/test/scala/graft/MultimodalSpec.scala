@@ -310,7 +310,14 @@ class MultimodalSpec extends SparkTestBase {
       "q101_audio_formats", "q102_video_frames", "q103_image_resize",
       "q104_gif_decode", "q141_bpe_encode", "q173_bpe_decode",
       "q181_bpe_fertility", "q190_ann_drift_retrain",
-      "q275_release_semantic", "q307_image_ahash_neardup"))
+      "q275_release_semantic", "q307_image_ahash_neardup",
+      // round-17: the mutation-family ANN/NSW gates bench their
+      // operator (append/delete/compact/chain/stream-maintain) over a
+      // cached deterministic build — the q190 withBench stance
+      "q187_ann_index_append", "q205_ann_index_compact",
+      "q216_ann_lifecycle_chain", "q217_ann_stream_maintain",
+      "q219_ann_index_delete", "q232_nsw_delete", "q233_nsw_append",
+      "q234_nsw_maintain", "q238_nsw_compact", "q247_nsw_lifecycle_chain"))
     for (q <- withBench) {
       val gated = q.run(spark, Sf).collect().map(_.toString).sorted
       val bench = q.bench(spark, Sf).collect().map(_.toString).sorted
