@@ -91,8 +91,22 @@ object ReleaseOps {
     Graph.snapshot(docs.withColumn("text", concat_ws(" ",
       TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
 
-  def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame =
-    corpusPipeline(docs, robust)._2
+  def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame = {
+    val (_, card, release) = corpusPipeline(docs, robust)
+    materializedCard(card, release)
+  }
+
+  /** Materialize a release card (bounded: one row per source) before
+    * releasing the pipeline's stage snapshots, and hand back a
+    * local-relation frame — the servedCardFromArtifact stance applied
+    * to the card-only pipeline consumers. */
+  private def materializedCard(card: DataFrame,
+      release: () => Unit): DataFrame = {
+    val rows = card.collect()
+    release()
+    card.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), card.schema)
+  }
 
   /** [[prepareCorpus]] with the SEMANTIC dedup stage spliced between
     * near-dup and decontamination (q275): the SemDeDup rule-(b) losers
@@ -103,8 +117,11 @@ object ReleaseOps {
     * gains the n_semantic stage column. The production shape: n-gram
     * near-dup can't see same-content-different-tokens redundancy, so a
     * release running both is the FineWeb/SemDeDup-era pipeline. */
-  def prepareCorpusSemantic(docs: DataFrame, emb: DataFrame): DataFrame =
-    corpusPipeline(docs, robust = false, semanticEmb = Some(emb))._2
+  def prepareCorpusSemantic(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val (_, card, release) =
+      corpusPipeline(docs, robust = false, semanticEmb = Some(emb))
+    materializedCard(card, release)
+  }
 
   /** The full pipeline, exposing BOTH outputs a release produces: the
     * KEPT corpus (one row per final doc: doc_id, source, text, ntok,
@@ -112,11 +129,28 @@ object ReleaseOps {
     * and the release CARD (the q215 per-source report). [[prepareCorpus]]
     * consumes only the card, so the kept frame's extra lineage (the
     * text join, the shard column) costs q215 nothing — it is never
-    * executed there. [[saveRelease]] consumes both. */
+    * executed there. [[saveRelease]] consumes both.
+    *
+    * Each stage output consumed by 2+ downstream branches is SNAPSHOT
+    * (Graph.snapshot — lineage-truncated, storage-managed): without the
+    * snapshots every per-stage card aggregate (a1..a7) and the kept
+    * frame re-derives its FULL stage lineage from the raw scan, so the
+    * expensive stages (near-dup keep-list, shingle df-cap) run up to
+    * 8×. With them the pipeline is one linear pass plus bounded
+    * aggregates over persisted blocks. The third element RELEASES all
+    * stage snapshots — callers must invoke it only after every consumer
+    * of `kept`/`card` has materialized (the frames reference the
+    * snapshot blocks and cannot be recomputed past release). */
   private def corpusPipeline(docs: DataFrame,
       robust: Boolean,
-      semanticEmb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      semanticEmb: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
+    val handles =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def snap(df: DataFrame): DataFrame = {
+      val (out, h) = Graph.snapshot(df); handles += h; out
+    }
     val pre = if (robust) canonicalized(docs) else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
     // (round-10 verdict note): no driver count(), no extra corpus action
@@ -135,18 +169,18 @@ object ReleaseOps {
       size(array_distinct(toks)).cast("long").as("ndist"),
       aggregate(transform(toks, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x).as("lensum"))
-    val s1 = base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
+    val s1 = snap(base.filter(col("ntok") >= 20 && col("nstop") >= 2 &&
         col("ndist") * 2 >= col("ntok") &&
         col("lensum") >= col("ntok") * 3 && col("lensum") <= col("ntok") * 10)
-      .select("doc_id", "source", "n_chars", "text", "fp", "ntok")
+      .select("doc_id", "source", "n_chars", "text", "fp", "ntok"))
 
     // stage 2: exact dedup — keeper = min doc_id per normalized fingerprint
     val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val s2 = s1.join(k2, Seq("fp", "doc_id"))
+    val s2 = snap(s1.join(k2, Seq("fp", "doc_id")))
 
     // stage 3: near-dup keep-list (q74's exact pipeline over the survivors)
-    val s3 = s2.join(
-      Dedup.nearDupKeepList(s2, "doc_id", "text", 3, 0.8), "doc_id")
+    val s3 = snap(s2.join(
+      Dedup.nearDupKeepList(s2, "doc_id", "text", 3, 0.8), "doc_id"))
 
     // stage 3s (q275 only): SemDeDup rule-(b) losers over the
     // SURVIVORS' embeddings, anti-joined — docs without an embedding
@@ -154,11 +188,11 @@ object ReleaseOps {
     val s3x = semanticEmb.fold(s3) { emb0 =>
       val se = emb0.select(col("vec_id"), col("embedding"))
         .join(s3.select(col("doc_id").as("vec_id")), "vec_id")
-      s3.join(
+      snap(s3.join(
         Similarity.semanticDropList(se, "vec_id", "embedding",
             minCosine = SemanticStageThr.toDouble, k = 8)
           .withColumnRenamed("vec_id", "doc_id"),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"))
     }
 
     // stage 4: decontamination — release = the train split, minus train
@@ -174,17 +208,21 @@ object ReleaseOps {
     val contam = capped5.join(spl, "doc_id")
       .filter(col("split") === "train")
       .join(evs, "s").select("doc_id").distinct()
-    val s4 = s3x.join(spl, "doc_id").filter(col("split") === "train")
-      .join(contam, Seq("doc_id"), "left_anti").drop("split")
+    // narrow past stage 4: no downstream stage reads text/fp again
+    // (kept re-joins text from `pre`), so the snapshot holds only the
+    // integer columns the cap/water-fill stages need
+    val s4 = snap(s3x.join(spl, "doc_id").filter(col("split") === "train")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_chars", "ntok"))
 
     // stage 5: domain cap (q208's occupancy-scaled per-source winnow)
     val wSrc = Window.partitionBy("source")
-    val s5 = s4
+    val s5 = snap(s4
       .withColumn("rk", row_number().over(
         wSrc.orderBy(col("n_chars").desc, col("doc_id"))))
       .withColumn("nsrc", count(lit(1)).over(wSrc))
       .filter(col("rk") <= greatest(lit(8L), expr("nsrc div 4")))
-      .drop("rk", "nsrc")
+      .select("doc_id", "source", "ntok"))
 
     // stage 6: token-budget water-fill (q196's closed form over the
     // |sources|-row aggregate), applied doc-level: within a source docs
@@ -192,7 +230,7 @@ object ReleaseOps {
     // source's allocation
     val wOrd = Window.orderBy(col("t"), col("source"))
     val wAll = Window.partitionBy()
-    val wf = s5.groupBy("source").agg(sum("ntok").as("t"))
+    val wf = snap(s5.groupBy("source").agg(sum("ntok").as("t"))
       .withColumn("k", row_number().over(wOrd).cast("long"))
       .withColumn("pk", sum("t").over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -209,14 +247,15 @@ object ReleaseOps {
       .withColumn("cap", when(col("kk") === col("n"), col("tmax"))
         .otherwise(expr("(b - coalesce(pkk, 0L)) div (n - kk)")))
       .select(col("source"), least(col("t"), col("cap")).as("allocated"),
-        (col("t") > col("cap")).as("capped"), col("cap"), col("b"))
+        (col("t") > col("cap")).as("capped"), col("cap"), col("b")))
     val wCum = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s6 = s5.select(col("doc_id"), col("source"), col("ntok"))
+    val s6 = snap(s5.select(col("doc_id"), col("source"), col("ntok"))
       .withColumn("cum", sum("ntok").over(wCum))
       .join(wf.select("source", "allocated"), "source")
       .filter(col("cum") <= col("allocated"))
+      .select("doc_id", "source", "ntok"))
 
     // stage 7: source-weighted epoch mixing (q137) over the final docs
     val mx = s6
@@ -286,7 +325,7 @@ object ReleaseOps {
       .join(pre.select(col("doc_id"), col("text")), "doc_id")
       .select("doc_id", "source", "text", "ntok", "w_mil", "u", "reps",
         "shard")
-    (kept, card)
+    (kept, card, () => handles.foreach(Graph.release))
   }
 
   /** PERSIST a full release as an on-disk artifact (round-12 verdict
@@ -312,8 +351,9 @@ object ReleaseOps {
     * [[corpusPipeline]] call); overwrites any prior save at `path`. */
   def saveRelease(docs0: DataFrame, path: String,
       robust: Boolean = false): Unit = {
-    val (kept, card) = corpusPipeline(docs0, robust)
+    val (kept, card, release) = corpusPipeline(docs0, robust)
     writeArtifact(kept, card, path)
+    release()
   }
 
   /** PERSIST an incremental (delta) release — the [[saveRelease]] twin
@@ -1037,13 +1077,14 @@ object ReleaseOps {
   private val pipelineCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
   private def cachedPipeline(d: String, variant: String)(
-      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+      build: => (DataFrame, DataFrame, () => Unit)): (DataFrame, DataFrame) =
     pipelineCache.computeIfAbsent(
       (new java.io.File(d).getCanonicalPath, variant), _ => {
-        val (kept0, card0) = build
+        val (kept0, card0, release) = build
         val (kept, _) = Graph.snapshot(kept0)
         val (card, _) = Graph.snapshot(card0)
         kept.count(); card.count()
+        release() // stage snapshots superseded by the two output snapshots
         (kept, card)
       })
 
@@ -1300,9 +1341,11 @@ object ReleaseOps {
       val docs = Tables.t(s, d, "documents")
       val idx = substring(col("source"), 4, 8).cast("int")
       val dir = relDeltaDir(d)
-      val (kept, card) = cachedPipeline(d, "delta")(
-        deltaPipeline(docs.filter(idx < 10), docs.filter(idx >= 10),
-          robust = false))
+      val (kept, card) = cachedPipeline(d, "delta") {
+        val (k, c) = deltaPipeline(docs.filter(idx < 10),
+          docs.filter(idx >= 10), robust = false)
+        (k, c, () => ())
+      }
       writeArtifact(kept, card, dir)
       servedDeltaCardFromArtifact(s, dir)
     },
@@ -1346,7 +1389,8 @@ object ReleaseOps {
       val dir = relDeltaRobustDir(d)
       val (kept, card) = cachedPipeline(d, "delta-robust") {
         val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
-        deltaPipeline(old, neu, robust = true)
+        val (k, c) = deltaPipeline(old, neu, robust = true)
+        (k, c, () => ())
       }
       writeArtifact(kept, card, dir)
       servedDeltaCardFromArtifact(s, dir)
