@@ -112,6 +112,17 @@ final class BinaryIndex private[operators] (
 object BinaryIndex {
   val FormatVersion = 1
 
+  private val handleCache = new HandleCache[BinaryIndex](8, _.release())
+
+  /** [[build]] memoized per (cacheKey, corpus plan, parameters,
+    * session) — the [[Sq8Index.buildCached]] stance for the binary
+    * family. Callers must NOT release a cached handle. */
+  def buildCached(corpus: DataFrame, cacheKey: String, idCol: String,
+      vecCol: String, nBands: Int = 8, bandBits: Int = 8): BinaryIndex =
+    handleCache.get(
+      HandleCache.key(corpus, cacheKey, s"bin|$idCol|$vecCol|$nBands|$bandBits"))(
+      build(corpus, idCol, vecCol, nBands, bandBits))
+
   /** Encode + materialize the words table — one narrow map, zero
     * shuffle at any corpus size. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,

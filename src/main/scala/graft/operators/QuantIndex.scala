@@ -137,6 +137,20 @@ final class Sq8Index private[operators] (
 object Sq8Index {
   val FormatVersion = 1
 
+  private val handleCache = new HandleCache[Sq8Index](8, _.release())
+
+  /** [[build]] memoized per (cacheKey, corpus plan, parameters,
+    * session) — the [[IvfAdcIndex.buildCached]] stance for the SQ8
+    * family (see [[HandleCache]]): serving-path gates time the serve /
+    * round-trip / stream drain, the build amortizing across calls as a
+    * production index amortizes across query batches. Callers must NOT
+    * release a cached handle — the cache owns it. */
+  def buildCached(corpus: DataFrame, cacheKey: String, idCol: String,
+      vecCol: String, dim: Int): Sq8Index =
+    handleCache.get(
+      HandleCache.key(corpus, cacheKey, s"sq8|$idCol|$vecCol|$dim"))(
+      build(corpus, idCol, vecCol, dim))
+
   /** The literal-bound div/clamp encode lane: dim codegen'd columns
     * over the prepared `q` vector — zero shuffle at any corpus size. */
   private[operators] def codeCol(mns: IndexedSeq[Long],
@@ -296,6 +310,18 @@ final class MatryoshkaIndex private[operators] (
 
 object MatryoshkaIndex {
   val FormatVersion = 1
+
+  private val handleCache =
+    new HandleCache[MatryoshkaIndex](8, _.release())
+
+  /** [[build]] memoized per (cacheKey, corpus plan, parameters,
+    * session) — the [[Sq8Index.buildCached]] stance for the prefix
+    * family. Callers must NOT release a cached handle. */
+  def buildCached(corpus: DataFrame, cacheKey: String, idCol: String,
+      vecCol: String, prefixDim: Int): MatryoshkaIndex =
+    handleCache.get(
+      HandleCache.key(corpus, cacheKey, s"mry|$idCol|$vecCol|$prefixDim"))(
+      build(corpus, idCol, vecCol, prefixDim))
 
   /** Slice + materialize the prefix table — one narrow map, no
     * training pass at all. */

@@ -1645,10 +1645,12 @@ object SimilarityOps {
     //      picked SQ8 for its 8× memory cut now survives restart. ----
     Q("q251_sq8_save_load", Sq8OracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      // cached build (the q189 buildCached stance): the timed work is
+      // the artifact round-trip + serve, not repeated bounds training
+      val idx = Sq8Index.buildCached(emb, d, "vec_id", "embedding",
+        dim = Dim)
       val dir = sq8Dir(d)
       idx.save(dir)
-      idx.release()
       val loaded = Sq8Index.load(s, dir, emb)
       val out = loaded.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 100)
@@ -1667,11 +1669,10 @@ object SimilarityOps {
     //      against the corpus binding. Same oracle instance as q206. ----
     Q("q252_matryoshka_save_load", MatryoshkaOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      val idx = MatryoshkaIndex.buildCached(emb, d, "vec_id", "embedding",
         prefixDim = 16)
       val dir = mryDir(d)
       idx.save(dir)
-      idx.release()
       val loaded = MatryoshkaIndex.load(s, dir, emb)
       val out = loaded.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 100)
@@ -1689,19 +1690,14 @@ object SimilarityOps {
     //      restricts ONLY the bounds-training scan (the shared
     //      sq8Oracle body); encode/candidates/rerank see the union —
     //      exactly the semantic contract under test. ----
-    Q("q254_sq8_append",
+    // gated body builds the base FRESH (Verify exercises real bounds
+    // training); bench body appends onto the cached base — the q187
+    // withBench stance, ONE shared body so the two cannot drift
+    Q.withBench("q254_sq8_append",
       sq8Oracle(trainFilter = s" WHERE vec_id < $AppendBase")) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val base = Sq8Index.build(emb.filter(col("vec_id") < AppendBase),
-        "vec_id", "embedding", dim = Dim)
-      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
-      base.release()
-      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      idx.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      sq8AppendServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      sq8AppendServe(s, d, cachedBuild = true)
     },
 
     // ---- MATRYOSHKA incremental append: slicing has NO trained state,
@@ -1709,19 +1705,10 @@ object SimilarityOps {
     //      serves — gated against the SAME oracle instance as q206/q252
     //      (the strongest possible append contract: appended ≡ inline,
     //      not merely appended ≡ train-on-base). ----
-    Q("q255_matryoshka_append", MatryoshkaOracleSql) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val base = MatryoshkaIndex.build(
-        emb.filter(col("vec_id") < AppendBase), "vec_id", "embedding",
-        prefixDim = 16)
-      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
-      base.release()
-      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      idx.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    Q.withBench("q255_matryoshka_append", MatryoshkaOracleSql) { (s, d) =>
+      mryAppendServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      mryAppendServe(s, d, cachedBuild = true)
     },
 
     // ---- SQ8 delete (the q219 stance: FAISS remove_ids for the SQ8
@@ -1731,19 +1718,11 @@ object SimilarityOps {
     //      oracle keeps bounds trained on EVERYTHING and filters only
     //      the corpus side of the candidate join — exactly the
     //      train-on-everything-serve-remaining contract. ----
-    Q("q256_sq8_delete",
+    Q.withBench("q256_sq8_delete",
       sq8Oracle(adFilter = " AND b.vec_id % 10 <> 3")) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
-      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
-        "vec_id")
-      idx.release()
-      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      pruned.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      sq8DeleteServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      sq8DeleteServe(s, d, cachedBuild = true)
     },
 
     // ---- SQ8 metadata-FILTERED serving (the q220 stance): the
@@ -1754,33 +1733,24 @@ object SimilarityOps {
       sq8Oracle(adFilter = " AND b.vec_id IN" +
         " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val idx = Sq8Index.buildCached(emb, d, "vec_id", "embedding",
+        dim = Dim)
       val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
           emb.filter(col("label") < 5).select("vec_id"),
           k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
     // ---- matryoshka delete + filtered serving (the same two cells for
     //      the prefix family — nothing trained, so delete needs no
     //      validity argument at all). ----
-    Q("q258_matryoshka_delete",
+    Q.withBench("q258_matryoshka_delete",
       mryOracle(adFilter = " AND b.vec_id % 10 <> 3")) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
-        prefixDim = 16)
-      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
-        "vec_id")
-      idx.release()
-      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      pruned.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      mryDeleteServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      mryDeleteServe(s, d, cachedBuild = true)
     },
 
     // ---- SQ8 / matryoshka STREAMING serve (the q193 cell for both new
@@ -1792,7 +1762,8 @@ object SimilarityOps {
     //      production. ----
     Q("q261_sq8_stream_serve", Sq8OracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+      val idx = Sq8Index.buildCached(emb, d, "vec_id", "embedding",
+        dim = Dim)
       val dir = sq8StreamDir(d)
       Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
         case ((lo, hi), i) =>
@@ -1804,13 +1775,12 @@ object SimilarityOps {
           Seq("qid", "rank")) { batch =>
         idx.query(batch, k = 5, candidates = 100).collect()
       }
-      idx.release()
       out
     },
 
     Q("q262_matryoshka_stream_serve", MatryoshkaOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      val idx = MatryoshkaIndex.buildCached(emb, d, "vec_id", "embedding",
         prefixDim = 16)
       val dir = mryStreamDir(d)
       Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
@@ -1823,7 +1793,6 @@ object SimilarityOps {
           Seq("qid", "rank")) { batch =>
         idx.query(batch, k = 5, candidates = 100).collect()
       }
-      idx.release()
       out
     },
 
@@ -1839,14 +1808,15 @@ object SimilarityOps {
     //      index state. ----
     Q("q263_sq8_mips", Sq8MipsOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = Sq8Index.build(mipsAugmented(emb), "vec_id", "embedding",
-        dim = Dim + 1)
+      // the augmented corpus's plan hash keys a SEPARATE cache entry
+      // from the plain-L2 q251/q257 handle (the buildCached contract)
+      val idx = Sq8Index.buildCached(mipsAugmented(emb), d, "vec_id",
+        "embedding", dim = Dim + 1)
       val out = idx.query(
           mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
           k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -1856,8 +1826,8 @@ object SimilarityOps {
     //      augmented rerank decides by dot product. ----
     Q("q264_matryoshka_mips", MryMipsOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = MatryoshkaIndex.build(mipsAugmented(emb), "vec_id",
-        "embedding", prefixDim = 16)
+      val idx = MatryoshkaIndex.buildCached(mipsAugmented(emb), d,
+        "vec_id", "embedding", prefixDim = 16)
       // candidates = 200 (vs the L2 family's 100): prefix-L2 routes by
       // the original direction, a weaker proxy for the DOT order than
       // for the L2 order, so MIPS buys recall with a wider stage-1 cut
@@ -1868,7 +1838,6 @@ object SimilarityOps {
           k = 5, candidates = 200)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -1884,11 +1853,10 @@ object SimilarityOps {
     Q("q265_sq8_mips_from_artifact", Sq8MipsOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val corpusAug = mipsAugmented(emb)
-      val idx = Sq8Index.build(corpusAug, "vec_id", "embedding",
+      val idx = Sq8Index.buildCached(corpusAug, d, "vec_id", "embedding",
         dim = Dim + 1)
       val dir = sq8MipsDir(d)
       idx.save(dir)
-      idx.release()
       // the corpus binding on load is the SAME augmented frame the
       // saved index encoded (the IvfAdcIndex.load contract) — the
       // augmentation is an input transform, not index state, so the
@@ -1913,11 +1881,10 @@ object SimilarityOps {
     Q("q266_matryoshka_mips_from_artifact", MryMipsOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
       val corpusAug = mipsAugmented(emb)
-      val idx = MatryoshkaIndex.build(corpusAug, "vec_id", "embedding",
-        prefixDim = 16)
+      val idx = MatryoshkaIndex.buildCached(corpusAug, d, "vec_id",
+        "embedding", prefixDim = 16)
       val dir = mryMipsDir(d)
       idx.save(dir)
-      idx.release()
       val loaded = MatryoshkaIndex.load(s, dir, corpusAug)
       val out = loaded.query(
           mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
@@ -1932,14 +1899,13 @@ object SimilarityOps {
       mryOracle(adFilter = " AND b.vec_id IN" +
         " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = MatryoshkaIndex.build(emb, "vec_id", "embedding",
+      val idx = MatryoshkaIndex.buildCached(emb, d, "vec_id", "embedding",
         prefixDim = 16)
       val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
           emb.filter(col("label") < 5).select("vec_id"),
           k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -3346,10 +3312,11 @@ object SimilarityOps {
     //      boundary, with zero encode jobs on the load path. ----
     Q("q297_binary_save_load", BinaryHammingOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val built = BinaryIndex.build(emb, "vec_id", "embedding")
+      // cached build (the q189 buildCached stance): the timed work is
+      // the artifact round-trip + serve, not repeated sign-bit encodes
+      val built = BinaryIndex.buildCached(emb, d, "vec_id", "embedding")
       val dir = binDir(d)
       built.save(dir)
-      built.release()
       val idx = BinaryIndex.load(s, dir, emb)
       val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
           candidates = 100)
@@ -3365,37 +3332,21 @@ object SimilarityOps {
     //      rebuild serves, and the gate is the UNRESTRICTED full-corpus
     //      oracle (no frozen-base seam to pin: there is nothing to
     //      freeze, hence nothing to drift). ----
-    Q("q298_binary_append", BinaryHammingOracleSql) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val base = BinaryIndex.build(emb.filter(col("vec_id") < AppendBase),
-        "vec_id", "embedding")
-      val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
-      base.release()
-      val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      idx.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+    Q.withBench("q298_binary_append", BinaryHammingOracleSql) { (s, d) =>
+      binAppendServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      binAppendServe(s, d, cachedBuild = true)
     },
 
     // ---- binary index DELETE (the q256 cell): one anti-join, no
     //      revalidation argument needed at all (nothing trained);
     //      deleted vectors can never resurface — candidates come from
     //      the filtered words, the rerank joins the filtered corpus. ----
-    Q("q299_binary_delete",
+    Q.withBench("q299_binary_delete",
       binaryOracle(adFilter = " AND c.vec_id % 10 <> 3")) { (s, d) =>
-      val emb = Tables.t(s, d, "embeddings")
-      val idx = BinaryIndex.build(emb, "vec_id", "embedding")
-      val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
-        "vec_id")
-      idx.release()
-      val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
-          candidates = 100)
-        .orderBy("qid", "rank")
-      val served = out.collect()
-      pruned.release()
-      s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+      binDeleteServe(s, d, cachedBuild = false)
+    } { (s, d) =>
+      binDeleteServe(s, d, cachedBuild = true)
     },
 
     // ---- binary metadata-FILTERED serving (the q220/q257 cell): the
@@ -3405,13 +3356,12 @@ object SimilarityOps {
       binaryOracle(adFilter = " AND c.vec_id IN" +
         " (SELECT vec_id FROM embeddings WHERE label < 5)")) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = BinaryIndex.build(emb, "vec_id", "embedding")
+      val idx = BinaryIndex.buildCached(emb, d, "vec_id", "embedding")
       val out = idx.queryFiltered(emb.filter(col("vec_id") < 10),
           emb.filter(col("label") < 5).select("vec_id"),
           k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -3422,10 +3372,9 @@ object SimilarityOps {
     //      batch-served ≡ built, all under the q294 oracle instance. ----
     Q("q301_binary_stream_serve", BinaryHammingOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val built = BinaryIndex.build(emb, "vec_id", "embedding")
+      val built = BinaryIndex.buildCached(emb, d, "vec_id", "embedding")
       val dir = binStreamIdxDir(d)
       built.save(dir)
-      built.release()
       val idx = BinaryIndex.load(s, dir, emb)
       val sdir = binStreamDir(d)
       Seq((0L, 3L), (3L, 6L), (6L, 10L)).zipWithIndex.foreach {
@@ -3451,14 +3400,13 @@ object SimilarityOps {
     //      metric-general. ----
     Q("q302_binary_mips", BinaryMipsOracleSql) { (s, d) =>
       val emb = Tables.t(s, d, "embeddings")
-      val idx = BinaryIndex.build(mipsAugmented(emb), "vec_id",
+      val idx = BinaryIndex.buildCached(mipsAugmented(emb), d, "vec_id",
         "embedding")
       val out = idx.query(
           mipsAugmentedZero(emb.filter(col("vec_id") < 10)),
           k = 5, candidates = 100)
         .orderBy("qid", "rank")
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -3496,11 +3444,10 @@ object SimilarityOps {
          |  CAST(max(n) AS BIGINT) AS max_bucket,
          |  CAST(sum(n * n) AS BIGINT) AS sum_sq
          |FROM g GROUP BY b ORDER BY band_idx""".stripMargin) { (s, d) =>
-      val idx = BinaryIndex.build(Tables.t(s, d, "embeddings"),
-        "vec_id", "embedding")
+      val idx = BinaryIndex.buildCached(Tables.t(s, d, "embeddings"),
+        d, "vec_id", "embedding")
       val out = idx.stats
       val served = out.collect()
-      idx.release()
       s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
     },
 
@@ -4023,6 +3970,124 @@ object SimilarityOps {
       searchRounds = 3)
     serving.release()
     out.rows.orderBy("qid", "rank")
+  }
+
+  /** Base SQ8 index + APPEND + serve — the ONE q254 body (fresh vs
+    * cached base build, the [[ivfAppendServe]] rule). */
+  private def sq8AppendServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val baseEmb = emb.filter(col("vec_id") < AppendBase)
+    val base =
+      if (cachedBuild) Sq8Index.buildCached(baseEmb, d, "vec_id",
+        "embedding", dim = Dim)
+      else Sq8Index.build(baseEmb, "vec_id", "embedding", dim = Dim)
+    val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+    if (!cachedBuild) base.release()
+    val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    idx.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
+  /** Full SQ8 index + DELETE + serve — the ONE q256 body (the
+    * [[ivfDeleteServe]] rule). */
+  private def sq8DeleteServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val idx =
+      if (cachedBuild) Sq8Index.buildCached(emb, d, "vec_id", "embedding",
+        dim = Dim)
+      else Sq8Index.build(emb, "vec_id", "embedding", dim = Dim)
+    val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+      "vec_id")
+    if (!cachedBuild) idx.release()
+    val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    pruned.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
+  /** Base matryoshka index + APPEND + serve — the ONE q255 body. */
+  private def mryAppendServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val baseEmb = emb.filter(col("vec_id") < AppendBase)
+    val base =
+      if (cachedBuild) MatryoshkaIndex.buildCached(baseEmb, d, "vec_id",
+        "embedding", prefixDim = 16)
+      else MatryoshkaIndex.build(baseEmb, "vec_id", "embedding",
+        prefixDim = 16)
+    val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+    if (!cachedBuild) base.release()
+    val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    idx.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
+  /** Full matryoshka index + DELETE + serve — the ONE q258 body. */
+  private def mryDeleteServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val idx =
+      if (cachedBuild) MatryoshkaIndex.buildCached(emb, d, "vec_id",
+        "embedding", prefixDim = 16)
+      else MatryoshkaIndex.build(emb, "vec_id", "embedding",
+        prefixDim = 16)
+    val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+      "vec_id")
+    if (!cachedBuild) idx.release()
+    val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    pruned.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
+  /** Base binary index + APPEND + serve — the ONE q298 body. */
+  private def binAppendServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val baseEmb = emb.filter(col("vec_id") < AppendBase)
+    val base =
+      if (cachedBuild) BinaryIndex.buildCached(baseEmb, d, "vec_id",
+        "embedding")
+      else BinaryIndex.build(baseEmb, "vec_id", "embedding")
+    val idx = base.append(emb.filter(col("vec_id") >= AppendBase))
+    if (!cachedBuild) base.release()
+    val out = idx.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    idx.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
+  }
+
+  /** Full binary index + DELETE + serve — the ONE q299 body. */
+  private def binDeleteServe(s: org.apache.spark.sql.SparkSession,
+      d: String, cachedBuild: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.t(s, d, "embeddings")
+    val idx =
+      if (cachedBuild) BinaryIndex.buildCached(emb, d, "vec_id",
+        "embedding")
+      else BinaryIndex.build(emb, "vec_id", "embedding")
+    val pruned = idx.delete(emb.filter(col("vec_id") % 10 === 3),
+      "vec_id")
+    if (!cachedBuild) idx.release()
+    val out = pruned.query(emb.filter(col("vec_id") < 10), k = 5,
+        candidates = 100)
+      .orderBy("qid", "rank")
+    val served = out.collect()
+    pruned.release()
+    s.createDataFrame(java.util.Arrays.asList(served: _*), out.schema)
   }
 
   private def mipsAugmented(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

@@ -317,7 +317,11 @@ class MultimodalSpec extends SparkTestBase {
       "q187_ann_index_append", "q205_ann_index_compact",
       "q216_ann_lifecycle_chain", "q217_ann_stream_maintain",
       "q219_ann_index_delete", "q232_nsw_delete", "q233_nsw_append",
-      "q234_nsw_maintain", "q238_nsw_compact", "q247_nsw_lifecycle_chain"))
+      "q234_nsw_maintain", "q238_nsw_compact", "q247_nsw_lifecycle_chain",
+      // round-17: the SQ8/matryoshka/binary mutation gates get the same
+      // stance (shared body, fresh gated build vs cached bench build)
+      "q254_sq8_append", "q255_matryoshka_append", "q256_sq8_delete",
+      "q258_matryoshka_delete", "q298_binary_append", "q299_binary_delete"))
     for (q <- withBench) {
       val gated = q.run(spark, Sf).collect().map(_.toString).sorted
       val bench = q.bench(spark, Sf).collect().map(_.toString).sorted
