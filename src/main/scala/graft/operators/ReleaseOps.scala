@@ -87,9 +87,18 @@ object ReleaseOps {
     * n_final: a gate over a provably-no-op stage pins nothing. */
   private val SemanticStageThr = "0.32"
 
-  private def canonicalized(docs: DataFrame): DataFrame =
-    Graph.snapshot(docs.withColumn("text", concat_ws(" ",
-      TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))._1
+  /** Mutable list of snapshot handles a pipeline invocation owns; its
+    * release thunk unpersists them once every consumer materialized. */
+  private type Handles =
+    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
+
+  private def canonicalized(docs: DataFrame,
+      handles: Handles = null): DataFrame = {
+    val (out, h) = Graph.snapshot(docs.withColumn("text", concat_ws(" ",
+      TextFunctions.tokensRe(graft.plans.GraftFunctions.nfc(col("text"))))))
+    if (handles != null) handles += h
+    out
+  }
 
   def prepareCorpus(docs: DataFrame, robust: Boolean = false): DataFrame = {
     val (_, card, release) = corpusPipeline(docs, robust)
@@ -151,7 +160,7 @@ object ReleaseOps {
     def snap(df: DataFrame): DataFrame = {
       val (out, h) = Graph.snapshot(df); handles += h; out
     }
-    val pre = if (robust) canonicalized(docs) else docs
+    val pre = if (robust) canonicalized(docs, handles) else docs
     // the q97 corpus-relative df cap as a PLAN-SIDE 1-row broadcast frame
     // (round-10 verdict note): no driver count(), no extra corpus action
     val capF = docs.agg(
@@ -363,8 +372,9 @@ object ReleaseOps {
     * delta corpus exactly like the full release ships the base. */
   def saveDelta(oldDocs0: DataFrame, newDocs0: DataFrame, path: String,
       robust: Boolean = false): Unit = {
-    val (kept, card) = deltaPipeline(oldDocs0, newDocs0, robust)
+    val (kept, card, release) = deltaPipeline(oldDocs0, newDocs0, robust)
     writeArtifact(kept, card, path)
+    release()
   }
 
   private def writeArtifact(kept: DataFrame, card: DataFrame,
@@ -461,21 +471,25 @@ object ReleaseOps {
     * release re-ships content it already shipped (q235's planted fixture
     * demonstrates exactly that; ReleaseRobustSpec pins the raw leak). */
   def prepareDelta(oldDocs0: DataFrame, newDocs0: DataFrame,
-      robust: Boolean = false): DataFrame =
-    deltaPipeline(oldDocs0, newDocs0, robust)._2
+      robust: Boolean = false): DataFrame = {
+    val (_, card, release) = deltaPipeline(oldDocs0, newDocs0, robust)
+    materializedCard(card, release)
+  }
 
   /** The delta pipeline, exposing the KEPT delta corpus next to the
     * report (the [[corpusPipeline]] split): one row per final delta doc
     * (doc_id, source, text, ntok, the md5 `shard`). [[prepareDelta]]
     * consumes only the report; [[saveDelta]] consumes both. */
   private def deltaPipeline(oldDocs0: DataFrame, newDocs0: DataFrame,
-      robust: Boolean): (DataFrame, DataFrame) = {
-    val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
-    val newDocs = if (robust) canonicalized(newDocs0) else newDocs0
-    val assets = shippedAssets(oldDocs, oldDocs0)
+      robust: Boolean): (DataFrame, DataFrame, () => Unit) = {
+    val handles: Handles = scala.collection.mutable.ArrayBuffer.empty
+    val oldDocs = if (robust) canonicalized(oldDocs0, handles) else oldDocs0
+    val newDocs = if (robust) canonicalized(newDocs0, handles) else newDocs0
+    val assets = shippedAssets(oldDocs, oldDocs0, handles)
     val s1 = deltaQualityStage(newDocs)
     val a0 = newDocs.groupBy("source").agg(count(lit(1)).as("n_input"))
-    deltaTail(assets, s1, a0, carriedPre = None)
+    val (kept, report) = deltaTail(assets, s1, a0, carriedPre = None, handles)
+    (kept, report, () => handles.foreach(Graph.release))
   }
 
   /** The static assets the delta stages probe — built ONCE from the
@@ -490,12 +504,13 @@ object ReleaseOps {
   private final case class ShippedAssets(wOld: DataFrame, bloom: DataFrame,
       evalSet: DataFrame)
   private def shippedAssets(oldDocs: DataFrame,
-      oldDocs0: DataFrame): ShippedAssets = {
+      oldDocs0: DataFrame, handles: Handles): ShippedAssets = {
     val capF = oldDocs0.agg(
       greatest(lit(4L), expr("count(1) div 300")).as("capdf"))
-    val wOld = Graph.snapshot(
+    val (wOld, hOld) = Graph.snapshot(
       Dedup.charWindowRows(oldDocs, "doc_id", "text", 40, 10)
-        .select("h").distinct())._1
+        .select("h").distinct())
+    handles += hOld
     val bloom =
       Dedup.bloomBuild(wOld, "h", DedupOps.BloomMBits, DedupOps.BloomK)
     val evalSet = Dedup.trainShingleSetDyn(
@@ -559,19 +574,25 @@ object ReleaseOps {
   private[graft] def streamedDeltaState(
       s: org.apache.spark.sql.SparkSession, oldDocs0: DataFrame,
       inSchema: org.apache.spark.sql.types.StructType,
-      glob: String, robust: Boolean = false): (DataFrame, DataFrame) = {
+      glob: String, robust: Boolean = false)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val handles: Handles = scala.collection.mutable.ArrayBuffer.empty
     // robust variant (q260, the q235 composition): the shipped assets
     // are built over the CANONICAL token stream and every arriving
     // batch canonicalizes before its front-door stages — arrival
     // counts (n_input) still come from the raw batch
-    val oldDocs = if (robust) canonicalized(oldDocs0) else oldDocs0
-    val assets = shippedAssets(oldDocs, oldDocs0)
+    val oldDocs = if (robust) canonicalized(oldDocs0, handles) else oldDocs0
+    val assets = shippedAssets(oldDocs, oldDocs0, handles)
     // fresh accumulator per invocation (the round-13 shared-dir advice:
     // append-mode state must never be clobbered by a concurrent or
     // repeated invocation); delta-sized, Spark-managed temp lifecycle
     val accum = graft.TempDirs.create("graft-release-accum").toString
     graft.streaming.StreamHarness.drainFileStream(s, inSchema, glob) { b0 =>
-      val b = if (robust) canonicalized(b0) else b0
+      // batch-local snapshot, released as soon as the batch's two
+      // writes land — a drained stream must not accumulate one
+      // resident canonicalization block per micro-batch
+      val batchHandles: Handles = scala.collection.mutable.ArrayBuffer.empty
+      val b = if (robust) canonicalized(b0, batchHandles) else b0
       val s1b = deltaQualityStage(b)
       val carr = carriedIds(s1b, assets).withColumn("carried", lit(true))
       s1b.join(carr, Seq("doc_id"), "left")
@@ -583,6 +604,7 @@ object ReleaseOps {
       // n_input — see the dropDuplicates below
       b0.select("doc_id", "source")
         .write.mode("append").parquet(s"$accum/inputs")
+      batchHandles.foreach(Graph.release)
     }
     // IDEMPOTENT ingest: a file stream with at-least-once delivery can
     // replay a batch, landing the same doc twice in the accumulator —
@@ -592,11 +614,13 @@ object ReleaseOps {
     // delta-sized frame makes redelivery a no-op (ReleaseStreamSpec
     // pins a duplicated-arrival schedule against the batch report).
     val acc = s.read.parquet(s"$accum/docs").dropDuplicates("doc_id")
-    deltaTail(assets,
+    val (kept, report) = deltaTail(assets,
       acc.select("doc_id", "source", "text", "fp", "ntok"),
       s.read.parquet(s"$accum/inputs").dropDuplicates("doc_id")
         .groupBy("source").agg(count(lit(1)).as("n_input")),
-      carriedPre = Some(acc.filter(col("carried")).select("doc_id")))
+      carriedPre = Some(acc.filter(col("carried")).select("doc_id")),
+      handles)
+    (kept, report, () => handles.foreach(Graph.release))
   }
 
   /** Stages 2–5 of the delta pipeline + report + kept corpus — the ONE
@@ -607,26 +631,37 @@ object ReleaseOps {
     * s2, the cheapest set); the streaming path passes the doc_ids it
     * flagged per batch at arrival — the same per-doc predicate, so the
     * anti-join result is identical by construction. */
-  private def deltaTail(assets: ShippedAssets, s1: DataFrame,
-      a0: DataFrame, carriedPre: Option[DataFrame]): (DataFrame, DataFrame) = {
+  private def deltaTail(assets: ShippedAssets, s1in: DataFrame,
+      a0: DataFrame, carriedPre: Option[DataFrame],
+      handles: Handles): (DataFrame, DataFrame) = {
+    // Each stage below is consumed by 2+ branches (its per-source card
+    // aggregate, the next stage, and for s5 the kept frame) — without
+    // snapshots every branch re-derives its FULL stage lineage and the
+    // near-dup keep-list runs up to 4×; with them the tail is one
+    // linear pass plus bounded aggregates over persisted blocks (the
+    // corpusPipeline stance).
+    def snap(df: DataFrame): DataFrame = {
+      val (out, h) = Graph.snapshot(df); handles += h; out
+    }
+    val s1 = snap(s1in)
     // stage 2: within-delta exact dedup
     val k2 = s1.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val s2 = s1.join(k2, Seq("fp", "doc_id"))
+    val s2 = snap(s1.join(k2, Seq("fp", "doc_id")))
 
     // stage 3: Bloom-routed carry-over vs the shipped corpus
     val carry = carriedPre.getOrElse(carriedIds(s2, assets))
-    val s3 = s2.join(carry, Seq("doc_id"), "left_anti")
+    val s3 = snap(s2.join(carry, Seq("doc_id"), "left_anti"))
 
     // stage 4: within-delta near-dup keep-list (q74's pipeline)
-    val s4 = s3.join(
-      Dedup.nearDupKeepList(s3, "doc_id", "text", 3, 0.8), "doc_id")
+    val s4 = snap(s3.join(
+      Dedup.nearDupKeepList(s3, "doc_id", "text", 3, 0.8), "doc_id"))
 
     // stage 5: decontamination front door — per-doc vs the static eval
     // shingle set
     val contam = Dedup.contaminationAgainst(s4, assets.evalSet,
         "doc_id", "text", 5)
       .select("doc_id")
-    val s5 = s4.join(contam, Seq("doc_id"), "left_anti")
+    val s5 = snap(s4.join(contam, Seq("doc_id"), "left_anti"))
 
     // per-source delta report
     val a1 = s1.groupBy("source").agg(count(lit(1)).as("n_quality"))
@@ -1341,11 +1376,9 @@ object ReleaseOps {
       val docs = Tables.t(s, d, "documents")
       val idx = substring(col("source"), 4, 8).cast("int")
       val dir = relDeltaDir(d)
-      val (kept, card) = cachedPipeline(d, "delta") {
-        val (k, c) = deltaPipeline(docs.filter(idx < 10),
-          docs.filter(idx >= 10), robust = false)
-        (k, c, () => ())
-      }
+      val (kept, card) = cachedPipeline(d, "delta")(
+        deltaPipeline(docs.filter(idx < 10), docs.filter(idx >= 10),
+          robust = false))
       writeArtifact(kept, card, dir)
       servedDeltaCardFromArtifact(s, dir)
     },
@@ -1389,8 +1422,7 @@ object ReleaseOps {
       val dir = relDeltaRobustDir(d)
       val (kept, card) = cachedPipeline(d, "delta-robust") {
         val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
-        val (k, c) = deltaPipeline(old, neu, robust = true)
-        (k, c, () => ())
+        deltaPipeline(old, neu, robust = true)
       }
       writeArtifact(kept, card, dir)
       servedDeltaCardFromArtifact(s, dir)
@@ -1415,11 +1447,11 @@ object ReleaseOps {
       val docs = Tables.t(s, d, "documents")
       val idx = substring(col("source"), 4, 8).cast("int")
       val stage = stagedDeltaBatches(docs, d)
-      val (kept, card) = streamedDeltaState(s, docs.filter(idx < 10),
-        docs.schema, s"$stage/b*")
-      val dir = namedRelDir(d, "stream-delta")
-      writeArtifact(kept, card, dir)
-      servedDeltaCardFromArtifact(s, dir)
+      val (kept, card, release) = streamedDeltaState(s,
+        docs.filter(idx < 10), docs.schema, s"$stage/b*")
+      writeArtifact(kept, card, namedRelDir(d, "stream-delta"))
+      release()
+      servedDeltaCardFromArtifact(s, namedRelDir(d, "stream-delta"))
     },
 
     // ---- ROBUST streaming release front door (the q253 × q235 cell,
@@ -1435,11 +1467,11 @@ object ReleaseOps {
       (s, d) =>
       val (old, neu) = shippedTwinFixture(Tables.t(s, d, "documents"))
       val stage = stagedRobustDeltaBatches(neu, d)
-      val (kept, card) = streamedDeltaState(s, old, neu.schema,
+      val (kept, card, release) = streamedDeltaState(s, old, neu.schema,
         s"$stage/b*", robust = true)
-      val dir = namedRelDir(d, "stream-delta-robust")
-      writeArtifact(kept, card, dir)
-      servedDeltaCardFromArtifact(s, dir)
+      writeArtifact(kept, card, namedRelDir(d, "stream-delta-robust"))
+      release()
+      servedDeltaCardFromArtifact(s, namedRelDir(d, "stream-delta-robust"))
     }
   )
 

@@ -28,11 +28,12 @@ class ReleaseStreamSpec extends SparkTestBase {
   }
 
   private def report(glob: String): Seq[(String, Long, Long, Long, Long, Long, Long, Long)] = {
-    val (_, card) = ReleaseOps.streamedDeltaState(spark, oldDocs,
+    val (_, card, release) = ReleaseOps.streamedDeltaState(spark, oldDocs,
       docs.schema, glob)
-    card.orderBy("source").collect().map(r =>
+    try card.orderBy("source").collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    finally release()
   }
 
   test("streamed final state ≡ batch prepareDelta under two different " +
@@ -66,9 +67,10 @@ class ReleaseStreamSpec extends SparkTestBase {
         docs.filter(idx >= lo && idx < hi)
           .coalesce(1).write.parquet(s"$dir/b$i")
     }
-    val (_, card) = ReleaseOps.streamedDeltaState(spark, oldDocs,
+    val (_, card, release) = ReleaseOps.streamedDeltaState(spark, oldDocs,
       docs.schema, s"$dir/b*")
     val streamed = card.orderBy("source").collect().toSeq
+    release()
     val batch = ReleaseOps.prepareDelta(oldDocs, newDocs)
       .orderBy("source").collect().toSeq
     assert(streamed === batch,
@@ -87,7 +89,7 @@ class ReleaseStreamSpec extends SparkTestBase {
       neu.filter(sidx >= lo && sidx < hi)
         .coalesce(1).write.parquet(s"$dir/b$i")
     }
-    val (kept, card) = ReleaseOps.streamedDeltaState(spark, old,
+    val (kept, card, release) = ReleaseOps.streamedDeltaState(spark, old,
       neu.schema, s"$dir/b*", robust = true)
     val batch = ReleaseOps.prepareDelta(old, neu, robust = true)
       .orderBy("source").collect().toSeq
@@ -98,5 +100,6 @@ class ReleaseStreamSpec extends SparkTestBase {
     // quality survivors exist but none survive the vs-old stage
     val r = card.agg(sum("n_quality"), sum("n_vs_old")).head
     assert(r.getLong(0) > 0L && r.getLong(1) === 0L)
+    release()
   }
 }
