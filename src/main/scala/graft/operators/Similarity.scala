@@ -304,23 +304,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= candidates)
       .select("qid", "nid", "d2")
-    // candidates and their pairwise distances are λ-independent — ONE
-    // persisted instance of each feeds all three greedy chains (the
-    // oracle's shared cd/pp CTEs, now mirrored plan-side too)
-    val cdP = cd.persist()
-    cdP.count()
-    val pp = candidatePairD2(cdP, cp, idCol).persist()
-    pp.count()
+    // the collected candidate groups are λ-independent — ONE snapshot
+    // feeds all three greedy chains (the oracle's shared cd/pp CTEs,
+    // mirrored plan-side as one bounded grouped frame)
+    val (groups, h) = Graph.snapshot(mmrCandidateGroups(cd, cp, idCol))
     val legs = Seq((1L, 0L, 0), (1L, 1L, 50), (0L, 1L, 100)).map {
       case (wr, wd, pct) =>
-        val r = mmrGreedySteps(cdP, pp, k, wr, wd)
-        r.copy(picks = r.picks.select(lit(pct).as("lambda_pct"),
-          col("qid"), col("nid"), col("step")))
+        mmrPicksFrom(groups, k, wr, wd)
+          .select(lit(pct).as("lambda_pct"),
+            col("qid"), col("nid"), col("step"))
     }
-    cdP.unpersist(); pp.unpersist()
-    MmrPicks(legs.map(_.picks).reduce(_.unionByName(_))
+    MmrPicks(legs.reduce(_.unionByName(_))
         .orderBy("lambda_pct", "qid", "step"),
-      legs.flatMap(_.selRdds))
+      Seq(h))
   }
 
   /** The greedy-MMR tail over an EXPLICIT (qid, nid, d2) candidate
@@ -334,73 +330,33 @@ object Similarity {
     * undefined. */
   private[operators] def mmrFromCandidates(cand: DataFrame,
       cp: DataFrame, idCol: String, k: Int,
-      wRel: Long = 1L, wDiv: Long = 1L): MmrPicks = {
-    val cd = cand.persist()
-    cd.count()
-    val pp = candidatePairD2(cd, cp, idCol).persist()
-    pp.count()
-    val out = mmrGreedySteps(cd, pp, k, wRel, wDiv)
-    cd.unpersist(); pp.unpersist()
-    out
-  }
+      wRel: Long = 1L, wDiv: Long = 1L): MmrPicks =
+    // single weighting → the grouped frame has one consumer; no
+    // snapshot, no step barriers, nothing to release
+    MmrPicks(mmrPicksFrom(mmrCandidateGroups(cand, cp, idCol),
+      k, wRel, wDiv), Seq.empty)
 
-  /** Pairwise distances among each query's candidates: candidates² per
-    * query, the diversity term's whole working set — λ-independent, so
-    * the sweep computes it ONCE for all three weightings (mirroring the
-    * oracle's shared pp CTE). */
-  private def candidatePairD2(cd: DataFrame, cp: DataFrame,
-      idCol: String): DataFrame = {
-    val cq = cd.select(col("qid"), col("nid"))
-      .join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")), Seq("nid"))
-    val lhs = cq.select(col("qid"), col("nid").as("i"),
-      col("q").as("qa"), col("nsq").as("na"))
-    val rhs = cq.select(col("qid").as("qid_r"), col("nid").as("j"),
-      col("q").as("qb"), col("nsq").as("nb"))
-    lhs.join(rhs,
-        col("qid") === col("qid_r") && col("i") =!= col("j"))
-      .select(col("qid"), col("i"), col("j"),
-        (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
-          .cast("long").as("pd2"))
-  }
+  /** Each query's candidates COLLECTED to one bounded row — (nid, d2,
+    * nsq, quantized vector) structs, `candidates`-bounded by
+    * construction — the input the greedy generator consumes. The only
+    * shuffle of the greedy tail. */
+  private def mmrCandidateGroups(cd: DataFrame, cp: DataFrame,
+      idCol: String): DataFrame =
+    cd.join(cp.select(col(idCol).as("nid"), col("q"), col("nsq")),
+        Seq("nid"))
+      .groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("d2"), col("nsq"),
+        col("q"))).as("cands"))
 
-  /** The k greedy rounds over PRE-PERSISTED cd/pp frames (callers own
-    * their lifecycle — [[mmrLambdaSweepResult]] shares ONE pp across
-    * its three weightings). */
-  private def mmrGreedySteps(cd: DataFrame, pp: DataFrame, k: Int,
-      wRel: Long, wDiv: Long): MmrPicks = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"k=$k must be >= 1")
-    require(wRel >= 0 && wDiv >= 0 && wRel + wDiv > 0,
-      s"weights ($wRel, $wDiv) must be non-negative and not both zero")
-    val w1 = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
-    var (sel, selRdd) = Graph.snapshot(
-      cd.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), lit(1).as("step")))
-    sel.count()
-    var t = 2
-    while (t <= k) {
-      val rem = cd.join(sel.select("qid", "nid"), Seq("qid", "nid"),
-        "left_anti")
-      val msd = pp
-        .join(sel.select(col("qid"), col("nid").as("j")), Seq("qid", "j"))
-        .groupBy(col("qid"), col("i").as("nid"))
-        .agg(min(col("pd2")).as("msd"))
-      val wP = Window.partitionBy("qid")
-        .orderBy((lit(wDiv) * col("msd") - lit(wRel) * col("d2")).desc,
-          col("nid"))
-      val pick = rem.join(msd, Seq("qid", "nid"))
-        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), lit(t).as("step"))
-      val (nextSel, nextRdd) = Graph.snapshot(sel.unionByName(pick))
-      nextSel.count()
-      Graph.release(selRdd)
-      sel = nextSel; selRdd = nextRdd
-      t += 1
-    }
-    MmrPicks(
-      sel.select(col("qid"), col("nid"), col("step").cast("int").as("step")),
-      Seq(selRdd))
-  }
+  /** The k greedy rounds as ONE narrow generator eval per query
+    * ([[graft.plans.MmrGreedyRows]]) — replaces the k-sequential-jobs
+    * step loop; arithmetic and tie rules are identical and remain
+    * pinned by the unrolled oracles (q295/q303/q306). */
+  private def mmrPicksFrom(groups: DataFrame, k: Int,
+      wRel: Long, wDiv: Long): DataFrame =
+    groups.select(col("qid"),
+      graft.plans.GraftFunctions.mmrGreedy(col("cands"), k, wRel, wDiv)
+        .as(Seq("nid", "step")))
 
   /** IVF-style plane-count sizing: 2^planes buckets grow linearly with the
     * corpus so expected bucket occupancy stays near `targetBucket` at any

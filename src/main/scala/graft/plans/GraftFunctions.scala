@@ -31,6 +31,14 @@ object GraftFunctions {
   def winnowRows(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowRows(ColumnBridge.expression(text), k, w))
 
+  /** Greedy-MMR pick generator over ONE query's collected candidate
+    * array — use with multi-alias:
+    * df.select(col("qid"), mmrGreedy(col("cands"), 5, 1L, 1L)
+    *   .as(Seq("nid", "step"))) */
+  def mmrGreedy(cands: Column, k: Int, wRel: Long, wDiv: Long): Column =
+    ColumnBridge.column(
+      MmrGreedyRows(ColumnBridge.expression(cands), k, wRel, wDiv))
+
   /** Codegen'd hyperplane-LSH bucket of a quantized array<bigint> vector. */
   def lshBucket(q: Column, planes: Int, dim: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(q), planes, dim))

@@ -1270,4 +1270,42 @@ class VectorSpec extends SparkTestBase {
         s"MMR picks for $q not more spread: $mmrMin <= $plainMin")
     }
   }
+
+  test("mmr greedy generator: picks equal an independent reference " +
+    "greedy step for step, and fewer candidates than k emits one step " +
+    "per candidate (round-17 single-eval rewrite of the step loop)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val picks = Similarity.mmrRerank(queries, emb, "vec_id", "embedding",
+        k = 5, candidates = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // independent reference: exact integer d2 over the prepared
+    // quantized vectors, candidates by (d2, nid), greedy by
+    // (msd − d2, nid) — plain Scala, no Spark past the collect
+    val cp = Similarity.prepared(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val byId = cp.map(t => t._1 -> t).toMap
+    def d2(a: Long, b: Long): Long = {
+      val (_, qa, na) = byId(a); val (_, qb, nb) = byId(b)
+      na + nb - 2L * qa.zip(qb).map { case (x, y) => x * y }.sum
+    }
+    for (q <- 0L until 10L) {
+      val cands = cp.map(_._1).filter(_ != q).map(id => (id, d2(q, id)))
+        .sortBy(t => (t._2, t._1)).take(20)
+      var sel = List(cands.minBy(t => (t._2, t._1))._1)
+      while (sel.size < 5) {
+        val next = cands.filter(c => !sel.contains(c._1)).map {
+          case (id, rd) => (id, sel.map(s => d2(id, s)).min - rd)
+        }.sortBy(t => (-t._2, t._1)).head._1
+        sel = sel :+ next
+      }
+      val got = picks.filter(_._1 == q).sortBy(_._3).map(_._2).toList
+      assert(got === sel, s"greedy sequence for query $q diverged")
+    }
+    // short candidate set: 3 candidates, k = 5 → exactly steps 1..3
+    val small = emb.filter(col("vec_id") < 4)
+    val sp = Similarity.mmrRerank(small.filter(col("vec_id") === 0),
+        small, "vec_id", "embedding", k = 5, candidates = 5).collect()
+    assert(sp.map(_.getInt(2)).sorted === Array(1, 2, 3),
+      "3-candidate query must emit exactly steps 1..3")
+  }
 }
